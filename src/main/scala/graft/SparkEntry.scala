@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator family (SURVEY.md §2 inventory
+  * + beyond-reference operators) to a deterministic DataFrame query over the
+  * TESTDATA.md fixtures; `oracleSql` carries the DuckDB-equivalent ANSI SQL
+  * (column names and float formulas aligned token-for-token — see
+  * graft.Fns for the bit-exactness rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RefQueries.q01(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefQueries.queries ++ Joins.queries ++ Windows.queries ++
+      Events.queries ++ SetOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (non-SQL-expressible ops, e.g.
+    * seeded sampling, MinHash) get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
+      Events.oracle ++ SetOps.oracle
 }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Dev-only oracle checker (mirrors the driver's DuckDB compare).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, and compares row count, column names (sorted), and
+values (sorted columns, row-order-sensitive after each side's own ORDER BY,
+plus an order-insensitive hash fallback). NOT part of the shipped engine —
+driver-side python only.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).fetchall()
+            exp_cols = [d[0] for d in con.sql(sql).description]
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got = got_rel.fetchall()
+            got_cols = [d[0] for d in got_rel.description]
+            issues = []
+            if sorted(exp_cols) != sorted(got_cols):
+                issues.append(f"cols exp={sorted(exp_cols)} got={sorted(got_cols)}")
+            if len(exp) != len(got):
+                issues.append(f"rows exp={len(exp)} got={len(got)}")
+            if not issues:
+                # compare with columns sorted by name
+                e_ix = [exp_cols.index(c) for c in sorted(exp_cols)]
+                g_ix = [got_cols.index(c) for c in sorted(got_cols)]
+                e_rows = sorted(tuple(norm(r[i]) for i in e_ix) for r in exp)
+                g_rows = sorted(tuple(norm(r[i]) for i in g_ix) for r in got)
+                if e_rows != g_rows:
+                    bad = next(i for i, (a, b) in enumerate(zip(e_rows, g_rows))
+                               if a != b)
+                    issues.append(
+                        f"values differ, first at sorted-row {bad}:\n"
+                        f"    exp={e_rows[bad]}\n    got={g_rows[bad]}")
+            if issues:
+                n_fail += 1
+                print(f"FAIL {name}: " + "; ".join(issues))
+            else:
+                n_pass += 1
+                print(f"ok   {name} ({len(exp)} rows)")
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
-      Events.queries ++ SetOps.queries
+      Events.queries ++ SetOps.queries ++ TextQueries.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops, e.g.
     * seeded sampling, MinHash) get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
-      Events.oracle ++ SetOps.oracle
+      Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.TextQueries.tokens
+
+/** Deduplication operators for the `documents` corpus (north-star
+  * LLM-data-pipeline surface): exact (hash groupBy), token-set Jaccard
+  * (pairwise, blocked), MinHash+LSH (the 100 TB path), SimHash.
+  *
+  * Scale design: exact dedup shuffles a 32-byte digest, never the text;
+  * MinHash turns the O(n²) similarity join into band-bucket equi-joins
+  * (shuffle on band hash — skew-safe because bucket sizes are bounded by
+  * the band collision probability); pairwise Jaccard exists as the
+  * correctness oracle for the approximate paths and is explicitly blocked
+  * (doc_id < 100) — it is NOT the scale path.
+  */
+object Dedup {
+
+  // ── exact dedup ────────────────────────────────────────────────────────
+
+  /** Exact dedup keeping the lowest id per identical text — deterministic,
+    * unlike dropDuplicates' arbitrary-row keep. Shuffles (digest, id) only.
+    */
+  def exactDedupIds(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  // q32: exact-dedup stats per source.
+  def q32(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
+      .orderBy(col("source"))
+
+  val q32Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT text) AS n_unique,
+      |  count(*) - count(DISTINCT text) AS n_dupes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ── token-set Jaccard (exact pairwise; the oracle for MinHash) ─────────
+
+  /** n-token shingles of a text column (n = 1 → plain tokens). Texts with
+    * fewer than n tokens contribute one whole-text shingle. Real corpora
+    * want n ≥ 3 (unigram sets saturate on small vocabularies — almost
+    * every pair looks similar); the fixture queries use n = 1 because the
+    * synthetic corpus has a ~40-word vocabulary and its true duplicates
+    * are token-set duplicates. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    if (n <= 1) toks
+    else when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct (id, shingle) pairs. */
+  private def distinctTokens(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 1): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), gram)).as("t"))
+      .distinct()
+
+  /** Exact token-set Jaccard over all pairs sharing ≥1 token. O(pairs) —
+    * only for bounded blocks / oracle use.
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = distinctTokens(docs, textCol, idCol)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = toks.as("x")
+      .join(toks.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+  }
+
+  // q33: exact Jaccard near-dup pairs on a bounded block (doc_id < 100).
+  def q33(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(documents(s, dir).filter(col("doc_id") < 100), "text", "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q33Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |    FROM documents WHERE doc_id < 100)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM toks x JOIN toks y ON x.t = y.t AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared,
+      |  shared / (sa.n + sb.n - shared) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared / (sa.n + sb.n - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ── MinHash + LSH (the scale path) ─────────────────────────────────────
+
+  /** Mersenne prime 2^31-1; keeps a*h+b within Long without overflow. */
+  private val P = 2147483647L
+  private val NumHashes = 64
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+
+  /** Deterministic permutation coefficients (fixed seed — signatures are
+    * reproducible across runs and clusters). */
+  private val coeffs: Array[(Long, Long)] = {
+    val rng = new scala.util.Random(20240812L)
+    Array.fill(NumHashes) {
+      val a = 1L + math.floorMod(rng.nextLong(), P - 1)
+      val b = math.floorMod(rng.nextLong(), P)
+      (a, b)
+    }
+  }
+
+  /** Per-doc MinHash signature: one hash-agg pass, 64 `min` aggregates over
+    * permuted token hashes (no per-permutation explode). Output:
+    * (doc_id, m0..m63, sig array<long>).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 1): DataFrame = {
+    val toks = distinctTokens(docs, textCol, idCol, gram)
+      .withColumn("h0", pmod(xxhash64(col("t")), lit(P)))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"m$i")): _*))
+  }
+
+  /** LSH candidate pairs: 16 bands × 4 rows; docs sharing any band bucket
+    * become candidates; est_jaccard = matching-component fraction of the
+    * full signatures. The band join shuffles only (band, hash, id).
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 1): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, gram)
+    val bandCols = (0 until NumBands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(((0 until BandRows).map(j => col(s"m${bi * BandRows + j}")) :+ lit(bi)): _*)
+          .as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** MinHash-LSH dedup: drop every doc that is the higher-id member of a
+    * candidate pair above `threshold` (keep-lowest-id within clusters). */
+  def minhashDedupIds(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, gram: Int = 1): DataFrame = {
+    val dropIds = minhashCandidates(docs, textCol, idCol, gram)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    docs.join(dropIds, col(idCol) === col("drop_id"), "left_anti")
+      .select(col(idCol))
+  }
+
+  // q34: MinHash-LSH candidate near-dup pairs (est_jaccard ≥ 0.5) on the
+  //      same doc_id<100 block as q33, so approximate (q34) and exact
+  //      (q33) are directly comparable. No SQL oracle (xxhash64 isn't
+  //      reproducible in DuckDB) → rows-only check; recall vs the q33
+  //      oracle is asserted in DedupSpec.
+  def q34(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(documents(s, dir).filter(col("doc_id") < 100),
+        "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ── SimHash ────────────────────────────────────────────────────────────
+
+  /** 64-bit SimHash per doc: sign of per-bit ±1 sums over token hashes,
+    * one hash-agg pass with 64 sum aggregates.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val hash = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, candidate-paired
+    * on 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 chunks equal). */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
+        .as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // q35: per-doc SimHash (deterministic; rows-only — xxhash64 has no
+  //      DuckDB equivalent).
+  def q35(s: SparkSession, dir: String): DataFrame =
+    simhash(documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_dedup_exact" -> q32,
+    "q33_dedup_jaccard" -> q33,
+    "q34_dedup_minhash" -> q34,
+    "q35_simhash" -> q35)
+
+  val oracle: Map[String, String] = Map(
+    "q32_dedup_exact" -> q32Sql,
+    "q33_dedup_jaccard" -> q33Sql)
+}

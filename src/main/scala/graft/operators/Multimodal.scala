@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partition-friendly batch shape,
+  * deterministic pipeline) is real and tested; the actual codec calls are
+  * STUBBED behind `decodeStub` with a deterministic fake (no image/audio
+  * libraries in this container). Swapping in a real decoder means replacing
+  * ONLY the body of `decodeStub` — the mapPartitions batch shape, schema,
+  * and downstream feature columns are unchanged.
+  *
+  * Scale notes: media bytes never shuffle — every stage below is a narrow
+  * map; metadata extraction projects away the payload as early as possible
+  * so downstream joins/aggs move only scalars. At 100 TB the media table
+  * would be bucketed by content hash so dedup joins co-locate.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("fingerprint", StringType, nullable = false)))
+
+  case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, features: Array[Double])
+
+  /** Build a media table from any (id, payload) source: computes byte
+    * length + content fingerprint, keeping the payload opaque.
+    */
+  def toMediaTable(src: DataFrame, idCol: String, payloadCol: String,
+      mime: String): DataFrame =
+    src.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(mime).as("mime"),
+      col(payloadCol).cast("binary").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("fingerprint", sha2(col("payload"), 256))
+
+  /** Decode stage. REAL IMPLEMENTATION STUBBED: a production build calls
+    * the codec here (e.g. javax.imageio / ffmpeg bindings) — this container
+    * has none, so frames are synthesized deterministically from the payload
+    * bytes. Batch shape is the real one: mapPartitions over an iterator so
+    * a decoder can amortize per-partition init (codec contexts, model
+    * weights) exactly like a Pandas-UDF batch would.
+    *
+    * @param framesPer number of frames to sample per media item
+    */
+  def decodeStub(media: DataFrame, framesPer: Int = 2): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would happen here (codec context, etc.)
+        it.flatMap { case (id, payload) =>
+          (0 until framesPer).iterator.map { f =>
+            // ??? real decode goes here; deterministic fake below:
+            // "pixels" derived from payload bytes so tests are stable.
+            val w = 8; val h = 8
+            val feats = Array.tabulate(4) { k =>
+              val slice = payload.iterator.drop(f * 4 + k).grouped(16)
+                .map(_.map(b => (b & 0xFF).toLong).sum).sum
+              (slice % 997).toDouble / 997.0
+            }
+            DecodedFrame(id, f, w, h, feats)
+          }
+        }
+      }
+  }
+
+  /** Frame sampling: keep every nth frame — a filter on the decoded set,
+    * never re-touching payloads. */
+  def sampleFrames(frames: Dataset[DecodedFrame], everyN: Int): Dataset[DecodedFrame] =
+    frames.filter(col("frame_idx") % everyN === 0)
+
+  /** "Resize" metadata transform (dimension bookkeeping only — the stub
+    * has no pixels; a real impl maps features). */
+  def resize(frames: DataFrame, w: Int, h: Int): DataFrame =
+    frames.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  // ── q40: media metadata extraction over documents-as-binary — byte
+  //        length, content fingerprint, chunk count (the payload-opaque
+  //        subset, fully oracle-checkable).
+  def q40(s: SparkSession, dir: String): DataFrame =
+    toMediaTable(documents(s, dir), "doc_id", "text", "text/plain")
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("fingerprint"),
+        ((col("n_bytes") + 255) / 256).cast("long").as("n_chunks"))
+      .orderBy(col("media_id"))
+
+  val q40Sql: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS mime,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS fingerprint,
+      |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_multimodal_meta" -> q40)
+
+  val oracle: Map[String, String] = Map(
+    "q40_multimodal_meta" -> q40Sql)
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Fns._
+
+/** Similarity search over the `embeddings` table (array<float> column):
+  * brute-force cosine top-k as the correctness baseline, LSH-bucketed
+  * search as the scale path, embedding-cosine near-dup detection.
+  *
+  * All dot products are sequential left-folds over array<double>
+  * (`aggregate(zip_with(...))`) — pure Catalyst, codegen'd, and the same
+  * evaluation order DuckDB's list functions use, so rounded values
+  * oracle-match. The float32 vectors are cast to double BEFORE any
+  * arithmetic (float math would diverge from DuckDB).
+  *
+  * Scale notes: brute-force is one broadcast of the query vectors + a
+  * map-side TakeOrderedAndProject per query — linear scan, no shuffle of
+  * the corpus; the LSH variant prunes the scan to matching sign-buckets.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity dot/(|a|·|b|), null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na =!= 0.0 && nb =!= 0.0, d / (na * nb))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+
+  // ── q36: embedding-cosine near-dup pairs, blocked on label (the
+  //        blocking key bounds the pairwise work: O(Σ block²), not O(n²);
+  //        at 100 TB the block key would be an LSH bucket or ANN cluster).
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b")),
+        Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label").cast("int").as("label"), col("id_a"), col("id_b"),
+        round4(cosine(col("v_a"), col("v_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q36Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v) * 10000) / 10000.0 AS cos_sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v) * 10000) / 10000.0 >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ── q37: brute-force cosine top-k — the single-query ANN baseline
+  //        (query vector broadcast; corpus scanned once; top-k via
+  //        TakeOrderedAndProject).
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  val q37Sql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_cosine_similarity(embedding::DOUBLE[], q.qv) * 10000) / 10000.0 AS cos_sim
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ── q39: batch k-NN — top-3 neighbors for each of the first 5 query
+  //        vectors; window top-k per query id.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val q39Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT qid, vec_id AS nn_id,
+      |    round(list_cosine_similarity(embedding::DOUBLE[], qv) * 10000) / 10000.0 AS cos_sim
+      |  FROM embeddings, q WHERE vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, nn_id, cos_sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nn_id) AS rn
+      |  FROM sims)
+      |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin
+
+  // ── LSH-bucketed ANN (scale path) ──────────────────────────────────────
+
+  /** Deterministic random hyperplanes (fixed seed), dim × NumPlanes. */
+  private val NumPlanes = 8
+  private val Dim = 64
+  private val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7171717L)
+    Array.fill(NumPlanes)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bucket id: bit j = (v · plane_j > 0). Vectors in the same bucket
+    * are cosine-close with high probability; search touches only the
+    * query's bucket (a 2^NumPlanes-way partition of the corpus).
+    */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val planeLit = array(planes(j).map(lit(_)): _*)
+      when(dot(v, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate k-NN: candidates restricted to the query's sign-bucket,
+    * then exact cosine + top-k within the bucket. Recall is probed against
+    * the q39 brute-force baseline in SimilaritySpec.
+    */
+  def annLsh(e: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val eb = e.withColumn("bucket", lshBucket(col("v")))
+    val qb = queries.withColumn("qbucket", lshBucket(col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    eb.join(broadcast(qb),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // q38: LSH ANN for the first 5 query vectors (rows-only: bucket
+  //      membership depends on the seeded hyperplanes, not expressible in
+  //      the DuckDB oracle; recall vs brute force is asserted in tests).
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    annLsh(e, q, 3).orderBy(col("qid"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_embedding_neardup" -> q36,
+    "q37_ann_bruteforce" -> q37,
+    "q38_ann_lsh" -> q38,
+    "q39_knn_batch" -> q39)
+
+  val oracle: Map[String, String] = Map(
+    "q36_embedding_neardup" -> q36Sql,
+    "q37_ann_bruteforce" -> q37Sql,
+    "q39_knn_batch" -> q39Sql)
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * LLM-data-pipeline surface, BASELINE.json): quality stats, language ID,
+  * token frequency, content fingerprinting. All pure Catalyst expressions —
+  * no UDFs, everything stays inside WholeStageCodegen; ratios are computed
+  * as exact-integer-sum divisions so they are bit-identical to DuckDB.
+  */
+object TextQueries {
+
+  /** Whitespace tokens as an array column (empty-safe). */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  // ── q28: per-language corpus quality stats — doc count, exact avg chars /
+  //        tokens, punctuation + stopword ratios from integer count sums.
+  def q28(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(
+        col("lang"), col("n_chars"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long").as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("n_chars")).as("avg_chars"),
+        avg(col("n_tokens")).as("avg_tokens"),
+        (sum(col("n_punct")) / sum(col("n_chars"))).as("punct_ratio"),
+        (sum(col("n_stop")) / sum(col("n_tokens"))).as("stopword_ratio"))
+      .orderBy(col("lang"))
+
+  val q28Sql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+      |    len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS n_stop
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  avg(n_chars) AS avg_chars,
+      |  avg(n_tokens) AS avg_tokens,
+      |  CAST(sum(n_punct) AS BIGINT) / CAST(sum(n_chars) AS BIGINT) AS punct_ratio,
+      |  CAST(sum(n_stop) AS BIGINT) / CAST(sum(n_tokens) AS BIGINT) AS stopword_ratio
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ── q29: n-gram/stopword-marker language ID — deterministic argmax over
+  //        per-language marker-hit counts with a fixed priority order;
+  //        confusion-matrix output (actual lang × predicted).
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val en = regexp_count(col("text"), lit("\\b(the|a|is|of)\\b"))
+    val de = regexp_count(col("text"), lit("\\b(der|die|und|ist)\\b"))
+    val es = regexp_count(col("text"), lit("\\b(el|los|es|y)\\b"))
+    val fr = regexp_count(col("text"), lit("\\b(le|les|est|et)\\b"))
+    val zh = regexp_count(col("text"), lit("的|是"))
+    documents(s, dir)
+      .withColumn("predicted",
+        when(en > 0 && en >= greatest(de, es, fr, zh), "en")
+          .when(de > 0 && de >= greatest(es, fr, zh), "de")
+          .when(es > 0 && es >= greatest(fr, zh), "es")
+          .when(fr > 0 && fr >= zh, "fr")
+          .when(zh > 0, "zh")
+          .otherwise("und"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q29Sql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '\b(the|a|is|of)\b')) AS s_en,
+      |    len(regexp_extract_all(text, '\b(der|die|und|ist)\b')) AS s_de,
+      |    len(regexp_extract_all(text, '\b(el|los|es|y)\b')) AS s_es,
+      |    len(regexp_extract_all(text, '\b(le|les|est|et)\b')) AS s_fr,
+      |    len(regexp_extract_all(text, '的|是')) AS s_zh
+      |  FROM documents),
+      |pred AS (
+      |  SELECT lang,
+      |    CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_de > 0 AND s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_es > 0 AND s_es >= greatest(s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+      |         WHEN s_zh > 0 THEN 'zh'
+      |         ELSE 'und' END AS predicted
+      |  FROM scored)
+      |SELECT lang, predicted, count(*) AS n_docs
+      |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ── q30: global token frequency top-20 (explode → hash agg →
+  //        TakeOrderedAndProject; at 100 TB the partial agg absorbs the
+  //        token skew before the single small shuffle).
+  def q30(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+
+  val q30Sql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ── q31: content fingerprinting — SHA-256 digest per document, distinct
+  //        fingerprints per source (the exact-dedup key at scale; the
+  //        digest shuffles instead of the full text).
+  def q31(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), sha2(col("text"), 256).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique_fp"))
+      .orderBy(col("source"))
+
+  val q31Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT sha256(text)) AS n_unique_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_text_stats" -> q28,
+    "q29_lang_id" -> q29,
+    "q30_token_topk" -> q30,
+    "q31_fingerprint" -> q31)
+
+  val oracle: Map[String, String] = Map(
+    "q28_text_stats" -> q28Sql,
+    "q29_lang_id" -> q29Sql,
+    "q30_token_topk" -> q30Sql,
+    "q31_fingerprint" -> q31Sql)
+}

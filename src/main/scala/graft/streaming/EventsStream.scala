@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice — the reference's open "real-time data
+  * processing" TODO (README.md:114) realized on the `events` table:
+  * directory parquet source → watermark → tumbling-window aggregation, and
+  * a stateful gap sessionizer (mapGroupsWithState).
+  *
+  * Scale notes: the windowed agg is partial-aggregated before the state
+  * store; state is keyed by (window, event_type) / user_id so it shards
+  * across executors; the watermark bounds state size.
+  */
+object EventsStream {
+
+  /** Read schema for the events parquet as a stream. ts arrives as
+    * TIMESTAMP(NANOS) which Spark reads (with nanosAsLong) as LongType;
+    * converted to µs TimestampType exactly as graft.Tables.events does.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed rollup with a 2-hour watermark — the
+    * streaming form of batch q24 (graft.ops.Events). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Evt(event_id: Long, ts: Long, user_id: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Int)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+      n_events: Int, duration_us: Long)
+
+  /** Stateful gap sessionizer (30-min inactivity): emits CLOSED sessions;
+    * the open tail session stays in state. Events within a micro-batch are
+    * buffered and sorted per key (the iterator order is not guaranteed).
+    * Streaming counterpart of batch q23 (graft.ops.Windows) — equivalence
+    * asserted in StreamingSpec.
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30)(
+      implicit enc: org.apache.spark.sql.Encoder[ClosedSession],
+      senc: org.apache.spark.sql.Encoder[SessionState])
+      : Dataset[ClosedSession] = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Evt], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            cur match {
+              case Some(ss) if e.ts - ss.lastUs <= gapUs =>
+                cur = Some(ss.copy(lastUs = e.ts, nEvents = ss.nEvents + 1))
+              case Some(ss) =>
+                closed += ClosedSession(userId, ss.startUs, ss.nEvents,
+                  ss.lastUs - ss.startUs)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup (J=7/9)
+    (4L, "one two three four five six seven eight"),
+    (5L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val kept = Dedup.exactDedupIds(planted, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccardPairs computes exact token-set jaccard") {
+    val pairs = Dedup.jaccardPairs(planted, "text", "doc_id")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L)) - 7.0 / 9.0) < 1e-12)
+    assert(!pairs.contains((4L, 5L))) // no shared tokens → no pair
+  }
+
+  test("minhash finds planted exact and near dups; skips unrelated docs") {
+    val cand = Dedup.minhashCandidates(planted, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cand((1L, 2L)) == 1.0, "exact dup must have est 1.0")
+    assert(cand((1L, 3L)) > 0.5, "near dup must score high")
+    assert(!cand.contains((4L, 5L)))
+  }
+
+  test("minhashDedupIds drops only the high-id member of sure-dup pairs") {
+    val kept = Dedup.minhashDedupIds(planted, "text", "doc_id", threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash recall vs exact jaccard oracle on the fixture block") {
+    val block = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(block, "text", "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashCandidates(block, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.9, f"minhash recall $recall%.3f below 0.9")
+    }
+  }
+
+  test("shingles: n-gram windows; short texts fall back to whole text") {
+    val sh = Seq((1L, "a b c d"), (2L, "x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("x y"))
+  }
+
+  test("simhash: identical texts share hash; hamming pairs found") {
+    val sh = Dedup.simhash(planted, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Dedup.simhashPairs(planted, "text", "doc_id", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.Pipeline
+
+/** End-to-end DAG parity on a synthesized raw flight frame (semantics of
+  * dags/flight_data_pipeline.py; expectations hand-computed). */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val raw = Seq(
+    // FL_DATE, carrier, fl_num, origin, dest, crs_dep, dep, crs_arr, arr
+    ("2024-01-01", "AA", 100, "jfk", "lax", "0900", "0930.0", "1200", "1216.0"),
+    ("2024-01-01", "AA", 101, "JFK", "SFO", "1000", "1005.0", "1300", "1304.0"),
+    ("2024-01-02", "DL", 200, "dtw", "jfk", "0800", null, "1100", null))
+    .toDF("FL_DATE", "OP_CARRIER", "OP_CARRIER_FL_NUM", "ORIGIN", "DEST",
+      "CRS_DEP_TIME", "DEP_TIME", "CRS_ARR_TIME", "ARR_TIME")
+
+  test("full DAG run: ingest→process→metrics with hand-computed values") {
+    val out = Pipeline.run(spark, raw)
+
+    val flights = out.flights.collect()
+    assert(flights.length == 3)
+    assert(out.flights.columns.contains("flight_status"))
+    assert(out.flights.select("origin").collect().map(_.getString(0)).toSet ==
+      Set("JFK", "DTW"))
+
+    val perf = out.performanceMetrics.collect()
+      .map(r => r.getString(0) -> r).toMap
+    // AA: 2 flights, delays 30 and 5 → avg 17.5, 1 delayed, pct 50
+    assert(perf("AA").getLong(1) == 2)
+    assert(perf("AA").getDouble(2) == 17.5)
+    assert(perf("AA").getLong(4) == 1)
+    assert(perf("AA").getDouble(6) == 50.0)
+    // DL: null delays → null avg, status falls back to On Time → pct 100
+    assert(perf("DL").getLong(1) == 1)
+    assert(perf("DL").isNullAt(2))
+    assert(perf("DL").getDouble(6) == 100.0)
+
+    val api = out.apiMetrics.head()
+    assert(api.getLong(0) == 3)       // total flights
+    assert(api.getLong(1) == 1)       // delayed
+    assert(api.getDouble(3) == 66.67) // 2/3 on time, round2
+    assert(api.getString(4) == "Needs Improvement")
+
+    val routes = out.routeAnalysis.collect()
+    assert(routes.length == 3) // three distinct uppercase routes
+  }
+
+  test("validation gate rejects a frame missing required columns") {
+    val bad = Seq(("x")).toDF("whatever")
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, bad.withColumnRenamed("whatever", "FL_DATE"))
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: hand-checked values and zero-norm null") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal → 0
+      (Array(1.0, 2.0), Array(2.0, 4.0)),   // parallel → 1
+      (Array(1.0, 0.0), Array(-1.0, 0.0)),  // opposite → -1
+      (Array(0.0, 0.0), Array(1.0, 1.0)))   // zero norm → null
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val out = df.collect()
+    assert(math.abs(out(0).getDouble(0)) < 1e-12)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(0) + 1.0) < 1e-12)
+    assert(out(3).isNullAt(0))
+  }
+
+  test("brute-force top-k is ordered and self-excluded") {
+    val rows = Similarity.q37(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("LSH ANN: reported sims equal brute-force cosine for those pairs") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val brute = e.select(col("vec_id").as("id2"), col("v").as("v2"))
+    val lsh = Similarity.q38(spark, sfDir)
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(brute, col("nn_id") === col("id2"))
+      .select(col("qid"), col("nn_id"), col("cos_sim"),
+        graft.Fns.round4(Similarity.cosine(col("qv"), col("v2"))).as("expected"))
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"LSH sim mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("LSH ANN candidates share the query's sign bucket") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("bucket", Similarity.lshBucket(col("v")))
+      .select(col("vec_id"), col("bucket"))
+    val buckets = e.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.q38(spark, sfDir).collect().foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)))
+    }
+  }
+}

@@ -22,18 +22,25 @@ import graft.Fns._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns (composable
+    * built-in form; interpreted HOFs — see CosineSim for the fused codegen
+    * path used in the hot queries). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity dot/(|a|·|b|), null when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Built-in-composed cosine: dot/(|a|·|b|), null when either norm is 0.
+    * Kept as the reference implementation; bit-identical to CosineSim. */
+  def cosineBuiltin(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = sqrt(dot(a, a))
     val nb = sqrt(dot(b, b))
     when(na =!= 0.0 && nb =!= 0.0, d / (na * nb))
       .otherwise(lit(null).cast("double"))
   }
+
+  /** Cosine similarity — native codegen expression (hot path). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)

@@ -21,6 +21,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(3).isNullAt(0))
   }
 
+  test("CosineSim codegen expression is bit-identical to the built-in fold") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .limit(40).cache()
+    val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("v").as("vb")))
+    val diff = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("fused"),
+        Similarity.cosineBuiltin(col("va"), col("vb")).as("composed"))
+      .filter(not(col("fused") <=> col("composed")))
+      .count()
+    assert(diff == 0, "codegen and built-in cosine must agree bit-for-bit")
+  }
+
   test("brute-force top-k is ordered and self-excluded") {
     val rows = Similarity.q37(spark, sfDir).collect()
     assert(rows.length == 10)

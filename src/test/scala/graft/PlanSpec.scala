@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan property assertions — the scale contract (SURVEY.md §4):
+  * filters/projections reach the parquet scan, top-k never full-sorts,
+  * bounded dims broadcast, existence checks stay semi/anti. A regression
+  * here is a performance bug even while results stay correct. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q01: ship-date filter and column pruning reach the parquet scan") {
+    val p = plan(graft.ops.RefQueries.q01(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "q01 must not read unused columns")
+  }
+
+  test("q04/q06: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p4 = plan(graft.ops.RefQueries.q04(spark, sfDir))
+    assert(p4.contains("TakeOrderedAndProject"), p4)
+    val p6 = plan(graft.ops.RefQueries.q06(spark, sfDir))
+    assert(p6.contains("TakeOrderedAndProject"), p6)
+  }
+
+  test("q08: pagination pushes date range + status into the scan and takes top-100") {
+    val p = plan(graft.ops.RefQueries.q08(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(o_orderstatus,O)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q16/q20: dimension joins broadcast") {
+    val p16 = plan(graft.ops.Joins.q16(spark, sfDir))
+    assert(p16.contains("BroadcastHashJoin"), p16)
+    val p20 = plan(graft.ops.Joins.q20(spark, sfDir))
+    assert(p20.split("BroadcastHashJoin").length >= 4,
+      "q20 star join must broadcast the three dim edges\n" + p20)
+  }
+
+  test("q18/q19: existence checks stay semi/anti joins") {
+    assert(plan(graft.ops.Joins.q18(spark, sfDir)).contains("LeftSemi"))
+    assert(plan(graft.ops.Joins.q19(spark, sfDir)).contains("LeftAnti"))
+  }
+
+  test("q11: pure projection plans with no hash shuffle, only the output range sort") {
+    val p = plan(graft.ops.RefQueries.q11(spark, sfDir))
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q37: brute-force ANN broadcasts the query vector, scans corpus once") {
+    val p = plan(graft.operators.Similarity.q37(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Source/sink surface (SURVEY.md §2.1 S1–S9): CSV, JSON (incl. the
+  * reference's nested weather document), directory/glob ingestion with
+  * provenance, parquet (primary format), JDBC, and the alert hook.
+  *
+  * Engine rules: schemas are always explicit on the read path (the
+  * reference re-infers on every read — SURVEY.md §1.3 maps that to
+  * deterministic declared StructTypes); parquet is the at-rest format;
+  * CSV/JSON are compatibility sources.
+  */
+object Sources {
+
+  // ── S1: CSV scan — explicit schema, header row
+  //        (data_ingestion/ingest.py:311). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  // ── S2: CSV sink. The reference writes ONE csv per stage
+  //        (ingest.py:337); single-file output is a deliberate driver-side
+  //        funnel — only for small exports, never for fact data (use
+  //        writeParquet). */
+  def writeCsvSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  // ── S3: JSON scan — multiLine document or JSONL; corrupt records
+  //        retained for the V5 gate (ingest.py:96-100). */
+  def readJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None, multiLine: Boolean = true): DataFrame = {
+    val r = spark.read
+      .option("multiLine", multiLine.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** Weather document → relational station rows — the reference ingested
+    * this shape but never joined it (data/raw/weather_data.json,
+    * ingest.py:144-152); explode makes it joinable on station id. */
+  def explodeWeather(weather: DataFrame): DataFrame =
+    weather.select(explode(col("stations")).as("s"))
+      .select(col("s.id").as("station_id"),
+        col("s.temperature").as("temperature"),
+        col("s.conditions").as("conditions"))
+
+  // ── S4: JSON sink (nested metric documents,
+  //        dags/flight_data_pipeline.py:176-177). */
+  def writeJsonSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Small aggregate → one nested JSON document column (metric-document
+    * shape without leaving the engine). */
+  def toJsonDocument(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("doc"))
+
+  // ── S7: directory/glob source with per-row provenance — the SFTP
+  //        "download dir then validate each file" flow (ingest.py:161-288)
+  //        as a distributed scan; file-level validation becomes a groupBy
+  //        on source_file. Streaming-ready: the same path works under
+  //        readStream for continuous ingestion. */
+  def readCsvDir(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    readCsv(spark, glob, schema).withColumn("source_file", input_file_name())
+
+  /** Per-file validation rollup (ingest.py:254-288 semantics): row count +
+    * null violations per ingested file in one pass. */
+  def perFileStats(df: DataFrame, criticalCols: Seq[String]): DataFrame =
+    df.groupBy(col("source_file"))
+      .agg(count(lit(1)).as("n_rows"),
+        criticalCols.map(c =>
+          count(when(col(c).isNull, 1)).as(s"null_$c")): _*)
+
+  // ── S8: parquet — the primary at-rest format; partitioned layout is the
+  //        100 TB default (partition pruning on the date key). */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  // ── S5/S6: JDBC sink/scan — the "load_to_postgres" boundary
+  //        (dags/flight_data_pipeline.py:78-122) as batched df.write.jdbc
+  //        instead of a row-tuple INSERT loop. No database exists in this
+  //        container: wrappers carry the production batching config and are
+  //        exercised only for argument plumbing. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 10000): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  def readJdbc(spark: SparkSession, url: String, query: String,
+      props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, s"($query) AS q", props)
+
+  // ── S9: alert hook — the reference emails on validation failure
+  //        (ingest.py:34-61); engine-side this is a QueryExecutionListener
+  //        invoking a callback on failed actions. */
+  def registerAlertListener(spark: SparkSession)(
+      alert: (String, Throwable) => Unit): QueryExecutionListener = {
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = ()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = alert(funcName, exception)
+    }
+    spark.listenerManager.register(l)
+    l
+  }
+}

@@ -14,5 +14,5 @@ object CosineSim {
   /** SQL-level registration: SELECT cosine_sim(a, b) FROM ... */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "builtin")
+      "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
 }

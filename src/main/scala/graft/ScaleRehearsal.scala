@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: replicate the sf0.1 fixtures ~10× (≈ sf1: 6M lineitem
+  * rows) with shifted keys, then time the headline queries against the
+  * bigger data. Purpose: observe that the plan shapes PLANS.md argues for
+  * actually hold when the data outgrows broadcast thresholds and single
+  * partitions — AQE join-strategy changes, shuffle sizes, top-k behavior —
+  * before a real cluster ever sees the code.
+  *
+  *   runMain graft.ScaleRehearsal [replicas] [workDir]
+  *
+  * Writes nothing outside workDir (default /tmp/graft_sfx).
+  */
+object ScaleRehearsal {
+
+  def replicate(df: DataFrame, replicas: Int, shifts: Map[String, Long]): DataFrame = {
+    val r = df.sparkSession.range(replicas.toLong).select(col("id").as("_rep"))
+    val crossed = df.crossJoin(r)
+    shifts.foldLeft(crossed) { case (d, (c, base)) =>
+      d.withColumn(c, col(c) + col("_rep") * base)
+    }.drop("_rep")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.length > 0) args(0).toInt else 10
+    val work = if (args.length > 1) args(1) else "/tmp/graft_sfx"
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // raw events read during generation carries TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val K = 100000000L // key shift per replica
+    val done = new java.io.File(s"$work/_DONE")
+    if (!done.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      def w(name: String, df: DataFrame): Unit =
+        df.write.mode(SaveMode.Overwrite).parquet(s"$work/$name.parquet")
+      w("lineitem", replicate(Tables.lineitem(spark, src), replicas,
+        Map("l_orderkey" -> K)))
+      w("orders", replicate(Tables.orders(spark, src), replicas,
+        Map("o_orderkey" -> K, "o_custkey" -> K)))
+      w("customer", replicate(Tables.customer(spark, src), replicas,
+        Map("c_custkey" -> K)))
+      w("embeddings", replicate(Tables.embeddings(spark, src), replicas,
+        Map("vec_id" -> K)))
+      // events: shift ids; ts stays (heavier per-window volume is the point)
+      w("events", replicate(
+        spark.read.parquet(s"$src/events.parquet"), replicas,
+        Map("event_id" -> K, "user_id" -> 1000L)))
+      Seq("region", "nation", "supplier", "part", "documents").foreach(t =>
+        w(t, Tables.table(spark, src, t)))
+      done.createNewFile()
+      println(s"generated ${replicas}x fixtures in $work")
+    }
+
+    val headline = Seq("q01_pricing_summary", "q04_top_routes",
+      "q07_airports_distinct", "q17_join_fact", "q20_join_star",
+      "q22_window_running", "q23_sessionize", "q24_events_hourly",
+      "q36_embedding_neardup", "q37_ann_bruteforce")
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val times = headline.map { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, work).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-24s $dt%7.2f s   ($n rows)")
+      name -> dt
+    }
+    println(f"TOTAL ${times.map(_._2).sum}%.1f s over ${headline.size} queries at ~${replicas}x sf0.1")
+    spark.stop()
+  }
+}

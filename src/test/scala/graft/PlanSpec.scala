@@ -51,6 +51,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q17 degrades to sort-merge join when broadcast is unavailable (100 TB shape)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan(graft.ops.Joins.q17(spark, sfDir))
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set(key, old)
+  }
+
   test("q37: brute-force ANN broadcasts the query vector, scans corpus once") {
     val p = plan(graft.operators.Similarity.q37(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -248,11 +248,57 @@ object Dedup {
   def q35(s: SparkSession, dir: String): DataFrame =
     simhash(documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))
 
+  // ── winnowing (rolling-hash fingerprints) ──────────────────────────────
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    * every k-char gram, take the minimum hash per sliding window of w
+    * grams, dedupe — a position-robust fingerprint set whose size is
+    * ~2/(w+1) of the text. Pure Catalyst (transform/sequence/slice over
+    * substring hashes): no UDF, no shuffle until the final explode.
+    */
+  def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val nGrams = greatest(length(col(textCol)) - (k - 1), lit(0))
+    val grams = transform(sequence(lit(1), nGrams),
+      i => xxhash64(col(textCol).substr(i, lit(k))))
+    val nWin = greatest(nGrams - (w - 1), lit(0))
+    val mins = transform(sequence(lit(0), nWin - 1),
+      j => array_min(slice(grams, j + 1, lit(w))))
+    docs.select(col(idCol).as("doc_id"),
+        when(nGrams === 0, array().cast("array<bigint>"))
+          .otherwise(when(nWin === 0, array(array_min(grams)))
+            .otherwise(array_distinct(mins))).as("fingerprints"))
+  }
+
+  /** Fingerprint-overlap near-dup pairs: docs sharing ≥ minShared winnowed
+    * fingerprints (equi-join on fingerprint → same scale shape as MinHash
+    * bands). */
+  def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
+      minShared: Long = 3): DataFrame = {
+    val fp = winnowingFingerprints(docs, textCol, idCol)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      .distinct()
+    fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
+  // q42: winnowed fingerprint count + sample per doc (rows-only —
+  //      xxhash64-based).
+  def q42(s: SparkSession, dir: String): DataFrame =
+    winnowingFingerprints(documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
+        array_min(col("fingerprints")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
     "q34_dedup_minhash" -> q34,
-    "q35_simhash" -> q35)
+    "q35_simhash" -> q35,
+    "q42_winnowing" -> q42)
 
   val oracle: Map[String, String] = Map(
     "q32_dedup_exact" -> q32Sql,

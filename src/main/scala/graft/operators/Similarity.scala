@@ -154,6 +154,49 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF-style ANN: coarse quantization by per-label centroid (labels act
+    * as the inverted lists; on a real corpus these come from k-means over a
+    * sample). Query probes the `nprobe` nearest centroids, then searches
+    * only those lists — scan cost drops from O(n) to O(n·nprobe/lists).
+    * Centroids are tiny (lists × dim) and broadcast.
+    */
+  def annIvf(e: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    // centroid per list: element-wise mean via posexplode + re-assemble
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("label").as("c_label"),
+        transform(col("im"), s => s.getField("m")).as("centroid"))
+    // probe: nprobe closest centroids per query
+    val wq = Window.partitionBy(col("qid")).orderBy(desc("c_sim"), col("c_label"))
+    val probed = queries.join(broadcast(cent),
+        cosine(col("qv"), col("centroid")).isNotNull)
+      .select(col("qid"), col("qv"), col("c_label"),
+        cosine(col("qv"), col("centroid")).as("c_sim"))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qv"), col("c_label"))
+    // exact search within the probed lists only
+    val wk = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    e.join(broadcast(probed),
+        col("label") === col("c_label") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wk).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // q41: IVF ANN for the first 5 query vectors (rows-only: centroid means
+  //      aren't bit-reproducible in the oracle; within-list cosines are
+  //      verified against brute force in SimilaritySpec).
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    annIvf(e, q, k = 3).orderBy(col("qid"), col("rn"))
+  }
+
   // q38: LSH ANN for the first 5 query vectors (rows-only: bucket
   //      membership depends on the seeded hyperplanes, not expressible in
   //      the DuckDB oracle; recall vs brute force is asserted in tests).
@@ -168,7 +211,8 @@ object Similarity {
     "q36_embedding_neardup" -> q36,
     "q37_ann_bruteforce" -> q37,
     "q38_ann_lsh" -> q38,
-    "q39_knn_batch" -> q39)
+    "q39_knn_batch" -> q39,
+    "q41_ann_ivf" -> q41)
 
   val oracle: Map[String, String] = Map(
     "q36_embedding_neardup" -> q36Sql,

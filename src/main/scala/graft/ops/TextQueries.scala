@@ -16,13 +16,20 @@ object TextQueries {
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
+  /** BPE-ish subword pattern: runs of ≤4 alphanumerics, digit runs, or a
+    * single non-space symbol — a cheap stand-in for a BPE tokenizer's piece
+    * count (same regex in Java and RE2, so DuckDB oracles it). */
+  val SubtokenPattern = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"
+
   // ── q28: per-language corpus quality stats — doc count, exact avg chars /
-  //        tokens, punctuation + stopword ratios from integer count sums.
+  //        tokens / BPE-ish subtokens, punctuation + stopword ratios from
+  //        integer count sums.
   def q28(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(
         col("lang"), col("n_chars"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit(SubtokenPattern)).cast("long").as("n_subtokens"),
         regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("n_punct"),
         regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long").as("n_stop"))
       .groupBy(col("lang"))
@@ -30,6 +37,7 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         avg(col("n_chars")).as("avg_chars"),
         avg(col("n_tokens")).as("avg_tokens"),
+        avg(col("n_subtokens")).as("avg_subtokens"),
         (sum(col("n_punct")) / sum(col("n_chars"))).as("punct_ratio"),
         (sum(col("n_stop")) / sum(col("n_tokens"))).as("stopword_ratio"))
       .orderBy(col("lang"))
@@ -38,12 +46,14 @@ object TextQueries {
     """WITH d AS (
       |  SELECT lang, n_chars,
       |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS n_subtokens,
       |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
       |    len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS n_stop
       |  FROM documents)
       |SELECT lang, count(*) AS n_docs,
       |  avg(n_chars) AS avg_chars,
       |  avg(n_tokens) AS avg_tokens,
+      |  avg(n_subtokens) AS avg_subtokens,
       |  CAST(sum(n_punct) AS BIGINT) / CAST(sum(n_chars) AS BIGINT) AS punct_ratio,
       |  CAST(sum(n_stop) AS BIGINT) / CAST(sum(n_tokens) AS BIGINT) AS stopword_ratio
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin

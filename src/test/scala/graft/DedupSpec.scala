@@ -68,6 +68,28 @@ class DedupSpec extends SparkTestBase {
     assert(sh(2L) == Seq("x y"))
   }
 
+  test("winnowing: identical texts share fingerprints; dup pair detected") {
+    val fps = Dedup.winnowingFingerprints(planted, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L), "identical docs must fingerprint identically")
+    assert(fps(1L).nonEmpty)
+    assert(fps(1L) != fps(4L))
+    val pairs = Dedup.winnowingPairs(planted, "text", "doc_id", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("winnowing: short-text fallbacks (under k chars / under one window)") {
+    val tiny = Seq((1L, "abc"), (2L, "exactly11ch"), (3L, ""))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(tiny, "text", "doc_id", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty)        // shorter than k → no grams
+    assert(fps(2L).length == 1)    // grams < window → single min
+    assert(fps(3L).isEmpty)
+  }
+
   test("simhash: identical texts share hash; hamming pairs found") {
     val sh = Dedup.simhash(planted, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -60,6 +60,27 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN with nprobe=all lists equals brute-force kNN exactly") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ivf = Similarity.annIvf(e, q, k = 3, nprobe = 10)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.toSeq == brute.toSeq,
+      "probing every list must reduce IVF to exact kNN")
+  }
+
+  test("IVF ANN with nprobe=2 returns exact cosines from probed lists") {
+    val rows = Similarity.q41(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    assert(rows.map(r => (r.getLong(0), r.getLong(3))).distinct.length == rows.length)
+  }
+
   test("LSH ANN candidates share the query's sign bucket") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -19,6 +19,12 @@ object Cleaning {
       .otherwise(concat(substring(t, 1, 2), lit(":"), substring(t, 3, 2)))
   }
 
+  /** X3: parse the raw BTS FL_DATE format `M/d/yyyy hh:mm:ss a`
+    * (e.g. "1/1/2024 12:00:00 AM" — data/raw/flight_data.csv:2;
+    * parsed at data_processing/process.py:37) to DateType. */
+  def parseFlightDate(c: Column): Column =
+    to_date(to_timestamp(c, "M/d/yyyy hh:mm:ss a"))
+
   /** P1 project+rename: select a column subset with new names
     * (data_ingestion/ingest.py:314-333). */
   def projectRename(df: DataFrame, mapping: Seq[(String, String)]): DataFrame =

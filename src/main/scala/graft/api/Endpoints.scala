@@ -48,12 +48,13 @@ object Endpoints {
     FlightsResponse(page.rows, page.total, page.rows.length, page.nextCursor)
   }
 
-  /** GET /api/metrics (api/app.py:183-289): one wide aggregate + two
-    * top-k sub-queries over one filtered, cached frame. */
+  /** GET /api/metrics (api/app.py:183-289): one wide single-pass
+    * aggregate. Callers serving metrics + topRoutes together should cache
+    * the filtered frame themselves (and unpersist) — the engine never
+    * leaks a cache from a single endpoint call. */
   def metrics(df: DataFrame, dateCol: String, delayCol: String,
-      originCol: String, destCol: String, delayThreshold: Double): DataFrame = {
-    val cached = df.cache()
-    val summary = cached.agg(
+      originCol: String, destCol: String, delayThreshold: Double): DataFrame =
+    df.agg(
       count(lit(1)).as("total_flights"),
       (round(count(when(col(delayCol) > delayThreshold, 1)) / count(lit(1)) * 100 * 100) / 100.0)
         .as("delay_rate"),
@@ -61,8 +62,6 @@ object Endpoints {
       max(col(delayCol)).as("max_delay"),
       min(col(dateCol)).as("first_date"),
       max(col(dateCol)).as("last_date"))
-    summary
-  }
 
   /** Top routes fragment of /api/metrics (api/app.py:246-248): X16 route
     * key + A6 group + O3 top-5. */

@@ -9,8 +9,12 @@ import org.apache.spark.sql.execution.FormattedMode
   * here is a performance bug even while results stay correct. */
 class PlanSpec extends SparkTestBase {
 
-  private def plan(df: DataFrame): String =
+  private def plan(df: DataFrame): String = {
+    // other suites may have cached overlapping frames; plan assertions are
+    // about the cold parquet path
+    spark.catalog.clearCache()
     df.queryExecution.explainString(FormattedMode)
+  }
 
   test("q01: ship-date filter and column pruning reach the parquet scan") {
     val p = plan(graft.ops.RefQueries.q01(spark, sfDir))

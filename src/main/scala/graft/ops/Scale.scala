@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns that exist as reusable operators rather than inline query
+  * tricks: key-salting for skewed aggregation, bucketed tables for
+  * co-located (shuffle-free) joins, and sketch-based distinct counting.
+  * Each has an equivalence/plan test in ScaleSpec; PLANS.md discusses when
+  * to reach for which.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation: count/sum-like aggregates over a
+    * heavily skewed key. Stage 1 aggregates on (key, salt) — the hot key's
+    * rows spread over `buckets` reducers — stage 2 merges the partials.
+    * Results are identical to a direct groupBy (sums of counts/cents are
+    * order-independent); only the shuffle distribution changes.
+    */
+  def saltedCount(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_partial")).as("n"))
+
+  /** Salted sum of exact integer cents (see graft.Fns): skew-safe AND
+    * bit-identical to the unsalted sum. */
+  def saltedSumMoney(df: DataFrame, keyCol: String, valueCol: String,
+      buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(round(col(valueCol) * 100)).as("_partial_cents"))
+      .groupBy(col(keyCol))
+      .agg((sum(col("_partial_cents")) / 100.0).as("total"))
+
+  /** Write a table bucketed (and sorted) by its join key. Two tables
+    * bucketed the same way join with ZERO shuffle — the scan itself
+    * satisfies the join's distribution requirement. This is the 100 TB
+    * answer to repeated fact⋈fact joins on a stable key.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on the bucket key (shuffle-free —
+    * asserted in ScaleSpec). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+
+  /** A10 at scale: sketch-based distinct count (HLL++). rsd=0.02 ⇒ ~2%
+    * error with KiB-sized state per group instead of a distinct shuffle. */
+  def approxDistinct(df: DataFrame, col_ : String, rsd: Double = 0.02): DataFrame =
+    df.agg(approx_count_distinct(col(col_), rsd).as("approx_distinct"))
+}

@@ -53,20 +53,26 @@ object Dedup {
     * every pair looks similar); the fixture queries use n = 1 because the
     * synthetic corpus has a ~40-word vocabulary and its true duplicates
     * are token-set duplicates. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
+
+  /** Shingle windows over an ALREADY-MATERIALIZED token array column.
+    * Callers on hot paths must stage the token array as a real column
+    * first — passing a computed expression here makes the lambda re-derive
+    * it once per window (the nested-HOF O(n²) trap; see
+    * winnowingFingerprints). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     if (n <= 1) toks
     else when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 
-  /** Distinct (id, shingle) pairs. */
+  /** Distinct (id, shingle) pairs; token array staged before windowing. */
   private def distinctTokens(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), gram)).as("t"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
       .distinct()
 
   /** Exact token-set Jaccard over all pairs sharing ≥1 token. O(pairs) —
@@ -258,16 +264,25 @@ object Dedup {
     */
   def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val nGrams = greatest(length(col(textCol)) - (k - 1), lit(0))
-    val grams = transform(sequence(lit(1), nGrams),
-      i => xxhash64(col(textCol).substr(i, lit(k))))
-    val nWin = greatest(nGrams - (w - 1), lit(0))
-    val mins = transform(sequence(lit(0), nWin - 1),
-      j => array_min(slice(grams, j + 1, lit(w))))
-    docs.select(col(idCol).as("doc_id"),
-        when(nGrams === 0, array().cast("array<bigint>"))
-          .otherwise(when(nWin === 0, array(array_min(grams)))
-            .otherwise(array_distinct(mins))).as("fingerprints"))
+    // Stage 1 materializes the gram-hash array as a column: a nested
+    // transform(grams-expr) would re-evaluate ALL gram hashes once per
+    // window (O(n²) hashing per doc — observed 15+ min on sf0.1).
+    val nGrams = length(col(textCol)) - (k - 1)
+    // guard: sequence(1, n) DESCENDS for n < 1 — an empty text would
+    // otherwise fabricate grams
+    val grams = when(nGrams < 1, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), nGrams),
+        i => xxhash64(col(textCol).substr(i, lit(k)))))
+    val staged = docs.select(col(idCol).as("doc_id"), grams.as("_grams"))
+    val nG = size(col("_grams"))
+    val nWin = greatest(nG - (w - 1), lit(0))
+    val mins = when(nWin < 1, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), nWin - 1),
+        j => array_min(slice(col("_grams"), j + 1, lit(w)))))
+    staged.select(col("doc_id"),
+      when(nG === 0, array().cast("array<bigint>"))
+        .otherwise(when(nWin === 0, array(array_min(col("_grams"))))
+          .otherwise(array_distinct(mins))).as("fingerprints"))
   }
 
   /** Fingerprint-overlap near-dup pairs: docs sharing ≥ minShared winnowed
@@ -286,9 +301,12 @@ object Dedup {
   }
 
   // q42: winnowed fingerprint count + sample per doc (rows-only —
-  //      xxhash64-based).
+  //      xxhash64-based). The corpus arrives as one parquet split;
+  //      repartition first so the hash-heavy map runs on all cores (the
+  //      general rule for compute-bound narrow stages over few splits).
   def q42(s: SparkSession, dir: String): DataFrame =
-    winnowingFingerprints(documents(s, dir), "text", "doc_id")
+    winnowingFingerprints(documents(s, dir).repartition(col("doc_id")),
+        "text", "doc_id")
       .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
         array_min(col("fingerprints")).as("min_fp"))
       .orderBy(col("doc_id"))

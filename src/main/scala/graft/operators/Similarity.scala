@@ -118,6 +118,23 @@ object Similarity {
       |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin
 
+  /** Embedding-cosine near-dup dedup: keep the lowest vec_id within each
+    * group of block-mates whose cosine ≥ threshold (keep-first, like
+    * Dedup.minhashDedupIds). blockCol bounds the pairwise work — at scale
+    * pass an LSH bucket / IVF cluster id, not a fixed-cardinality label.
+    */
+  def cosineDedupIds(e: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val drops = e.select(col("vec_id").as("id_a"), col(blockCol).as("_blk"),
+        col("v").as("v_a"))
+      .join(e.select(col("vec_id").as("id_b"), col(blockCol).as("_blk"),
+        col("v").as("v_b")), Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round4(cosine(col("v_a"), col("v_b"))) >= threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    e.join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"))
+  }
+
   // ── LSH-bucketed ANN (scale path) ──────────────────────────────────────
 
   /** Deterministic random hyperplanes (fixed seed), dim × NumPlanes. */

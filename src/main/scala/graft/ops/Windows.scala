@@ -106,13 +106,48 @@ object Windows {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ── q43: native session_window operator — the Spark-first form of q23's
+  //        manual lag/cumsum sessionizer (and the one that also works under
+  //        Structured Streaming with watermark-bounded state). Session
+  //        bounds: start = first event, end = last event + gap. Oracled by
+  //        the same gap-walk SQL as q23.
+  def q43(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end_w"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q43Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end_w,
+      |  count(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_window_topn" -> q21,
     "q22_window_running" -> q22,
-    "q23_sessionize" -> q23)
+    "q23_sessionize" -> q23,
+    "q43_session_window" -> q43)
 
   val oracle: Map[String, String] = Map(
     "q21_window_topn" -> q21Sql,
     "q22_window_running" -> q22Sql,
-    "q23_sessionize" -> q23Sql)
+    "q23_sessionize" -> q23Sql,
+    "q43_session_window" -> q43Sql)
 }

@@ -81,6 +81,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(3))).distinct.length == rows.length)
   }
 
+  test("cosineDedupIds: drops exactly the higher-id member of near-dup pairs") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val kept = Similarity.cosineDedupIds(e, "label", threshold = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.q36(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val expectedDropped = pairs.map(_._2)
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- expectedDropped)
+  }
+
   test("LSH ANN candidates share the query's sign bucket") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -3,15 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.CosineSimExpr
+import org.apache.spark.sql.graft.{CosineSimExpr, TopKPerKeyStrategy}
 
 /** SparkSessionExtensions entry point — wire the engine's native functions
-  * into any session via config, so SQL users get them cluster-wide:
+  * and operators into any session via config, so SQL users get them
+  * cluster-wide:
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
   * (or programmatically `.withExtensions(new GraftExtensions)`).
-  * Currently registers `cosine_sim(array<double>, array<double>)`.
+  * Registers `cosine_sim(array<double>, array<double>)` and the
+  * TopKPerKey planner strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -19,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -139,15 +139,37 @@ object Windows {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ── q44: the q21 grouped top-n via the custom TopKPerKey operator
+  //        (logical node + strategy + bounded-heap exec,
+  //        org.apache.spark.sql.graft.TopKPerKey) — no per-partition sort,
+  //        no Window; oracled by the same row_number SQL as q21.
+  def q44(s: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey.of(orders(s, dir),
+        keys = Seq("o_orderpriority"),
+        orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), desc("o_totalprice"), col("o_orderkey"))
+
+  val q44Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_window_topn" -> q21,
     "q22_window_running" -> q22,
     "q23_sessionize" -> q23,
-    "q43_session_window" -> q43)
+    "q43_session_window" -> q43,
+    "q44_topk_custom" -> q44)
 
   val oracle: Map[String, String] = Map(
     "q21_window_topn" -> q21Sql,
     "q22_window_running" -> q22Sql,
     "q23_sessionize" -> q23Sql,
-    "q43_session_window" -> q43Sql)
+    "q43_session_window" -> q43Sql,
+    "q44_topk_custom" -> q44Sql)
 }

@@ -64,6 +64,7 @@ object ScaleRehearsal {
 
     val headline = Seq("q01_pricing_summary", "q04_top_routes",
       "q07_airports_distinct", "q17_join_fact", "q20_join_star",
+      "q21_window_topn", "q44_topk_custom",
       "q22_window_running", "q23_sessionize", "q24_events_hourly",
       "q36_embedding_neardup", "q37_ann_bruteforce")
     // warmup

@@ -134,15 +134,48 @@ object TextQueries {
       |  count(DISTINCT sha256(text)) AS n_unique_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ── q45: per-document quality score + keep/drop decision — the
+  //        training-data filter stage: weighted blend of length, token
+  //        count, and stopword signals, deterministic arithmetic only
+  //        (divisions of exact ints → bit-identical in DuckDB).
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long")
+    val score =
+      least(col("n_chars") / 500.0, lit(1.0)) * 0.5 +
+        least(nTokens / 80.0, lit(1.0)) * 0.3 +
+        least(nStop / 5.0, lit(1.0)) * 0.2
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+        (round(score * 10000) / 10000.0).as("quality_score"))
+      .withColumn("keep", col("quality_score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val q45Sql: String =
+    """SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  round((least(n_chars / 500.0, 1.0) * 0.5
+      |       + least(len(regexp_extract_all(text, '\S+')) / 80.0, 1.0) * 0.3
+      |       + least(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) / 5.0, 1.0) * 0.2)
+      |      * 10000) / 10000.0 AS quality_score,
+      |  round((least(n_chars / 500.0, 1.0) * 0.5
+      |       + least(len(regexp_extract_all(text, '\S+')) / 80.0, 1.0) * 0.3
+      |       + least(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) / 5.0, 1.0) * 0.2)
+      |      * 10000) / 10000.0 >= 0.5 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_text_stats" -> q28,
     "q29_lang_id" -> q29,
     "q30_token_topk" -> q30,
-    "q31_fingerprint" -> q31)
+    "q31_fingerprint" -> q31,
+    "q45_quality_filter" -> q45)
 
   val oracle: Map[String, String] = Map(
     "q28_text_stats" -> q28Sql,
     "q29_lang_id" -> q29Sql,
     "q30_token_topk" -> q30Sql,
-    "q31_fingerprint" -> q31Sql)
+    "q31_fingerprint" -> q31Sql,
+    "q45_quality_filter" -> q45Sql)
 }

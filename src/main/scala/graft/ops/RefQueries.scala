@@ -374,7 +374,47 @@ object RefQueries {
       .drop("_r")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
 
+  // ── q46: pivot — status-count matrix per carrier (groupBy.pivot; the
+  //        warehouse form of the reference's value_counts tables). Pinned
+  //        pivot values keep the schema static — at scale an un-pinned
+  //        pivot needs a distinct-scan first.
+  def q46(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  val q46Sql: String =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ── q47: rollup — hierarchical subtotals over (returnflag, linestatus)
+  //        with grand total; null grouping keys surfaced as 'ALL'.
+  def q47(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q47Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_pivot" -> q46,
+    "q47_rollup" -> q47,
     "q01_pricing_summary" -> q01,
     "q02_carrier_metrics" -> q02,
     "q03_route_analysis" -> q03,
@@ -392,6 +432,8 @@ object RefQueries {
     "q15_seeded_sample" -> q15)
 
   val oracle: Map[String, String] = Map(
+    "q46_pivot" -> q46Sql,
+    "q47_rollup" -> q47Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_carrier_metrics" -> q02Sql,
     "q03_route_analysis" -> q03Sql,

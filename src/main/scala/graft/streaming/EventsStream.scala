@@ -48,6 +48,25 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop replayed events by id within the
+    * watermark horizon — the streaming face of the dedup operator family
+    * (state bounded by the watermark; an unbounded-key stream MUST have
+    * one or state grows forever). */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
+  /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
+    * writer (idempotent by batchId — the reference's "write stage output
+    * to the warehouse" boundary, streaming edition). */
+  def writeViaForeachBatch(df: DataFrame, queryName: String)(
+      writer: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch(writer)
+      .start()
+
   final case class Evt(event_id: Long, ts: Long, user_id: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Int)
   final case class ClosedSession(user_id: Long, session_start_us: Long,

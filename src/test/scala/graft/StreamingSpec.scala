@@ -34,6 +34,36 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    // duplicate the source file → every event arrives twice
+    val tmp = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), tmp.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), tmp.resolve("b.parquet"))
+    val q = EventsStream.dedupEvents(EventsStream.readEvents(spark, tmp.toString))
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinctIds = Tables.events(spark, sfDir).select("event_id").distinct().count()
+    assert(n == distinctIds, s"expected $distinctIds unique events, got $n")
+  }
+
+  test("foreachBatch sink hands each micro-batch to the batch writer") {
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventsStream.writeViaForeachBatch(
+      EventsStream.readEvents(spark, eventsDir), "fb_out") { (batch, _) =>
+      batches.incrementAndGet()
+      got.addAndGet(batch.count())
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.get() >= 1)
+    assert(got.get() == Tables.events(spark, sfDir).count())
+  }
+
   test("streaming sessionizer closes batch-q23 sessions minus the open tail") {
     val src = EventsStream.readEvents(spark, eventsDir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts"), col("user_id"))

@@ -412,9 +412,26 @@ object RefQueries {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  // ── q48: content-hash sampling — the O7 sampler done right for scale:
+  //        membership depends only on the key's SHA-256 prefix, so the
+  //        sample is reproducible across engines, partitionings, and
+  //        re-runs (rand(seed)-based sampling is stable only for a fixed
+  //        input layout). ~1/64 rate via a 2-hex-digit prefix threshold.
+  def q48(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(substring(sha2(col("o_orderkey").cast("string"), 256), 1, 2) < "04")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val q48Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |WHERE substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) < '04'
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pivot" -> q46,
     "q47_rollup" -> q47,
+    "q48_hash_sample" -> q48,
     "q01_pricing_summary" -> q01,
     "q02_carrier_metrics" -> q02,
     "q03_route_analysis" -> q03,
@@ -434,6 +451,7 @@ object RefQueries {
   val oracle: Map[String, String] = Map(
     "q46_pivot" -> q46Sql,
     "q47_rollup" -> q47Sql,
+    "q48_hash_sample" -> q48Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_carrier_metrics" -> q02Sql,
     "q03_route_analysis" -> q03Sql,

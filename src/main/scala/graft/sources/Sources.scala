@@ -93,10 +93,17 @@ object Sources {
   //        instead of a row-tuple INSERT loop. No database exists in this
   //        container: wrappers carry the production batching config and are
   //        exercised only for argument plumbing. */
+  /** `columnTypes` mirrors the reference's explicit DDL
+    * (dags/flight_data_pipeline.py:81-96, VARCHAR(n)/FLOAT/...) — without
+    * it Spark maps StringType to the database's widest type (CLOB on
+    * Derby), which many engines can't group or index. */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      props: java.util.Properties, batchSize: Int = 10000): Unit = {
+      props: java.util.Properties, batchSize: Int = 10000,
+      columnTypes: Option[String] = None): Unit = {
     props.setProperty("batchsize", batchSize.toString)
-    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+    val w = df.write.mode(SaveMode.Append)
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, props)
   }
 
   def readJdbc(spark: SparkSession, url: String, query: String,

@@ -73,6 +73,24 @@ class SourcesSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("S5/S6: JDBC sink + pushed-query scan round-trip (embedded Derby)") {
+    val db = java.nio.file.Files.createTempDirectory("derby").resolve("g").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "AA", 130.5), (2L, "DL", 7.0), (3L, "AA", 99.0))
+      .toDF("flight_number", "airline", "departure_delay")
+    Sources.writeJdbc(df, url, "flights", props,
+      columnTypes = Some("airline VARCHAR(10)"))
+    // S6: the analytic query runs INSIDE the database, like the
+    // reference's Postgres push (dags/flight_data_pipeline.py:160)
+    val back = Sources.readJdbc(spark, url,
+      """SELECT "airline", count(*) AS n FROM flights GROUP BY "airline"""", props)
+    val m = back.collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(m == Map("AA" -> 2L, "DL" -> 1L))
+  }
+
   test("S9: alert listener fires on failed actions") {
     val seen = new java.util.concurrent.atomic.AtomicReference[String]()
     val l = Sources.registerAlertListener(spark)((fn, e) => seen.set(fn))

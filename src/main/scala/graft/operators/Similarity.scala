@@ -118,6 +118,59 @@ object Similarity {
       |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin
 
+  /** Sign-random-projection LSH banding — the cosine analog of MinHash
+    * bands and the asymptotic fix for fixed-cardinality blocking (the q36
+    * bottleneck measured at 50× in PLANS.md): 64 sign bits from seeded
+    * hyperplanes, banded 16×4; vectors sharing any band become candidates
+    * (P ≈ 1-(1-p^4)^16 where p = 1 - θ/π), then exact cosine verifies.
+    * Shuffle volume is O(n·bands); candidate count tracks true similarity
+    * structure instead of block cardinality.
+    */
+  private lazy val SrpPlanes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(424242L)
+    // lazy + Dim referenced via def-site: object vals initialize in
+    // declaration order and Dim is declared below
+    Array.fill(64)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  def srpCandidatePairs(e: DataFrame): DataFrame = {
+    val bits = (0 until 64).map { j =>
+      val p = array(SrpPlanes(j).map(lit(_)): _*)
+      // sign(dot) == sign(cosine); cosine is the fused codegen expression,
+      // so the 64 plane projections stay inside whole-stage codegen
+      when(cosine(col("v"), p) > 0, lit(1L << (j % 4))).otherwise(lit(0L))
+    }
+    val bandCols = (0 until 16).map { b =>
+      val bandBits = (0 until 4).map(r => bits(b * 4 + r)).reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(b).as("band"), bandBits.as("sig"))
+    }
+    val banded = e.select(col("vec_id"), col("v"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.v").as("v_a"), col("y.v").as("v_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs via SRP-LSH candidates + exact cosine verification. */
+  def neardupLsh(e: DataFrame, threshold: Double): DataFrame =
+    srpCandidatePairs(e)
+      .select(col("id_a"), col("id_b"),
+        round4(cosine(col("v_a"), col("v_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+
+  // q49: the scale-path version of q36 — same verified output semantics,
+  //      candidates from similarity structure (SRP bands) instead of a
+  //      fixed-cardinality block. Rows-only (seeded hyperplanes aren't
+  //      oracle-able); recall vs the exact q36 pair set is asserted in
+  //      SimilaritySpec.
+  def q49(s: SparkSession, dir: String): DataFrame =
+    neardupLsh(emb(s, dir), 0.3).orderBy(col("id_a"), col("id_b"))
+
   /** Embedding-cosine near-dup dedup: keep the lowest vec_id within each
     * group of block-mates whose cosine ≥ threshold (keep-first, like
     * Dedup.minhashDedupIds). blockCol bounds the pairwise work — at scale
@@ -229,7 +282,8 @@ object Similarity {
     "q37_ann_bruteforce" -> q37,
     "q38_ann_lsh" -> q38,
     "q39_knn_batch" -> q39,
-    "q41_ann_ivf" -> q41)
+    "q41_ann_ivf" -> q41,
+    "q49_neardup_lsh" -> q49)
 
   val oracle: Map[String, String] = Map(
     "q36_embedding_neardup" -> q36Sql,

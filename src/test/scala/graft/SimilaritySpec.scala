@@ -93,6 +93,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(kept == all -- expectedDropped)
   }
 
+  test("SRP-LSH near-dup: precision 1 vs exact q36, recall above floor") {
+    val exact = Similarity.q36(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val lshPairs = Similarity.q49(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every LSH-found pair above threshold is genuinely above
+    // threshold (exact verification step) — but q36 is label-blocked, so
+    // compare only within-label pairs for the subset check
+    val labels = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val lshWithinLabel = lshPairs.filter { case (a, b) => labels(a) == labels(b) }
+    assert(lshWithinLabel.subsetOf(exact), "verified pairs must be true near-dups")
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lshPairs).size.toDouble / exact.size
+      info(f"SRP-LSH recall vs exact: $recall%.3f (${lshPairs.size} found)")
+      assert(recall >= 0.5, f"recall $recall%.3f below floor")
+    }
+  }
+
   test("LSH ANN candidates share the query's sign bucket") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -93,23 +93,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(kept == all -- expectedDropped)
   }
 
-  test("SRP-LSH near-dup: precision 1 vs exact q36, recall above floor") {
-    val exact = Similarity.q36(spark, sfDir).collect()
-      .map(r => (r.getLong(1), r.getLong(2))).toSet
-    val lshPairs = Similarity.q49(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // precision: every LSH-found pair above threshold is genuinely above
-    // threshold (exact verification step) — but q36 is label-blocked, so
-    // compare only within-label pairs for the subset check
-    val labels = Tables.embeddings(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getInt(2)).toMap
-    val lshWithinLabel = lshPairs.filter { case (a, b) => labels(a) == labels(b) }
-    assert(lshWithinLabel.subsetOf(exact), "verified pairs must be true near-dups")
-    if (exact.nonEmpty) {
-      val recall = exact.intersect(lshPairs).size.toDouble / exact.size
-      info(f"SRP-LSH recall vs exact: $recall%.3f (${lshPairs.size} found)")
-      assert(recall >= 0.5, f"recall $recall%.3f below floor")
+  test("SRP-LSH: finds every planted near-dup while pruning hard") {
+    import spark.implicits._
+    // 60 random unit-ish vectors + 6 near-clones (tiny noise → cos > 0.99)
+    val rng = new scala.util.Random(99L)
+    val base = (0L until 60L).map(i => i -> Array.fill(64)(rng.nextGaussian()))
+    val clones = (0 until 6).map { i =>
+      val (srcId, v) = base(i * 7)
+      (100L + srcId) -> v.map(_ + rng.nextGaussian() * 0.01)
     }
+    val e = (base ++ clones).toDF("vec_id", "v")
+    val found = Similarity.neardupLsh(e, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 6).map(i => (i * 7L, 100L + i * 7L)).toSet
+    assert(found == expected, s"found=$found expected=$expected")
+    // pruning: candidates must be far fewer than all 66*65/2 pairs
+    val nCand = Similarity.srpCandidatePairs(e).count()
+    info(s"SRP candidates: $nCand of ${66 * 65 / 2} pairs")
+    assert(nCand < 66 * 65 / 2 / 2, s"banding must prune; got $nCand candidates")
+  }
+
+  test("q49: deterministic top-100 verified candidate pairs on fixtures") {
+    val rows = Similarity.q49(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+    val again = Similarity.q49(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
   test("LSH ANN candidates share the query's sign bucket") {

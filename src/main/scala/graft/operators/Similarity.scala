@@ -140,23 +140,14 @@ object Similarity {
   }
 
   def srpCandidatePairs(e: DataFrame): DataFrame = {
-    val bits = (0 until SrpBands * SrpRows).map { j =>
-      val p = array(SrpPlanes(j).map(lit(_)): _*)
-      // sign(dot) == sign(cosine); cosine is the fused codegen expression,
-      // so the plane projections stay inside whole-stage codegen
-      when(cosine(col("v"), p) > 0, lit(1L << (j % SrpRows))).otherwise(lit(0L))
-    }
-    val bandCols = (0 until SrpBands).map { b =>
-      val bandBits = (0 until SrpRows).map(r => bits(b * SrpRows + r))
-        .reduce((a, c) => a.bitwiseOR(c))
-      struct(lit(b).as("band"), bandBits.as("sig"))
-    }
+    // all 16 band signatures in one fused codegen pass over the vector
+    val sig = org.apache.spark.sql.graft.SrpSignatureExpr.column(
+      col("v"), SrpPlanes.flatten, Dim, SrpBands, SrpRows)
     // bucket join and distinct move ONLY (band, sig, id) — never the
     // vectors: dragging two 64-double arrays through the shuffle+distinct
     // was 8× the query's cost. Vectors re-attach afterwards via two joins
     // against the (small, broadcastable) embedding table.
-    val banded = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val banded = e.select(col("vec_id"), posexplode(sig).as(Seq("band", "sig")))
     val ids = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

@@ -149,7 +149,7 @@ object Dedup {
       min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
     }
     toks.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"m$i")): _*))
   }
 

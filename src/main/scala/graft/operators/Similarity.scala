@@ -120,9 +120,9 @@ object Similarity {
 
   /** Sign-random-projection LSH banding — the cosine analog of MinHash
     * bands and the asymptotic fix for fixed-cardinality blocking (the q36
-    * bottleneck measured at 50× in PLANS.md): 64 sign bits from seeded
-    * hyperplanes, banded 16×4; vectors sharing any band become candidates
-    * (P ≈ 1-(1-p^4)^16 where p = 1 - θ/π), then exact cosine verifies.
+    * bottleneck measured at 50× in PLANS.md): 128 sign bits from seeded
+    * hyperplanes, banded 16×8; vectors sharing any band become candidates
+    * (P ≈ 1-(1-p^8)^16 where p = 1 - θ/π), then exact cosine verifies.
     * Shuffle volume is O(n·bands); candidate count tracks true similarity
     * structure instead of block cardinality.
     */
@@ -211,7 +211,7 @@ object Similarity {
     */
   def lshBucket(v: Column): Column =
     (0 until NumPlanes).map { j =>
-      val planeLit = array(planes(j).map(lit(_)): _*)
+      val planeLit = array(planes(j).toIndexedSeq.map(lit(_)): _*)
       when(dot(v, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 

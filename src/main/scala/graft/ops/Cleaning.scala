@@ -51,11 +51,11 @@ object Cleaning {
   def dropHighMissing(df: DataFrame, thresholdPct: Double): DataFrame = {
     if (df.isEmpty) return df
     val profile = df
-      .select(df.columns.map(c =>
+      .select(df.columns.toIndexedSeq.map(c =>
         (avg(col(c).isNull.cast("double")) * 100).as(c)): _*)
       .head()
     val bad = df.columns.filter(c => profile.getAs[Double](c) > thresholdPct)
-    df.drop(bad: _*)
+    df.drop(bad.toIndexedSeq: _*)
   }
 
   /** X10: nulls→0 for the delay/flag columns

@@ -62,7 +62,7 @@ object Sources {
   /** Small aggregate → one nested JSON document column (metric-document
     * shape without leaving the engine). */
   def toJsonDocument(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("doc"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("doc"))
 
   // ── S7: directory/glob source with per-row provenance — the SFTP
   //        "download dir then validate each file" flow (ingest.py:161-288)

@@ -55,11 +55,55 @@ object Events {
       |  count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS null_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ── q50: statistical outlier detection — per-type mean/stddev from
+  //        EXACT integer-cents sums (sum and sum-of-squares are
+  //        order-independent; the derived mean/variance/threshold are then
+  //        identical double arithmetic in both engines), plus the count of
+  //        |v − μ| > 3σ events. The two-pass shape (stats → rejoin) is the
+  //        standard distributed z-score filter.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("vc", round(col("value") * 100))
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc")).as("sum_c"),
+        sum(col("vc") * col("vc")).as("sumsq_c"))
+      .select(col("et"), col("n"),
+        (col("sum_c") / col("n")).as("mean_c"),
+        sqrt((col("sumsq_c") - col("sum_c") * col("sum_c") / col("n")) / (col("n") - 1))
+          .as("sd_c"))
+    ev.join(stats, col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (round(min(col("mean_c")) * 100) / 100.0 / 100.0).as("mean_value"),
+        (round(min(col("sd_c")) * 100) / 100.0 / 100.0).as("sd_value"),
+        count(when(abs(col("vc") - col("mean_c")) > col("sd_c") * 3, 1))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q50Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, round("value" * 100) AS vc FROM events),
+      |stats AS (
+      |  SELECT event_type AS et, count(*) AS n,
+      |    sum(vc) / count(*) AS mean_c,
+      |    sqrt((sum(vc * vc) - sum(vc) * sum(vc) / count(*)) / (count(*) - 1)) AS sd_c
+      |  FROM ev GROUP BY event_type)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(min(mean_c) * 100) / 100.0 / 100.0 AS mean_value,
+      |  round(min(sd_c) * 100) / 100.0 / 100.0 AS sd_value,
+      |  count(CASE WHEN abs(vc - mean_c) > sd_c * 3 THEN 1 END) AS n_outliers
+      |FROM ev JOIN stats ON event_type = et
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_events_hourly" -> q24,
-    "q25_events_json" -> q25)
+    "q25_events_json" -> q25,
+    "q50_value_outliers" -> q50)
 
   val oracle: Map[String, String] = Map(
     "q24_events_hourly" -> q24Sql,
-    "q25_events_json" -> q25Sql)
+    "q25_events_json" -> q25Sql,
+    "q50_value_outliers" -> q50Sql)
 }

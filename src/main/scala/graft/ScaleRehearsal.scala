@@ -66,7 +66,10 @@ object ScaleRehearsal {
       "q07_airports_distinct", "q17_join_fact", "q20_join_star",
       "q21_window_topn", "q44_topk_custom",
       "q22_window_running", "q23_sessionize", "q24_events_hourly",
-      "q36_embedding_neardup", "q37_ann_bruteforce")
+      "q49_neardup_lsh", "q37_ann_bruteforce")
+    // q36 (label-blocked near-dup) is deliberately absent: its pairwise
+    // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
+    // q49 is the SRP-banded scale form of the same semantics.
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
     val times = headline.map { name =>

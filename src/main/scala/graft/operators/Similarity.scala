@@ -178,10 +178,26 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
       .limit(100)
 
-  /** Embedding-cosine near-dup dedup: keep the lowest vec_id within each
-    * group of block-mates whose cosine ≥ threshold (keep-first, like
-    * Dedup.minhashDedupIds). blockCol bounds the pairwise work — at scale
-    * pass an LSH bucket / IVF cluster id, not a fixed-cardinality label.
+  /** Embedding-cosine near-dup dedup — DEFAULT (scale) form: candidate
+    * pairs come from SRP-LSH bands (O(n·bands) shuffle, candidate count
+    * tracks similarity structure), exact cosine verifies, and the higher
+    * vec_id of each verified pair is dropped (keep-first, like
+    * Dedup.minhashDedupIds). This is the registered near-dup component;
+    * the blockCol overload below is the bounded-block correctness form
+    * whose pairwise work grows quadratically with block size (measured:
+    * 219.6s at 50× for label blocks, PLANS.md).
+    */
+  def cosineDedupIds(e: DataFrame, threshold: Double): DataFrame = {
+    val drops = neardupLsh(e, threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    e.join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"))
+  }
+
+  /** Bounded-block variant: pairwise only within blockCol groups. Use for
+    * oracle-exact semantics on a block key the caller owns; at scale the
+    * key must come from similarity structure (SRP bucket / IVF list), never
+    * a fixed-cardinality label.
     */
   def cosineDedupIds(e: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val drops = e.select(col("vec_id").as("id_a"), col(blockCol).as("_blk"),
@@ -208,12 +224,15 @@ object Similarity {
   /** Sign-bucket id: bit j = (v · plane_j > 0). Vectors in the same bucket
     * are cosine-close with high probability; search touches only the
     * query's bucket (a 2^NumPlanes-way partition of the corpus).
+    *
+    * All 8 plane projections run in ONE fused codegen pass (SrpSignatureExpr
+    * with a single band of NumPlanes rows — bit p of the band is
+    * sign(v · plane_p), identical to the previous per-plane fold) instead of
+    * 8 interpreted `aggregate(zip_with(...))` traversals per row.
     */
   def lshBucket(v: Column): Column =
-    (0 until NumPlanes).map { j =>
-      val planeLit = array(planes(j).toIndexedSeq.map(lit(_)): _*)
-      when(dot(v, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    element_at(org.apache.spark.sql.graft.SrpSignatureExpr.column(
+      v, planes.flatten, Dim, 1, NumPlanes), 1)
 
   /** Approximate k-NN: candidates restricted to the query's sign-bucket,
     * then exact cosine + top-k within the bucket. Recall is probed against
@@ -238,17 +257,18 @@ object Similarity {
     * Centroids are tiny (lists × dim) and broadcast.
     */
   def annIvf(e: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    // centroid per list: element-wise mean via posexplode + re-assemble
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+    // centroid per list: element-wise mean as ONE hash aggregate — 64
+    // per-element sums in a single partial+final pass (no posexplode to
+    // n·dim rows, no second shuffle, no collect_list re-assembly).
+    val cent = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"),
+        array((0 until Dim).map(i => sum(col("v").getItem(i))): _*).as("sums"))
       .select(col("label").as("c_label"),
-        transform(col("im"), s => s.getField("m")).as("centroid"))
-    // probe: nprobe closest centroids per query
+        transform(col("sums"), s => s / col("cnt")).as("centroid"))
+    // probe: every query scores every centroid (an honest, tiny cross
+    // join — |queries| × |lists| rows), keep the nprobe closest.
     val wq = Window.partitionBy(col("qid")).orderBy(desc("c_sim"), col("c_label"))
-    val probed = queries.join(broadcast(cent),
-        cosine(col("qv"), col("centroid")).isNotNull)
+    val probed = queries.crossJoin(broadcast(cent))
       .select(col("qid"), col("qv"), col("c_label"),
         cosine(col("qv"), col("centroid")).as("c_sim"))
       .withColumn("crn", row_number().over(wq))

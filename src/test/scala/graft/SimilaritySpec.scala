@@ -93,6 +93,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(kept == all -- expectedDropped)
   }
 
+  test("cosineDedupIds default (SRP-blocked) drops every planted near-dup") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31337L)
+    val base = (0L until 60L).map(i => i -> Array.fill(64)(rng.nextGaussian()))
+    val clones = (0 until 6).map { i =>
+      val (srcId, v) = base(i * 9)
+      (100L + srcId) -> v.map(_ + rng.nextGaussian() * 0.01)
+    }
+    val e = (base ++ clones).toDF("vec_id", "v")
+    val kept = Similarity.cosineDedupIds(e, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val expectedDropped = (0 until 6).map(i => 100L + i * 9L).toSet
+    val all = (base ++ clones).map(_._1).toSet
+    assert(kept == all -- expectedDropped,
+      s"missing=${(all -- expectedDropped) -- kept} extra-dropped=${kept & expectedDropped}")
+  }
+
   test("SRP-LSH: finds every planted near-dup while pruning hard") {
     import spark.implicits._
     // 60 random unit-ish vectors + 6 near-clones (tiny noise → cos > 0.99)

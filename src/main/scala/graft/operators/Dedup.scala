@@ -207,6 +207,100 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ── sha256 MinHash (cross-engine-reproducible variant) ─────────────────
+
+  /** MinHash on SHA-256 instead of xxhash64: both Spark (`sha2(s,256)`) and
+    * DuckDB (`sha256(s)`) emit the same lowercase hex, so the WHOLE
+    * MinHash-LSH pipeline — signatures, band buckets, candidate pairs,
+    * est_jaccard — is oracle-verifiable bit-for-bit (the q48 content-hash
+    * pattern applied to dedup). Permutation i is the salt prefix "i:"; the
+    * min is lexicographic over hex strings (uniform, order-preserving
+    * under the hash). 8 perms banded 4×2. Slower per token than xxhash64
+    * (cryptographic hash, string min) — the production path stays q34; this
+    * is the hard-signal correctness twin.
+    */
+  private val ShaHashes = 8
+  private val ShaBandRows = 2
+  private val ShaBands = ShaHashes / ShaBandRows
+
+  def minhashShaSignatures(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = distinctTokens(docs, textCol, idCol)
+    val aggs = (0 until ShaHashes).map(i =>
+      min(sha2(concat(lit(s"$i:"), col("t")), 256)).as(s"m$i"))
+    toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidates + est_jaccard from the sha256 signatures; same shape as
+    * minhashCandidates (band equi-join, (band, bucket, id) shuffle only). */
+  def minhashShaCandidates(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val sigs = minhashShaSignatures(docs, textCol, idCol)
+    val bandCols = (0 until ShaBands).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${ShaBandRows * b}"), lit("|"),
+          col(s"m${ShaBandRows * b + 1}")).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("id_a") +:
+      (0 until ShaHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("id_b") +:
+      (0 until ShaHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        (0 until ShaHashes)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _) / lit(ShaHashes.toDouble))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // q51: sha256-MinHash-LSH near-dup candidates (est_jaccard ≥ 0.5) on the
+  //      q33/q34 block — the oracle-able twin of q34: DuckDB reproduces the
+  //      full signature→band→candidate→estimate pipeline exactly
+  //      (est_jaccard = k/8 is binary-exact, no float-parity scheme needed).
+  def q51(s: SparkSession, dir: String): DataFrame =
+    minhashShaCandidates(documents(s, dir).filter(col("doc_id") < 100),
+        "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q51Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM documents WHERE doc_id < 100),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
+      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
+      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
+      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |  FROM toks GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM sigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sigs),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM buckets x JOIN buckets y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b,
+      |  ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |   (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |   (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 AS est_jaccard
+      |FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
+      |WHERE ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |       (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash per doc: sign of per-bit ±1 sums over token hashes,
@@ -316,9 +410,11 @@ object Dedup {
     "q33_dedup_jaccard" -> q33,
     "q34_dedup_minhash" -> q34,
     "q35_simhash" -> q35,
-    "q42_winnowing" -> q42)
+    "q42_winnowing" -> q42,
+    "q51_minhash_sha" -> q51)
 
   val oracle: Map[String, String] = Map(
     "q32_dedup_exact" -> q32Sql,
-    "q33_dedup_jaccard" -> q33Sql)
+    "q33_dedup_jaccard" -> q33Sql,
+    "q51_minhash_sha" -> q51Sql)
 }

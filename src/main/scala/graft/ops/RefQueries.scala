@@ -428,6 +428,30 @@ object RefQueries {
       |WHERE substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) < '04'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ── q52: seeded EXACT-n sample, content-hash ranked — q15's semantics
+  //        (exact n, seeded, deterministic) made engine-portable: rank
+  //        every key by sha256("s42:" || key) and take the n smallest.
+  //        The "seed" is the salt prefix; any seed change reshuffles the
+  //        ranking. Unlike rand(seed) this survives repartitioning, and
+  //        unlike q48's rate-sample it returns exactly n rows. The limit
+  //        compiles to TakeOrderedAndProject (distributed tournament
+  //        top-k) — no global sort at scale.
+  def q52(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        sha2(concat(lit("s42:"), col("o_orderkey").cast("string")), 256).as("_h"))
+      .orderBy(col("_h"))
+      .limit(200)
+      .drop("_h")
+      .orderBy(col("o_orderkey"))
+
+  val q52Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice
+      |  FROM orders
+      |  ORDER BY sha256('s42:' || CAST(o_orderkey AS VARCHAR)) LIMIT 200)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pivot" -> q46,
     "q47_rollup" -> q47,
@@ -446,12 +470,14 @@ object RefQueries {
     "q12_flight_status" -> q12,
     "q13_null_profile" -> q13,
     "q14_value_ranges" -> q14,
-    "q15_seeded_sample" -> q15)
+    "q15_seeded_sample" -> q15,
+    "q52_seeded_hash_sample" -> q52)
 
   val oracle: Map[String, String] = Map(
     "q46_pivot" -> q46Sql,
     "q47_rollup" -> q47Sql,
     "q48_hash_sample" -> q48Sql,
+    "q52_seeded_hash_sample" -> q52Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_carrier_metrics" -> q02Sql,
     "q03_route_analysis" -> q03Sql,

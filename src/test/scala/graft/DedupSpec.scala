@@ -59,6 +59,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("sha256-minhash recall vs exact jaccard oracle on the fixture block") {
+    val block = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    val exact = Dedup.jaccardPairs(block, "text", "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashShaCandidates(block, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.9, f"sha-minhash recall $recall%.3f below 0.9")
+    }
+  }
+
   test("shingles: n-gram windows; short texts fall back to whole text") {
     val sh = Seq((1L, "a b c d"), (2L, "x y"))
       .toDF("doc_id", "text")

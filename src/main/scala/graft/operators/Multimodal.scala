@@ -46,36 +46,57 @@ object Multimodal {
       .withColumn("n_bytes", length(col("payload")).cast("long"))
       .withColumn("fingerprint", sha2(col("payload"), 256))
 
-  /** Decode stage. REAL IMPLEMENTATION STUBBED: a production build calls
-    * the codec here (e.g. javax.imageio / ffmpeg bindings) — this container
-    * has none, so frames are synthesized deterministically from the payload
-    * bytes. Batch shape is the real one: mapPartitions over an iterator so
-    * a decoder can amortize per-partition init (codec contexts, model
-    * weights) exactly like a Pandas-UDF batch would.
+  /** The decoder seam: a production build plugs a real codec (javax.imageio
+    * / ffmpeg bindings) in here; everything else — the mapPartitions batch
+    * shape, per-partition init hook, schema, downstream feature columns —
+    * is identical for any implementation. Must be Serializable: instances
+    * ship inside the task closure.
+    */
+  trait FrameDecoder extends Serializable {
+    /** Called once per partition before any decode — amortize codec
+      * contexts / model weights here (what a Pandas-UDF batch init does). */
+    def openPartition(): Unit = ()
+    def decodeFrame(mediaId: Long, payload: Array[Byte], frameIdx: Int): DecodedFrame
+  }
+
+  /** Deterministic fake decoder. REAL IMPLEMENTATION STUBBED: this
+    * container has no image/audio libraries, so "pixels" are synthesized
+    * from the payload bytes (stable across runs → testable plumbing).
+    */
+  object DeterministicFakeDecoder extends FrameDecoder {
+    def decodeFrame(id: Long, payload: Array[Byte], f: Int): DecodedFrame = {
+      // ??? real decode goes here; deterministic fake below.
+      val w = 8; val h = 8
+      val feats = Array.tabulate(4) { k =>
+        val slice = payload.iterator.drop(f * 4 + k).grouped(16)
+          .map(_.map(b => (b & 0xFF).toLong).sum).sum
+        (slice % 997).toDouble / 997.0
+      }
+      DecodedFrame(id, f, w, h, feats)
+    }
+  }
+
+  /** Decode stage over any FrameDecoder — a narrow mapPartitions; payloads
+    * never shuffle.
     *
     * @param framesPer number of frames to sample per media item
     */
-  def decodeStub(media: DataFrame, framesPer: Int = 2): Dataset[DecodedFrame] = {
+  def decode(media: DataFrame, framesPer: Int,
+      decoder: FrameDecoder): Dataset[DecodedFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would happen here (codec context, etc.)
+        decoder.openPartition()
         it.flatMap { case (id, payload) =>
-          (0 until framesPer).iterator.map { f =>
-            // ??? real decode goes here; deterministic fake below:
-            // "pixels" derived from payload bytes so tests are stable.
-            val w = 8; val h = 8
-            val feats = Array.tabulate(4) { k =>
-              val slice = payload.iterator.drop(f * 4 + k).grouped(16)
-                .map(_.map(b => (b & 0xFF).toLong).sum).sum
-              (slice % 997).toDouble / 997.0
-            }
-            DecodedFrame(id, f, w, h, feats)
-          }
+          (0 until framesPer).iterator.map(f => decoder.decodeFrame(id, payload, f))
         }
       }
   }
+
+  /** Decode with the deterministic stub decoder (container default). */
+  def decodeStub(media: DataFrame, framesPer: Int = 2): Dataset[DecodedFrame] =
+    decode(media, framesPer, DeterministicFakeDecoder)
 
   /** Frame sampling: keep every nth frame — a filter on the decoded set,
     * never re-touching payloads. */

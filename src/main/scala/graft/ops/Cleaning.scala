@@ -83,6 +83,16 @@ object Cleaning {
         when(col("departure_delay") > delayThreshold, "Delayed")
           .otherwise("On Time"))
 
+  /** X14: isoformat generation stamps — the reference marks every metrics
+    * artifact with `datetime.now().isoformat()`
+    * (dags/flight_data_pipeline.py:169,215,241). Deliberately excluded
+    * from all oracle queries (a wall-clock column can never hash-match);
+    * format pinned to Python's isoformat microsecond shape.
+    */
+  def stampGenerated(df: DataFrame, colName: String = "generated_at"): DataFrame =
+    df.withColumn(colName,
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+
   /** Full ingest→process chain (reference DAG stages 1–2, SURVEY.md §3.1)
     * as one lazy narrow plan — no intermediate materialization.
     */

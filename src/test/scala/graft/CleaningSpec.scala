@@ -65,4 +65,16 @@ class CleaningSpec extends SparkTestBase {
       Seq("origin", "destination")).head()
     assert(out.getString(0) == "JFK" && out.getString(1) == "LAX")
   }
+
+  test("stampGenerated adds an isoformat timestamp column (X14)") {
+    val out = Cleaning.stampGenerated(Seq(1, 2).toDF("x"))
+    assert(out.columns.toSeq == Seq("x", "generated_at"))
+    val stamps = out.collect().map(_.getString(1))
+    // Python isoformat shape: 2025-03-27T18:07:09.494899
+    val iso = """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}""".r
+    stamps.foreach(s => assert(iso.matches(s), s"bad stamp: $s"))
+    // one deterministic stamp per query (current_timestamp is per-query
+    // constant — every row in one action shares it)
+    assert(stamps.distinct.length == 1)
+  }
 }

@@ -75,11 +75,16 @@ object Dedup {
         explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
       .distinct()
 
-  /** Exact token-set Jaccard over all pairs sharing ≥1 token. O(pairs) —
-    * only for bounded blocks / oracle use.
+  /** Exact shingle-set Jaccard over all pairs sharing ≥1 shingle. With
+    * gram=1 (token sets) this is O(pairs) on a saturating vocabulary —
+    * bounded blocks / oracle use only. With gram ≥ 3 the shared-shingle
+    * equi-join is selective (few docs share a given trigram unless they
+    * genuinely overlap), which is why real pipelines shingle before
+    * pairing — q54 runs it UNBLOCKED over the corpus.
     */
-  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = distinctTokens(docs, textCol, idCol)
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 1): DataFrame = {
+    val toks = distinctTokens(docs, textCol, idCol, gram)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = toks.as("x")
       .join(toks.as("y"),
@@ -116,6 +121,40 @@ object Dedup {
       |JOIN sizes sa ON id_a = sa.doc_id
       |JOIN sizes sb ON id_b = sb.doc_id
       |WHERE shared / (sa.n + sb.n - shared) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // q54: trigram-shingle Jaccard near-dup pairs over the FULL corpus — no
+  //      block key needed: 3-gram shingles are selective (unigram sets
+  //      saturate on this vocabulary; trigrams only collide on real
+  //      overlap), so the shared-shingle equi-join stays near-linear.
+  def q54(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(documents(s, dir), "text", "doc_id", gram = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q54Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |        ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |              for i in range(1, len(toks) - 1)]
+      |      END) AS t
+      |    FROM tok)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared,
+      |  shared / (sa.n + sb.n - shared) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE shared / (sa.n + sb.n - shared) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
   // ── MinHash + LSH (the scale path) ─────────────────────────────────────
@@ -405,16 +444,71 @@ object Dedup {
         array_min(col("fingerprints")).as("min_fp"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing on SHA-256 gram hashes — the oracle-able twin of
+    * winnowingFingerprints (same staging discipline, hex-string mins
+    * instead of xxhash64): both engines agree on sha256 hex and on
+    * lexicographic min, and the fingerprint SET is order-insensitive, so
+    * per-doc (n_fp, min_fp) hash-match the DuckDB oracle. Production path
+    * stays the xxhash64 version (8-byte longs, no crypto cost). */
+  def winnowingFingerprintsSha(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val nGrams = length(col(textCol)) - (k - 1)
+    val grams = when(nGrams < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nGrams),
+        i => sha2(col(textCol).substr(i, lit(k)), 256)))
+    val staged = docs.select(col(idCol).as("doc_id"), grams.as("_grams"))
+    val nG = size(col("_grams"))
+    val nWin = greatest(nG - (w - 1), lit(0))
+    val mins = when(nWin < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nWin - 1),
+        j => array_min(slice(col("_grams"), j + 1, lit(w)))))
+    staged.select(col("doc_id"),
+      when(nG === 0, array().cast("array<string>"))
+        .otherwise(when(nWin === 0, array(array_min(col("_grams"))))
+          .otherwise(array_distinct(mins))).as("fingerprints"))
+  }
+
+  // q53: sha256-winnowing fingerprint stats per doc — oracle-green where
+  //      q42 (xxhash64) can only be rows-only.
+  def q53(s: SparkSession, dir: String): DataFrame =
+    winnowingFingerprintsSha(documents(s, dir).repartition(col("doc_id")),
+        "text", "doc_id")
+      .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
+        array_min(col("fingerprints")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
+  val q53Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(text) >= 8
+      |      THEN [sha256(substr(text, CAST(i AS INT), 8)) for i in range(1, len(text) - 6)]
+      |      ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[])
+      |         WHEN len(grams) < 4 THEN [list_min(grams)]
+      |         ELSE list_distinct([list_min(grams[CAST(j AS INT):CAST(j AS INT)+3])
+      |                             for j in range(1, len(grams) - 2)])
+      |    END AS fps
+      |  FROM g)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
     "q34_dedup_minhash" -> q34,
     "q35_simhash" -> q35,
     "q42_winnowing" -> q42,
-    "q51_minhash_sha" -> q51)
+    "q51_minhash_sha" -> q51,
+    "q53_winnowing_sha" -> q53,
+    "q54_trigram_jaccard" -> q54)
 
   val oracle: Map[String, String] = Map(
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
-    "q51_minhash_sha" -> q51Sql)
+    "q51_minhash_sha" -> q51Sql,
+    "q53_winnowing_sha" -> q53Sql,
+    "q54_trigram_jaccard" -> q54Sql)
 }

@@ -120,41 +120,76 @@ object Similarity {
 
   /** Sign-random-projection LSH banding — the cosine analog of MinHash
     * bands and the asymptotic fix for fixed-cardinality blocking (the q36
-    * bottleneck measured at 50× in PLANS.md): 128 sign bits from seeded
-    * hyperplanes, banded 16×8; vectors sharing any band become candidates
-    * (P ≈ 1-(1-p^8)^16 where p = 1 - θ/π), then exact cosine verifies.
-    * Shuffle volume is O(n·bands); candidate count tracks true similarity
-    * structure instead of block cardinality.
+    * bottleneck measured at 50× in PLANS.md): sign bits from seeded
+    * hyperplanes, banded r bits × b bands; vectors sharing any band become
+    * candidates (P ≈ 1-(1-p^r)^b where p = 1 - θ/π), then exact cosine
+    * verifies. Shuffle volume is O(n·bands); candidate count tracks true
+    * similarity structure instead of block cardinality. Geometry is
+    * corpus-size-adaptive (srpParams) and identical signatures collapse
+    * before the band join.
     */
-  private val SrpBands = 16
-  private val SrpRows = 8 // bits per band → 256 buckets/band: real pruning.
-  // Band width tunes the recall/cost point for the TARGET similarity:
-  // 8-bit bands give ~97% recall over 16 bands at cos ≥ 0.85 (true
-  // near-dups) while pruning random pairs to ~16/256 ≈ 6% candidates.
-  // Wider-than-4-bit bands matter: 4-bit bands = 16 buckets = almost no
-  // pruning (measured: +10s at sf0.1 for nothing).
-  private lazy val SrpPlanes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(424242L)
-    // lazy: Dim is declared below (object init order)
-    Array.fill(SrpBands * SrpRows)(Array.fill(Dim)(rng.nextGaussian()))
+  /** Band geometry must scale WITH the corpus (50× rehearsal lesson: fixed
+    * 8-bit bands = 256 buckets/band → ~n²/256 candidate rows per band at
+    * 100k vectors → 644s; the bucket count has to grow with n or pruning
+    * evaporates). bitsPerBand ≈ log2(n) keeps expected random bucket
+    * occupancy ~1; bands are then sized so recall at cos ≥ 0.9 stays
+    * ≥ 95% (P = 1-(1-p^r)^b, p = 1-θ/π).
+    */
+  def srpParams(n: Long): (Int, Int) = {
+    val r = math.max(8, math.ceil(
+      math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val q = math.pow(p, r)
+    val b = math.max(8, math.ceil(math.log(0.05) / math.log(1.0 - q)).toInt)
+    (b, r)
   }
 
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Double]]
+  private def planesFor(bands: Int, rowsPerBand: Int): Array[Double] =
+    planeCache.getOrElseUpdate((bands, rowsPerBand), {
+      val rng = new scala.util.Random(424242L)
+      Array.fill(bands * rowsPerBand * Dim)(rng.nextGaussian())
+    })
+
+  /** Auto-tuned banding: one cheap count() picks the geometry for this
+    * corpus size, then the explicit-geometry path below runs. */
   def srpCandidatePairs(e: DataFrame): DataFrame = {
-    // all 16 band signatures in one fused codegen pass over the vector
+    val (bands, rows) = srpParams(e.count())
+    srpCandidatePairs(e, bands, rows)
+  }
+
+  def srpCandidatePairs(e: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // all band signatures in one fused codegen pass over the vector
     val sig = org.apache.spark.sql.graft.SrpSignatureExpr.column(
-      col("v"), SrpPlanes.flatten, Dim, SrpBands, SrpRows)
-    // bucket join and distinct move ONLY (band, sig, id) — never the
+      col("v"), planesFor(bands, rowsPerBand), Dim, bands, rowsPerBand)
+    // Exact-signature collapse BEFORE the band join (50× rehearsal lesson:
+    // replicated corpora carry exact-dup vectors whose identical
+    // signatures collide in EVERY band — k clones → k²·bands/2 joined rows
+    // before distinct). Identical signatures form one group: the min-id
+    // representative joins for the group, and rep→member pairs are emitted
+    // directly (identical signature ⇒ candidate by definition; exact
+    // cosine still verifies downstream). On an exact-dup-free corpus the
+    // collapse is a no-op. At real scale, content-hash exact dedup runs
+    // BEFORE near-dup anyway; this makes the operator safe either way.
+    val groups = e.select(col("vec_id"), sig.as("_sig"))
+      .groupBy(col("_sig"))
+      .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(col("rep").as("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    // bucket join and distinct move ONLY (band, sig, rep) — never the
     // vectors: dragging two 64-double arrays through the shuffle+distinct
     // was 8× the query's cost. Vectors re-attach afterwards via two joins
     // against the (small, broadcastable) embedding table.
-    val banded = e.select(col("vec_id"), posexplode(sig).as(Seq("band", "sig")))
-    val ids = banded.as("x")
+    val banded = groups.select(col("rep"), posexplode(col("_sig")).as(Seq("band", "sig")))
+    val inter = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("id_a"), col("y.rep").as("id_b"))
       .distinct()
-    ids
+    inter.union(intra)
       .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
   }

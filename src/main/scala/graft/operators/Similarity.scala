@@ -319,6 +319,56 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF with LEARNED lists — the production path: k-means (seeded,
+    * distributed, Lloyd iterations over the corpus or a sample) trains the
+    * coarse quantizer instead of borrowing a label column. At 100 TB the
+    * fit runs on a hash-sampled slice (sampleFraction), the tiny model
+    * broadcasts, and assignment is one narrow map — the same
+    * assign → probe → exact-search shape as annIvf.
+    */
+  def annIvfKmeans(e: DataFrame, queries: DataFrame, k: Int, lists: Int = 8,
+      nprobe: Int = 2, sampleFraction: Double = 1.0, seed: Long = 4242L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = e.select(col("vec_id"), col("v"),
+      array_to_vector(col("v")).as("features"))
+    val fitOn = if (sampleFraction >= 1.0) vecs
+      else vecs.sample(withReplacement = false, sampleFraction, seed)
+    val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
+      .fit(fitOn.select("features"))
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("v"), col("prediction").as("list_id"))
+    val cent = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centDf = e.sparkSession.createDataFrame(cent)
+      .toDF("c_list", "centroid")
+    val wq = Window.partitionBy(col("qid")).orderBy(desc("c_sim"), col("c_list"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qv"), col("c_list"),
+        cosine(col("qv"), col("centroid")).as("c_sim"))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qv"), col("c_list"))
+    val wk = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    assigned.join(broadcast(probed),
+        col("list_id") === col("c_list") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wk).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // q55: learned-list IVF ANN (rows-only: k-means centroids aren't
+  //      expressible in the oracle; nprobe=all ≡ brute force is asserted
+  //      in SimilaritySpec).
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    annIvfKmeans(e, q, k = 3).orderBy(col("qid"), col("rn"))
+  }
+
   // q41: IVF ANN for the first 5 query vectors (rows-only: centroid means
   //      aren't bit-reproducible in the oracle; within-list cosines are
   //      verified against brute force in SimilaritySpec).
@@ -345,7 +395,8 @@ object Similarity {
     "q38_ann_lsh" -> q38,
     "q39_knn_batch" -> q39,
     "q41_ann_ivf" -> q41,
-    "q49_neardup_lsh" -> q49)
+    "q49_neardup_lsh" -> q49,
+    "q55_ann_ivf_kmeans" -> q55)
 
   val oracle: Map[String, String] = Map(
     "q36_embedding_neardup" -> q36Sql,

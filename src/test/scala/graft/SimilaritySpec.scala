@@ -81,6 +81,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(3))).distinct.length == rows.length)
   }
 
+  test("k-means IVF with nprobe=all lists equals brute-force kNN exactly") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ivf = Similarity.annIvfKmeans(e, q, k = 3, lists = 8, nprobe = 8)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.toSeq == brute.toSeq,
+      "probing every learned list must reduce IVF to exact kNN")
+  }
+
+  test("k-means IVF trained on a sample still returns exact cosines") {
+    val rows = Similarity.q55(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    // determinism: seeded fit + seeded assignment
+    val again = Similarity.q55(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("cosineDedupIds: drops exactly the higher-id member of near-dup pairs") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -56,7 +56,14 @@ object ScaleRehearsal {
       w("events", replicate(
         spark.read.parquet(s"$src/events.parquet"), replicas,
         Map("event_id" -> K, "user_id" -> 1000L)))
-      Seq("region", "nation", "supplier", "part", "documents").foreach(t =>
+      // documents replicate as exact clones (ids shifted, text identical) —
+      // deliberately the worst case for text dedup: every doc gains
+      // `replicas-1` exact twins, so pairing must survive a clone-heavy
+      // corpus (the identical-text/signature collapse is what makes this
+      // linear instead of quadratic in the replica count).
+      w("documents", replicate(Tables.documents(spark, src), replicas,
+        Map("doc_id" -> K)))
+      Seq("region", "nation", "supplier", "part").foreach(t =>
         w(t, Tables.table(spark, src, t)))
       done.createNewFile()
       println(s"generated ${replicas}x fixtures in $work")
@@ -66,7 +73,7 @@ object ScaleRehearsal {
       "q07_airports_distinct", "q17_join_fact", "q20_join_star",
       "q21_window_topn", "q44_topk_custom",
       "q22_window_running", "q23_sessionize", "q24_events_hourly",
-      "q49_neardup_lsh", "q37_ann_bruteforce")
+      "q49_neardup_lsh", "q37_ann_bruteforce", "q54_trigram_jaccard")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics.

@@ -81,21 +81,73 @@ object Dedup {
     * equi-join is selective (few docs share a given trigram unless they
     * genuinely overlap), which is why real pipelines shingle before
     * pairing — q54 runs it UNBLOCKED over the corpus.
+    *
+    * Exact-dup robustness (the SRP 50× lesson applied to text): identical
+    * texts share EVERY shingle, so k clones put k² rows per shingle into
+    * the join. Identical texts therefore collapse to a min-id
+    * representative first; the shingle join runs on unique texts, and
+    * group pairs re-expand afterwards. Exactness is preserved, not
+    * approximated: members have literally the rep's shingle set, so every
+    * expanded pair's (shared, jaccard) equals its pairwise value —
+    * intra-group pairs are (n, 1.0), inter-group pairs copy the rep-pair
+    * numbers. Collapse is a no-op on a dup-free corpus.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
-    val toks = distinctTokens(docs, textCol, idCol, gram)
+    val groups = docs
+      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("_fp"))
+      .groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repDocs = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = toks.as("x")
+    val repPairs = toks.as("x")
       .join(toks.as("y"),
         col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("shared") / (col("n_a") + col("n_b") - col("shared")))
+    expandGroupPairs(repPairs, groups, sizes)
+  }
+
+  /** Re-expand representative-level pairs (id_a, id_b, payload…) to all
+    * member pairs of the two groups, payload copied verbatim — exact when
+    * members are indistinguishable from their rep (identical text /
+    * identical signature). */
+  private def expandInter(repPairs: DataFrame, groups: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val pay = payload.map(col)
+    repPairs
+      .join(groups.select(col("rep").as("id_a"), col("members").as("_ms_a")), "id_a")
+      .join(groups.select(col("rep").as("id_b"), col("members").as("_ms_b")), "id_b")
+      .select(pay :+ explode(col("_ms_a")).as("a") :+ col("_ms_b"): _*)
+      .select(pay :+ col("a") :+ explode(col("_ms_b")).as("b"): _*)
+      .select(least(col("a"), col("b")).as("id_a") +:
+        greatest(col("a"), col("b")).as("id_b") +: pay: _*)
+  }
+
+  /** All (a < b) member pairs within each multi-member group. */
+  private def intraPairs(groups: DataFrame): DataFrame =
+    groups.filter(size(col("members")) > 1)
+      .select(col("rep"), explode(col("members")).as("a"), col("members"))
+      .select(col("rep"), col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("rep"), col("a").as("id_a"), col("b").as("id_b"))
+
+  /** Expansion for jaccardPairs: intra-group pairs carry (shared = group
+    * set size, jaccard = 1.0) — exact for identical texts. */
+  private def expandGroupPairs(repPairs: DataFrame, groups: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val inter = expandInter(repPairs, groups, Seq("shared", "jaccard"))
+    val intra = intraPairs(groups)
+      .join(sizes.select(col("doc_id").as("rep"), col("n")), "rep")
+      .select(col("id_a"), col("id_b"),
+        col("n").as("shared"), lit(1.0).as("jaccard"))
+    inter.unionByName(intra)
   }
 
   // q33: exact Jaccard near-dup pairs on a bounded block (doc_id < 100).
@@ -195,16 +247,25 @@ object Dedup {
   /** LSH candidate pairs: 16 bands × 4 rows; docs sharing any band bucket
     * become candidates; est_jaccard = matching-component fraction of the
     * full signatures. The band join shuffles only (band, hash, id).
+    *
+    * Identical signatures collapse behind a min-id representative before
+    * the band join (they'd collide in every band — k clones → k²·bands
+    * joined rows); member pairs re-expand afterwards with est_jaccard
+    * copied (identical signatures ⇒ the per-pair estimate is the same
+    * value, 1.0 intra-group). No-op on a signature-distinct corpus.
     */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, gram)
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repSigs = sigs.join(groups.select(col("rep").as("doc_id")), "doc_id")
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64(((0 until BandRows).map(j => col(s"m${bi * BandRows + j}")) :+ lit(bi)): _*)
           .as("bh"))
     }
-    val buckets = sigs
+    val buckets = repSigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = buckets.as("x")
@@ -213,15 +274,18 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+    val sa = repSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = repSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val repPairs = cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    expandInter(repPairs, groups, Seq("est_jaccard"))
+      .unionByName(intraPairs(groups)
+        .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard")))
   }
 
   /** MinHash-LSH dedup: drop every doc that is the higher-id member of a
@@ -271,16 +335,22 @@ object Dedup {
   }
 
   /** LSH candidates + est_jaccard from the sha256 signatures; same shape as
-    * minhashCandidates (band equi-join, (band, bucket, id) shuffle only). */
+    * minhashCandidates (band equi-join, (band, bucket, id) shuffle only),
+    * including the identical-signature collapse — the oracle (pairwise SQL)
+    * confirms the expansion is exact, not approximate. */
   def minhashShaCandidates(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val sigs = minhashShaSignatures(docs, textCol, idCol)
+    val groups = sigs
+      .groupBy(array((0 until ShaHashes).map(i => col(s"m$i")): _*).as("_sig"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repSigs = sigs.join(groups.select(col("rep").as("doc_id")), "doc_id")
     val bandCols = (0 until ShaBands).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"m${ShaBandRows * b}"), lit("|"),
           col(s"m${ShaBandRows * b + 1}")).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    val buckets = repSigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -288,16 +358,19 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sa = sigs.select(col("doc_id").as("id_a") +:
+    val sa = repSigs.select(col("doc_id").as("id_a") +:
       (0 until ShaHashes).map(i => col(s"m$i").as(s"a$i")): _*)
-    val sb = sigs.select(col("doc_id").as("id_b") +:
+    val sb = repSigs.select(col("doc_id").as("id_b") +:
       (0 until ShaHashes).map(i => col(s"m$i").as(s"b$i")): _*)
-    cand.join(sa, "id_a").join(sb, "id_b")
+    val repPairs = cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         (0 until ShaHashes)
           .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
           .reduce(_ + _) / lit(ShaHashes.toDouble))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    expandInter(repPairs, groups, Seq("est_jaccard"))
+      .unionByName(intraPairs(groups)
+        .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard")))
   }
 
   // q51: sha256-MinHash-LSH near-dup candidates (est_jaccard ≥ 0.5) on the

@@ -334,6 +334,11 @@ object Similarity {
       array_to_vector(col("v")).as("features"))
     val fitOn = if (sampleFraction >= 1.0) vecs
       else vecs.sample(withReplacement = false, sampleFraction, seed)
+    // F6-style empty gate: KMeans cannot fit on zero vectors; an empty
+    // corpus has no neighbors to return.
+    if (fitOn.isEmpty)
+      return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rn"))
     val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
       .fit(fitOn.select("features"))
     val assigned = model.transform(vecs)

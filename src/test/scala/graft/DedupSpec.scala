@@ -29,6 +29,46 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((4L, 5L))) // no shared tokens → no pair
   }
 
+  test("clone-heavy corpus: collapsed jaccardPairs equals brute-force pairwise") {
+    // 4 distinct texts, each with several exact clones — the shape that
+    // made uncollapsed pairing quadratic at 50×. Expansion must reproduce
+    // the exact brute-force pair set and values.
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "one two three four five six",
+      "unrelated words entirely different content here")
+    val docs = (0 until 12).map(i => (i.toLong, texts(i % 4))).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "text", "doc_id")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // brute force in test code
+    val sets = (0 until 12).map(i => i.toLong -> texts(i % 4).split("\\s+").toSet).toMap
+    val expected = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield ((a, b), (inter.toLong,
+      inter.toDouble / (sets(a).size + sets(b).size - inter)))).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+  }
+
+  test("clone-heavy corpus: minhash candidates cover all clone pairs at est 1.0") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six")
+    val docs = (0 until 10).map(i => (i.toLong, texts(i % 2))).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val clonePairs = (for {
+      a <- 0L until 10L; b <- (a + 1) until 10L if a % 2 == b % 2
+    } yield (a, b)).toSet
+    clonePairs.foreach { p =>
+      assert(cand.get(p).contains(1.0), s"clone pair $p missing or est != 1.0")
+    }
+  }
+
   test("minhash finds planted exact and near dups; skips unrelated docs") {
     val cand = Dedup.minhashCandidates(planted, "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

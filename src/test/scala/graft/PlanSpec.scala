@@ -70,4 +70,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q38: LSH bucketing runs as one fused srp_signature expression") {
+    val p = plan(graft.operators.Similarity.q38(spark, sfDir))
+    assert(p.contains("srp_signature"), p)
+    // no interpreted per-plane HOF folds left in the bucketing path
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("q41: IVF centroids are one aggregate — no posexplode shuffle") {
+    val p = plan(graft.operators.Similarity.q41(spark, sfDir))
+    // the old shape exploded v to n·dim rows (Generate) and re-assembled
+    // with collect_list; both must be gone
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("q52: hash-ranked exact-n sample compiles to TakeOrderedAndProject") {
+    val p = plan(graft.ops.RefQueries.q52(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort would not survive 100 TB: " + p)
+  }
 }

@@ -56,6 +56,22 @@ object EventsStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Streaming CONTENT dedup — the ingestion gate of a training-data
+    * pipeline: documents arriving on a stream are dropped if their text
+    * digest was already seen inside the watermark horizon. Only the
+    * 32-byte sha-256 digest enters the dedup state, never the text —
+    * state size is 32B × docs-per-horizon regardless of document length.
+    * (Cross-horizon exact dedup belongs to the batch pass, Dedup
+    * .exactDedupIds; near-dup stays batch-only by design — MinHash/SRP
+    * banding needs corpus-wide joins.)
+    */
+  def dedupDocsByContent(docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs.withColumn("_fp", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output
     * to the warehouse" boundary, streaming edition). */

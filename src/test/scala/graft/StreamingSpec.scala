@@ -51,6 +51,29 @@ class StreamingSpec extends SparkTestBase {
     assert(n == distinctIds, s"expected $distinctIds unique events, got $n")
   }
 
+  test("streaming content dedup drops identical texts, keeps distinct ones") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("id") * 1000000))
+    val q = EventsStream.dedupDocsByContent(docs, "ts", "text")
+      .select("id")
+      .writeStream.format("memory").queryName("content_dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      input.addData((4L, "gamma"), (5L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("content_dedup_out").collect().map(_.getLong(0)).toSet
+    // 2 dups of "alpha beta"→keep one; "gamma" replay in-horizon dropped
+    assert(kept.intersect(Set(1L, 2L)).size == 1)
+    assert(kept.contains(3L) != kept.contains(4L))
+    assert(kept.contains(5L))
+  }
+
   test("foreachBatch sink hands each micro-batch to the batch writer") {
     val got = new java.util.concurrent.atomic.AtomicLong(0)
     val batches = new java.util.concurrent.atomic.AtomicLong(0)

@@ -94,12 +94,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
+    // first(text) is exact within a digest group (all values identical),
+    // so no join back to docs is needed to recover the rep's text
     val groups = docs
-      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("_fp"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        sha2(col(textCol), 256).as("_fp"))
       .groupBy(col("_fp"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-    val repDocs = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-      .join(groups.select(col("rep").as("doc_id")), "doc_id")
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
+        first(col("_text")).as("_text"))
+    val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repPairs = toks.as("x")
@@ -257,9 +260,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, gram)
+    // the group KEY is the signature, so reps need no join back to sigs:
+    // component i is sig[i]
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-    val repSigs = sigs.join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
+      .select(col("doc_id") +: col("sig") +:
+        (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
     val bandCols = (0 until NumBands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64(((0 until BandRows).map(j => col(s"m${bi * BandRows + j}")) :+ lit(bi)): _*)
@@ -344,7 +351,8 @@ object Dedup {
     val groups = sigs
       .groupBy(array((0 until ShaHashes).map(i => col(s"m$i")): _*).as("_sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-    val repSigs = sigs.join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val repSigs = groups.select(col("rep").as("doc_id") +:
+      (0 until ShaHashes).map(i => col("_sig")(i).as(s"m$i")): _*)
     val bandCols = (0 until ShaBands).map { b =>
       struct(lit(b).as("band"),
         concat(col(s"m${ShaBandRows * b}"), lit("|"),

@@ -468,6 +468,61 @@ object Dedup {
   def q35(s: SparkSession, dir: String): DataFrame =
     simhash(documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))
 
+  /** SimHash on SHA-256 — the oracle-able twin of `simhash` (same 64
+    * sum-aggregate shape): token bit j comes from hex nibble j/4 of the
+    * digest (ascii-decoded — both engines agree on lowercase hex), so the
+    * per-doc 64-bit hash is reproducible in DuckDB. Tokens are NOT
+    * deduped, matching `simhash` (occurrence-weighted bit sums). */
+  def simhashSha(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", sha2(col("t"), 256))
+    def hexVal(pos: Int): Column = {
+      val a = ascii(substring(col("h"), pos, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    val bitAggs = (0 until 64).map { j =>
+      val bit = shiftright(hexVal(j / 4 + 1), 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"b$j")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val hash = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  // q56: sha256-SimHash per doc — oracle-green where q35 is rows-only.
+  def q56(s: SparkSession, dir: String): DataFrame =
+    simhashSha(documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))
+
+  val q56Sql: String = {
+    def hexv(pos: Int): String =
+      s"(CASE WHEN ascii(substring(h, $pos, 1)) <= 57" +
+        s" THEN ascii(substring(h, $pos, 1)) - 48" +
+        s" ELSE ascii(substring(h, $pos, 1)) - 87 END)"
+    val sums = (0 until 64)
+      .map(j => s"sum((((${hexv(j / 4 + 1)} >> ${3 - j % 4}) & 1) * 2 - 1)) AS b$j")
+      .mkString(",\n    ")
+    // DuckDB checks overflow on BIGINT << 63; bit 63 is Long.MinValue
+    val hash = (0 until 64)
+      .map {
+        case 63 => "(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT" +
+          " ELSE 0::BIGINT END)"
+        case j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+      }
+      .mkString(" | ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, sha256(t) AS h FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |    FROM documents)),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $hash AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
   // ── winnowing (rolling-hash fingerprints) ──────────────────────────────
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
@@ -584,12 +639,14 @@ object Dedup {
     "q42_winnowing" -> q42,
     "q51_minhash_sha" -> q51,
     "q53_winnowing_sha" -> q53,
-    "q54_trigram_jaccard" -> q54)
+    "q54_trigram_jaccard" -> q54,
+    "q56_simhash_sha" -> q56)
 
   val oracle: Map[String, String] = Map(
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,
     "q53_winnowing_sha" -> q53Sql,
-    "q54_trigram_jaccard" -> q54Sql)
+    "q54_trigram_jaccard" -> q54Sql,
+    "q56_simhash_sha" -> q56Sql)
 }

@@ -631,6 +631,69 @@ object Dedup {
       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ── q57: the whole training-data-prep pipeline in one declarative plan —
+  //        quality filter → exact dedup (keep lowest id per digest) →
+  //        trigram-Jaccard near-dup removal (drop the higher id of every
+  //        ≥0.5 pair) → 25% content-hash sample. Every stage is the
+  //        sha/integer-exact form, so the END-TO-END composition is
+  //        oracle-verified, not just each stage in isolation. This is the
+  //        "documents in → training set out" call a reference user would
+  //        run; Catalyst fuses the stages into one job graph (no
+  //        intermediate materialization).
+  def trainingPrep(docs: DataFrame): DataFrame = {
+    val quality = docs.filter(graft.ops.TextQueries.qualityScore >= 0.5)
+    val exact = quality.join(exactDedupIds(quality, "text", "doc_id"),
+      Seq("doc_id"), "left_semi")
+    val drops = jaccardPairs(exact, "text", "doc_id", gram = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(drops, Seq("doc_id"), "left_anti")
+      .filter(substring(sha2(col("doc_id").cast("string"), 256), 1, 1) < "4")
+  }
+
+  def q57(s: SparkSession, dir: String): DataFrame =
+    trainingPrep(documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val q57Sql: String =
+    """WITH quality AS (
+      |  SELECT * FROM documents
+      |  WHERE round((least(n_chars / 500.0, 1.0) * 0.5
+      |       + least(len(regexp_extract_all(text, '\S+')) / 80.0, 1.0) * 0.3
+      |       + least(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) / 5.0, 1.0) * 0.2)
+      |      * 10000) / 10000.0 >= 0.5),
+      |keep_exact AS (
+      |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY sha256(text)),
+      |exact AS (
+      |  SELECT q.* FROM quality q WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)),
+      |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM exact),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |        ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |              for i in range(1, len(toks) - 1)]
+      |      END) AS t
+      |    FROM tok)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM pairs
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5)
+      |SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |FROM exact
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |  AND substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
@@ -640,9 +703,11 @@ object Dedup {
     "q51_minhash_sha" -> q51,
     "q53_winnowing_sha" -> q53,
     "q54_trigram_jaccard" -> q54,
-    "q56_simhash_sha" -> q56)
+    "q56_simhash_sha" -> q56,
+    "q57_training_prep" -> q57)
 
   val oracle: Map[String, String] = Map(
+    "q57_training_prep" -> q57Sql,
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,

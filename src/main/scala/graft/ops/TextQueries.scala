@@ -138,16 +138,24 @@ object TextQueries {
   //        training-data filter stage: weighted blend of length, token
   //        count, and stopword signals, deterministic arithmetic only
   //        (divisions of exact ints → bit-identical in DuckDB).
-  def q45(s: SparkSession, dir: String): DataFrame = {
+  /** Rounded quality score over (text, n_chars) — weighted blend of
+    * length, token count, and stopword signals; round4'd so both engines
+    * agree bit-for-bit. Shared by q45 and the q57 training-prep pipeline. */
+  def qualityScore: org.apache.spark.sql.Column = {
     val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
     val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long")
     val score =
       least(col("n_chars") / 500.0, lit(1.0)) * 0.5 +
         least(nTokens / 80.0, lit(1.0)) * 0.3 +
         least(nStop / 5.0, lit(1.0)) * 0.2
+    round(score * 10000) / 10000.0
+  }
+
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
     documents(s, dir)
       .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
-        (round(score * 10000) / 10000.0).as("quality_score"))
+        qualityScore.as("quality_score"))
       .withColumn("keep", col("quality_score") >= 0.5)
       .orderBy(col("doc_id"))
   }

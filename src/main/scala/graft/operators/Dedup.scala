@@ -694,6 +694,34 @@ object Dedup {
       |  AND substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
       |ORDER BY doc_id""".stripMargin
 
+  // ── q58: stratified per-key sampling — exactly n docs PER LANGUAGE,
+  //        membership ranked by content hash (deterministic, partition-
+  //        independent — the q52 sampler stratified by group). Runs on the
+  //        custom TopKPerKey operator: one hash-shuffle + bounded heap per
+  //        key, no per-partition sort, no Window. The balance-by-group
+  //        primitive of training-data curation (cap any one
+  //        language/source/domain at n).
+  def stratifiedSample(docs: DataFrame, keyCol: String, idCol: String,
+      n: Int): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey.of(
+        docs.withColumn("_h", sha2(col(idCol).cast("string"), 256)),
+        keys = Seq(keyCol),
+        orderBy = Seq("_h" -> true, idCol -> true), k = n)
+
+  def q58(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(documents(s, dir), "lang", "doc_id", n = 20)
+      .orderBy(col("lang"), col("_h"), col("doc_id"))
+      .select(col("lang"), col("doc_id"))
+
+  val q58Sql: String =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 20
+      |ORDER BY lang, sha256(CAST(doc_id AS VARCHAR)), doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
@@ -704,10 +732,12 @@ object Dedup {
     "q53_winnowing_sha" -> q53,
     "q54_trigram_jaccard" -> q54,
     "q56_simhash_sha" -> q56,
-    "q57_training_prep" -> q57)
+    "q57_training_prep" -> q57,
+    "q58_stratified_sample" -> q58)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
+    "q58_stratified_sample" -> q58Sql,
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,

@@ -18,6 +18,16 @@ import graft.ops.TextQueries.tokens
   */
 object Dedup {
 
+  /** Canonical text normalization for dedup: lowercase, strip everything
+    * but [a-z0-9] and whitespace, collapse whitespace runs, trim. Same
+    * regexes evaluate identically in Java and DuckDB RE2 — oracle-able.
+    * Normalizing BEFORE exact dedup catches the case/punctuation variants
+    * that raw digests miss (the standard canonicalize→dedup order of a
+    * pretraining pipeline). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   // ── exact dedup ────────────────────────────────────────────────────────
 
   /** Exact dedup keeping the lowest id per identical text — deterministic,
@@ -43,6 +53,26 @@ object Dedup {
     """SELECT source, count(*) AS n_docs,
       |  count(DISTINCT text) AS n_unique,
       |  count(*) - count(DISTINCT text) AS n_dupes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // q59: dedup stats on NORMALIZED text vs raw — how many extra duplicates
+  //      canonicalization exposes per source (norm_dupes ≥ raw_dupes
+  //      always; the gap is the case/punctuation-variant population).
+  def q59(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), col("text"), normalizeText(col("text")).as("_norm"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("raw_dupes"),
+        (count(lit(1)) - countDistinct(col("_norm"))).as("norm_dupes"))
+      .orderBy(col("source"))
+
+  val q59Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(*) - count(DISTINCT text) AS raw_dupes,
+      |  count(*) - count(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_dupes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ── token-set Jaccard (exact pairwise; the oracle for MinHash) ─────────
@@ -733,11 +763,13 @@ object Dedup {
     "q54_trigram_jaccard" -> q54,
     "q56_simhash_sha" -> q56,
     "q57_training_prep" -> q57,
-    "q58_stratified_sample" -> q58)
+    "q58_stratified_sample" -> q58,
+    "q59_norm_dedup" -> q59)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
+    "q59_norm_dedup" -> q59Sql,
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,

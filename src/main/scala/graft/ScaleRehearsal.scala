@@ -66,6 +66,9 @@ object ScaleRehearsal {
       Seq("region", "nation", "supplier", "part").foreach(t =>
         w(t, Tables.table(spark, src, t)))
       done.createNewFile()
+      // the generation above read fixtures through Tables — drop memoized
+      // plans so the timing loop below re-lists the freshly written files
+      Tables.invalidate()
       println(s"generated ${replicas}x fixtures in $work")
     }
 

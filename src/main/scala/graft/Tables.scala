@@ -21,6 +21,11 @@ object Tables {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop all memoized relations. MUST be called after rewriting any path
+    * previously read through `table` in the same JVM — a memoized plan
+    * pins the old file listing (stale rows / FileNotFound otherwise). */
+  def invalidate(): Unit = memo.clear()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     memo.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))

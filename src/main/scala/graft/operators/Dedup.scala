@@ -19,14 +19,17 @@ import graft.ops.TextQueries.tokens
 object Dedup {
 
   /** Canonical text normalization for dedup: lowercase, strip everything
-    * but [a-z0-9] and whitespace, collapse whitespace runs, trim. Same
-    * regexes evaluate identically in Java and DuckDB RE2 — oracle-able.
+    * but [a-z0-9] and whitespace, collapse whitespace runs, trim.
+    * Whitespace is the EXPLICIT class [\t\n\f\r ] rather than \s — Java's
+    * \s includes vertical tab (\x0B), RE2's does not, so \s would silently
+    * diverge from the DuckDB oracle on a \x0B-bearing document.
     * Normalizing BEFORE exact dedup catches the case/punctuation variants
     * that raw digests miss (the standard canonicalize→dedup order of a
     * pretraining pipeline). */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(c), "[^a-z0-9\\t\\n\\f\\r ]", ""),
+      "[\\t\\n\\f\\r ]+", " "))
 
   // ── exact dedup ────────────────────────────────────────────────────────
 
@@ -72,7 +75,7 @@ object Dedup {
     """SELECT source, count(*) AS n_docs,
       |  count(*) - count(DISTINCT text) AS raw_dupes,
       |  count(*) - count(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
-      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_dupes
+      |    '[^a-z0-9\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g'))) AS norm_dupes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ── token-set Jaccard (exact pairwise; the oracle for MinHash) ─────────

@@ -49,12 +49,14 @@ object EventsStream {
         col("n_events"), col("sum_value"))
 
   /** Streaming exact dedup: drop replayed events by id within the
-    * watermark horizon — the streaming face of the dedup operator family
-    * (state bounded by the watermark; an unbounded-key stream MUST have
-    * one or state grows forever). */
+    * watermark horizon — the streaming face of the dedup operator family.
+    * MUST be dropDuplicatesWithinWatermark: plain dropDuplicates on a key
+    * that excludes the event-time column never evicts its state (the
+    * watermark bounds nothing), so the id set grows forever on an
+    * unbounded stream. */
   def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming CONTENT dedup — the ingestion gate of a training-data
     * pipeline: documents arriving on a stream are dropped if their text
@@ -69,7 +71,9 @@ object EventsStream {
       watermarkDelay: String = "1 hour"): DataFrame =
     docs.withColumn("_fp", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("_fp")
+      // WithinWatermark, for the same reason as dedupEvents: a digest-only
+      // key under plain dropDuplicates is never evicted
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch

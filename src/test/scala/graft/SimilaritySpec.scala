@@ -134,6 +134,29 @@ class SimilaritySpec extends SparkTestBase {
       s"missing=${(all -- expectedDropped) -- kept} extra-dropped=${kept & expectedDropped}")
   }
 
+  test("SRP collapse: clone groups yield ALL member pairs, incl. member-member") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777L)
+    val v1 = Array.fill(64)(rng.nextGaussian())
+    val v2 = Array.fill(64)(rng.nextGaussian())
+    // group A: ids 0,5,9 identical; group B: ids 1,7 identical
+    val e = Seq(0L -> v1, 5L -> v1, 9L -> v1, 1L -> v2, 7L -> v2)
+      .toDF("vec_id", "v")
+    val pairs = Similarity.srpCandidatePairs(e)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intraA = Set((0L, 5L), (0L, 9L), (5L, 9L))
+    val intraB = Set((1L, 7L))
+    assert(intraA.subsetOf(pairs), s"missing intra-A pairs: ${intraA -- pairs}")
+    assert(intraB.subsetOf(pairs), s"missing intra-B pairs: ${intraB -- pairs}")
+    // if A and B happen to share a band, ALL 3×2 cross pairs must appear
+    val cross = for { a <- Seq(0L, 5L, 9L); b <- Seq(1L, 7L) }
+      yield (math.min(a, b), math.max(a, b))
+    val crossFound = pairs -- intraA -- intraB
+    assert(crossFound.isEmpty || crossFound == cross.toSet,
+      s"partial cross-group expansion: $crossFound")
+  }
+
   test("SRP-LSH: finds every planted near-dup while pruning hard") {
     import spark.implicits._
     // 60 random unit-ish vectors + 6 near-clones (tiny noise → cos > 0.99)

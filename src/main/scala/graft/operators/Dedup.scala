@@ -675,8 +675,13 @@ object Dedup {
   //        intermediate materialization).
   def trainingPrep(docs: DataFrame): DataFrame = {
     val quality = docs.filter(graft.ops.TextQueries.qualityScore >= 0.5)
-    val exact = quality.join(exactDedupIds(quality, "text", "doc_id"),
-      Seq("doc_id"), "left_semi")
+    // keep-lowest-id per digest as ONE min_by aggregate — same semantics
+    // as exactDedupIds + semi join, one scan and one shuffle fewer
+    val exact = quality
+      .groupBy(sha2(col("text"), 256).as("_fp"))
+      .agg(min_by(struct(quality.columns.map(col).toIndexedSeq: _*),
+        col("doc_id")).as("_r"))
+      .select(col("_r.*"))
     val drops = jaccardPairs(exact, "text", "doc_id", gram = 3)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()

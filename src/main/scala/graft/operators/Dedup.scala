@@ -150,29 +150,12 @@ object Dedup {
     expandGroupPairs(repPairs, groups, sizes)
   }
 
-  /** Re-expand representative-level pairs (id_a, id_b, payload…) to all
-    * member pairs of the two groups, payload copied verbatim — exact when
-    * members are indistinguishable from their rep (identical text /
-    * identical signature). */
   private def expandInter(repPairs: DataFrame, groups: DataFrame,
-      payload: Seq[String]): DataFrame = {
-    val pay = payload.map(col)
-    repPairs
-      .join(groups.select(col("rep").as("id_a"), col("members").as("_ms_a")), "id_a")
-      .join(groups.select(col("rep").as("id_b"), col("members").as("_ms_b")), "id_b")
-      .select(pay :+ explode(col("_ms_a")).as("a") :+ col("_ms_b"): _*)
-      .select(pay :+ col("a") :+ explode(col("_ms_b")).as("b"): _*)
-      .select(least(col("a"), col("b")).as("id_a") +:
-        greatest(col("a"), col("b")).as("id_b") +: pay: _*)
-  }
+      payload: Seq[String]): DataFrame =
+    GroupExpand.expandInter(repPairs, groups, payload)
 
-  /** All (a < b) member pairs within each multi-member group. */
   private def intraPairs(groups: DataFrame): DataFrame =
-    groups.filter(size(col("members")) > 1)
-      .select(col("rep"), explode(col("members")).as("a"), col("members"))
-      .select(col("rep"), col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("rep"), col("a").as("id_a"), col("b").as("id_b"))
+    GroupExpand.intraPairs(groups)
 
   /** Expansion for jaccardPairs: intra-group pairs carry (shared = group
     * set size, jaccard = 1.0) — exact for identical texts. */

@@ -177,12 +177,9 @@ object Similarity {
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
     // ALL member pairs within a group (identical signatures ⇒ candidates),
     // not just rep→member: member↔member pairs carry their own exact
-    // cosines downstream
-    val intra = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("id_a"), col("b").as("id_b"))
+    // cosines downstream (identical sign pattern does NOT imply the exact
+    // cosine clears a caller's threshold, so no pair may be skipped)
+    val intra = GroupExpand.intraPairs(groups).select(col("id_a"), col("id_b"))
     // bucket join and distinct move ONLY (band, sig, rep) — never the
     // vectors: dragging two 64-double arrays through the shuffle+distinct
     // was 8× the query's cost. Vectors re-attach afterwards via two joins
@@ -196,13 +193,7 @@ object Similarity {
       .distinct()
     // re-expand rep pairs to every member combination (groups are
     // disjoint, so no pair is emitted twice)
-    val inter = interReps
-      .join(groups.select(col("rep").as("id_a"), col("members").as("_ms_a")), "id_a")
-      .join(groups.select(col("rep").as("id_b"), col("members").as("_ms_b")), "id_b")
-      .select(explode(col("_ms_a")).as("a"), col("_ms_b"))
-      .select(col("a"), explode(col("_ms_b")).as("b"))
-      .select(least(col("a"), col("b")).as("id_a"),
-        greatest(col("a"), col("b")).as("id_b"))
+    val inter = GroupExpand.expandInter(interReps, groups, Seq.empty)
     inter.union(intra)
       .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -346,16 +337,21 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val vecs = e.select(col("vec_id"), col("v"),
       array_to_vector(col("v")).as("features"))
+    // The sample is cached so the isEmpty probe and the fit read the same
+    // materialization (one pass, no reliance on seeded re-sampling being
+    // deterministic across plan re-executions).
+    val sampled = if (sampleFraction >= 1.0) vecs
+      else vecs.sample(withReplacement = false, sampleFraction, seed).cache()
+    // A Bernoulli sample of a small corpus can come back empty — fall back
+    // to the full corpus rather than silently returning no neighbors.
+    val sampleEmpty = sampled.isEmpty
+    val fitOn = if (sampleEmpty) vecs else sampled
     // F6-style empty gate: KMeans cannot fit on zero vectors; an empty
-    // corpus has no neighbors to return.
-    if (vecs.isEmpty)
+    // corpus has no neighbors to return. (Only reachable when the sample
+    // was empty, so at most one extra action runs on the corpus.)
+    if (sampleEmpty && fitOn.isEmpty)
       return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
         lit(0.0).as("cos_sim"), lit(0L).as("rn"))
-    val sampled = if (sampleFraction >= 1.0) vecs
-      else vecs.sample(withReplacement = false, sampleFraction, seed)
-    // a Bernoulli sample of a small corpus can come back empty — fall back
-    // to the full corpus rather than silently returning no neighbors
-    val fitOn = if (sampled.isEmpty) vecs else sampled
     val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
       .fit(fitOn.select("features"))
     val assigned = model.transform(vecs)

@@ -136,10 +136,39 @@ class SimilaritySpec extends SparkTestBase {
 
   test("SRP collapse: clone groups yield ALL member pairs, incl. member-member") {
     import spark.implicits._
+    // Group A: ids 0,5,9 share vector v1; group B: ids 1,7 share a
+    // perturbation of v1. The perturbation magnitude is searched until the
+    // two groups have DISTINCT signatures that still share ≥1 band — so the
+    // inter-group member-expansion path is guaranteed to execute (a fixed
+    // magnitude can silently land on merged groups or zero shared bands,
+    // making the cross assertions vacuous — an earlier draft did).
     val rng = new scala.util.Random(777L)
     val v1 = Array.fill(64)(rng.nextGaussian())
-    val v2 = Array.fill(64)(rng.nextGaussian())
-    // group A: ids 0,5,9 identical; group B: ids 1,7 identical
+    val noise = Array.fill(64)(rng.nextGaussian())
+    // Re-derive the pinned SRP geometry for n=5 (srpParams) and the seeded
+    // planes, so the test KNOWS whether the two groups have distinct
+    // signatures sharing ≥1 band (the precondition for the inter path)
+    // instead of inferring it from output shape.
+    val (bands, rows) = Similarity.srpParams(5)
+    val planes = {
+      val prng = new scala.util.Random(424242L)
+      Array.fill(bands * rows * 64)(prng.nextGaussian())
+    }
+    def sig(v: Array[Double]): Seq[Long] =
+      (0 until bands).map { b =>
+        (0 until rows).foldLeft(0L) { (acc, r) =>
+          val off = (b * rows + r) * 64
+          val d = (0 until 64).map(i => v(i) * planes(off + i)).sum
+          if (d > 0) acc | (1L << r) else acc
+        }
+      }
+    val s1 = sig(v1)
+    val eps = Seq(0.02, 0.05, 0.1, 0.2, 0.4, 0.8).find { e =>
+      val s2 = sig(v1.zip(noise).map { case (x, n) => x + e * n })
+      s2 != s1 && s1.zip(s2).exists { case (a, b) => a == b }
+    }
+    assert(eps.nonEmpty, "no magnitude gives distinct sigs sharing a band")
+    val v2 = v1.zip(noise).map { case (x, n) => x + eps.get * n }
     val e = Seq(0L -> v1, 5L -> v1, 9L -> v1, 1L -> v2, 7L -> v2)
       .toDF("vec_id", "v")
     val pairs = Similarity.srpCandidatePairs(e)
@@ -147,14 +176,14 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val intraA = Set((0L, 5L), (0L, 9L), (5L, 9L))
     val intraB = Set((1L, 7L))
-    assert(intraA.subsetOf(pairs), s"missing intra-A pairs: ${intraA -- pairs}")
-    assert(intraB.subsetOf(pairs), s"missing intra-B pairs: ${intraB -- pairs}")
-    // if A and B happen to share a band, ALL 3×2 cross pairs must appear
-    val cross = for { a <- Seq(0L, 5L, 9L); b <- Seq(1L, 7L) }
-      yield (math.min(a, b), math.max(a, b))
-    val crossFound = pairs -- intraA -- intraB
-    assert(crossFound.isEmpty || crossFound == cross.toSet,
-      s"partial cross-group expansion: $crossFound")
+    val cross = (for { a <- Seq(0L, 5L, 9L); b <- Seq(1L, 7L) }
+      yield (math.min(a, b), math.max(a, b))).toSet
+    assert(intraA.subsetOf(pairs), s"missing intra-A: ${intraA -- pairs}")
+    assert(intraB.subsetOf(pairs), s"missing intra-B: ${intraB -- pairs}")
+    // groups are distinct and share a band by construction → the FULL
+    // cross-product must be present (partial = broken inter expansion)
+    assert((pairs -- intraA -- intraB) == cross,
+      s"cross-group expansion incomplete: got ${pairs -- intraA -- intraB}")
   }
 
   test("SRP-LSH: finds every planted near-dup while pruning hard") {

@@ -647,6 +647,93 @@ object Dedup {
       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ── q60: winnowing near-dup PAIRS on the sha256 fingerprints — docs
+  //        sharing ≥ minShared winnowed fingerprints (equi-join on
+  //        fingerprint, same scale shape as MinHash bands), clone-collapsed
+  //        like every pairing operator (identical texts → one rep, exact
+  //        re-expansion; intra-group pairs share the rep's whole
+  //        fingerprint set). Fully oracle-able: fingerprints are sha hex.
+  //        Gram size is 16 chars (vs q53's 8): on a small-vocabulary
+  //        corpus 8-char grams collide everywhere (10.3M pairs at sf0.1 —
+  //        measured); ~2-word grams make the fingerprint join selective
+  //        (703 pairs ≥5 shared at sf0.1). Same lesson as q54's trigram
+  //        shingles: selectivity comes from gram WIDTH, not thresholds.
+  def winnowingShaPairs(docs: DataFrame, textCol: String, idCol: String,
+      minShared: Long = 5, k: Int = 16, w: Int = 8): DataFrame = {
+    val groups = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        sha2(col(textCol), 256).as("_fp"))
+      .groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
+        first(col("_text")).as("_text"))
+    val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
+    val fp = winnowingFingerprintsSha(repDocs, "_text", "doc_id", k, w)
+      .select(col("doc_id"), explode(col("fingerprints")).as("w"))
+      .distinct()
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val repPairs = fp.as("x")
+      .join(fp.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+    val inter = GroupExpand.expandInter(repPairs, groups, Seq("shared_fp"))
+    val intra = GroupExpand.intraPairs(groups)
+      .join(nfp.select(col("doc_id").as("rep"), col("n_fp")), "rep")
+      .filter(col("n_fp") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_fp").as("shared_fp"))
+    inter.unionByName(intra)
+  }
+
+  def q60(s: SparkSession, dir: String): DataFrame =
+    winnowingShaPairs(documents(s, dir), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q60Sql: String =
+    """WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text,
+      |    count(*) AS n_members
+      |  FROM documents GROUP BY sha256(text)),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(text) >= 16
+      |      THEN [sha256(substr(text, CAST(i AS INT), 16)) for i in range(1, len(text) - 14)]
+      |      ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM reps),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[])
+      |         WHEN len(grams) < 8 THEN [list_min(grams)]
+      |         ELSE list_distinct([list_min(grams[CAST(j AS INT):CAST(j AS INT)+7])
+      |                             for j in range(1, len(grams) - 6)])
+      |    END AS fps
+      |  FROM g),
+      |fp AS (SELECT DISTINCT doc_id, unnest(fps) AS w FROM f),
+      |nfp AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+      |rep_pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared_fp
+      |  FROM fp x JOIN fp y ON x.w = y.w AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |memb AS (
+      |  SELECT r.doc_id AS rep, d.doc_id AS member
+      |  FROM reps r JOIN documents d ON sha256(d.text) = sha256(r.text)),
+      |inter AS (
+      |  SELECT least(ma.member, mb.member) AS id_a,
+      |    greatest(ma.member, mb.member) AS id_b, p.shared_fp
+      |  FROM rep_pairs p
+      |  JOIN memb ma ON ma.rep = p.id_a
+      |  JOIN memb mb ON mb.rep = p.id_b),
+      |intra AS (
+      |  SELECT ma.member AS id_a, mb.member AS id_b, n.n_fp AS shared_fp
+      |  FROM reps r
+      |  JOIN nfp n ON n.doc_id = r.doc_id
+      |  JOIN memb ma ON ma.rep = r.doc_id
+      |  JOIN memb mb ON mb.rep = r.doc_id AND ma.member < mb.member
+      |  WHERE r.n_members > 1 AND n.n_fp >= 5)
+      |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp FROM
+      |  (SELECT * FROM inter UNION ALL SELECT * FROM intra)
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ── q57: the whole training-data-prep pipeline in one declarative plan —
   //        quality filter → exact dedup (keep lowest id per digest) →
   //        trigram-Jaccard near-dup removal (drop the higher id of every
@@ -755,12 +842,14 @@ object Dedup {
     "q56_simhash_sha" -> q56,
     "q57_training_prep" -> q57,
     "q58_stratified_sample" -> q58,
-    "q59_norm_dedup" -> q59)
+    "q59_norm_dedup" -> q59,
+    "q60_winnowing_pairs" -> q60)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
     "q59_norm_dedup" -> q59Sql,
+    "q60_winnowing_pairs" -> q60Sql,
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,

@@ -667,9 +667,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
         first(col("_text")).as("_text"))
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
-    val fp = winnowingFingerprintsSha(repDocs, "_text", "doc_id", k, w)
-      .select(col("doc_id"), explode(col("fingerprints")).as("w"))
-      .distinct()
+    val fp = winnowingFingerprintRowsSha(repDocs, "_text", "doc_id", k, w)
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val repPairs = fp.as("x")
       .join(fp.as("y"),
@@ -683,6 +681,36 @@ object Dedup {
       .filter(col("n_fp") >= minShared)
       .select(col("id_a"), col("id_b"), col("n_fp").as("shared_fp"))
     inter.unionByName(intra)
+  }
+
+  /** (doc_id, fingerprint) ROWS via posexplode + window-min — bit-identical
+    * fingerprint set to `explode(winnowingFingerprintsSha(...))` but safe to
+    * consume downstream: exploding the array form is a performance TRAP —
+    * Generate makes the optimizer infer `size(fps) > 0` and push it to the
+    * scan with the WHOLE nested fingerprint expression substituted inline,
+    * where the interpreted window lambda re-evaluates every gram hash per
+    * window (measured: 66s for 500 docs vs 0.5s here). Full windows only
+    * (pos ≤ ng−w); a shorter-than-one-window doc contributes its global
+    * min at pos 0, matching the array form's fallback; empty docs vanish,
+    * matching what explode does to empty arrays.
+    */
+  def winnowingFingerprintRowsSha(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nGrams = length(col(textCol)) - (k - 1)
+    val grams = when(nGrams < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nGrams),
+        i => sha2(col(textCol).substr(i, lit(k)), 256)))
+    val g = docs.select(col(idCol).as("doc_id"),
+      posexplode(grams).as(Seq("pos", "g")))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    g.withColumn("m", min(col("g")).over(winMin))
+      .withColumn("ng", count(lit(1)).over(perDoc))
+      .filter(col("pos") <= col("ng") - w || (col("ng") < w && col("pos") === 0))
+      .select(col("doc_id"), col("m").as("w"))
+      .distinct()
   }
 
   def q60(s: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
+  /** Force FULL materialization of every output column. A bare `.count()`
+    * lets column pruning skip expensive projections entirely (measured:
+    * winnowing queries benched "free" while actually costing seconds), so
+    * each row is hashed across all columns and the hashes aggregated. */
+  private def drain(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("_h"))
+      .agg(count(lit(1)), bit_xor(col("_h"))).collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,10 +24,10 @@ object Bench {
     // shuffle paths — so the first timed query doesn't absorb session cost.
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
+      .foreach(fn => drain(fn(spark, sfDir)))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { drain(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

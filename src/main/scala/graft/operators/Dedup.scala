@@ -622,6 +622,11 @@ object Dedup {
 
   // q53: sha256-winnowing fingerprint stats per doc — oracle-green where
   //      q42 (xxhash64) can only be rows-only.
+  // The array form is the right shape HERE: fingerprints never meet a
+  // Generate (no inferred-filter inlining), the staged array is computed
+  // once per row, and scalar size/array_min beat the row-based window
+  // pipeline (measured 3.4s vs 4.9s at sf0.1). The row form exists for
+  // consumers that must explode (q60).
   def q53(s: SparkSession, dir: String): DataFrame =
     winnowingFingerprintsSha(documents(s, dir).repartition(col("doc_id")),
         "text", "doc_id")

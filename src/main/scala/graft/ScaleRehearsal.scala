@@ -85,7 +85,12 @@ object ScaleRehearsal {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val times = headline.map { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, work).count()
+      // same drain as Bench: hash every output column — count() lets
+      // column pruning skip expensive projections and under-measures
+      val df = SparkEntry.queries(name)(spark, work)
+      val n = df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+          .as("_h"))
+        .agg(count(lit(1)), bit_xor(col("_h"))).collect()(0).getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$name%-24s $dt%7.2f s   ($n rows)")
       name -> dt

@@ -778,8 +778,14 @@ object Dedup {
   //        intermediate materialization).
   def trainingPrep(docs: DataFrame): DataFrame = {
     val quality = docs.filter(graft.ops.TextQueries.qualityScore >= 0.5)
-    // keep-lowest-id per digest as ONE min_by aggregate — same semantics
-    // as exactDedupIds + semi join, one scan and one shuffle fewer
+    // Keep-lowest-id per digest as ONE min_by aggregate — same semantics
+    // as exactDedupIds + semi join, one scan and one shuffle fewer.
+    // Scale note: surviving text DOES cross this exchange (it must — the
+    // output needs the rows), same total bytes as the semi-join form
+    // whose corpus side also shuffles on the join key; the aggregation
+    // state is one buffered row per distinct digest per partition. The
+    // digest-only shuffle property documented on exactDedupIds applies to
+    // computing keep-IDS, not to materializing the surviving rows.
     val exact = quality
       .groupBy(sha2(col("text"), 256).as("_fp"))
       .agg(min_by(struct(quality.columns.map(col).toIndexedSeq: _*),

@@ -354,6 +354,9 @@ object Similarity {
         lit(0.0).as("cos_sim"), lit(0L).as("rn"))
     val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
       .fit(fitOn.select("features"))
+    // release the pinned sample — repeated calls would otherwise leak one
+    // cached RDD per invocation for the session lifetime
+    if (sampleFraction < 1.0) sampled.unpersist()
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("v"), col("prediction").as("list_id"))
     val cent = model.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -115,6 +115,61 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("winnowing row form ≡ exploded array form (incl. short/empty texts)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly today"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedly today"),
+      (3L, "tiny"),            // shorter than one gram → no fingerprints
+      (4L, "exactly 16 chars"), // one gram → one fingerprint (fallback)
+      (5L, ""),                 // empty
+      (6L, "a different sentence that shares nothing with the others here"))
+      .toDF("doc_id", "text")
+    val fromArray = Dedup.winnowingFingerprintsSha(docs, "text", "doc_id", 16, 8)
+      .select(col("doc_id"), explode(col("fingerprints")).as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromRows = Dedup.winnowingFingerprintRowsSha(docs, "text", "doc_id", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromRows == fromArray,
+      s"rows-only=${fromRows -- fromArray} array-only=${fromArray -- fromRows}")
+  }
+
+  test("winnowingShaPairs: clone groups expand fully with exact shared counts") {
+    val base = "the quick brown fox jumps over the lazy dog repeatedly " * 3
+    val docs = Seq(
+      1L -> base, 2L -> base, 3L -> base,        // 3-way exact clone group
+      4L -> (base + "with a changed tail here"), // near-dup of the group
+      5L -> ("entirely unrelated content string with nothing shared at all " * 3))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingShaPairs(docs, "text", "doc_id", minShared = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val nFp = Dedup.winnowingFingerprintRowsSha(
+        docs.filter(col("doc_id") === 1L), "text", "doc_id", 16, 8).count()
+    // all three intra pairs, each sharing the full fingerprint set
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).foreach { p =>
+      assert(pairs.get(p).contains(nFp), s"intra pair $p: ${pairs.get(p)}")
+    }
+    // the near-dup pairs every clone equally (inter expansion)
+    val withNear = Seq((1L, 4L), (2L, 4L), (3L, 4L)).map(pairs.get)
+    assert(withNear.forall(_.nonEmpty) && withNear.distinct.length == 1,
+      s"inter expansion must give identical counts: $withNear")
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("stratifiedSample returns exactly n rows per key, deterministically") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.stratifiedSample(docs, "lang", "doc_id", n = 7)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    val total = docs.groupBy(col("lang")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val expect = math.min(7L, total(r.getString(0)))
+      assert(r.getLong(1) == expect, s"${r.getString(0)}: ${r.getLong(1)}")
+    }
+    val a = Dedup.q58(spark, sfDir).collect().map(_.toString).toSeq
+    val b = Dedup.q58(spark, sfDir).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("shingles: n-gram windows; short texts fall back to whole text") {
     val sh = Seq((1L, "a b c d"), (2L, "x y"))
       .toDF("doc_id", "text")

@@ -27,5 +27,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured as the stable point for the 60-query bench at local[32]:
+  // 24g (with or without matching -Xms) made the window-heavy tail SLOWER
+  // and high-variance (q60: 10.9/11.2s at 8g vs 21-41s at 24g+Xms,
+  // 11.5/17.1s at 24g alone — G1 on a large lazily-faulted heap), while
+  // gc_sec stayed <0.5s at 8g. Bench JSON now emits per-query gc_sec so
+  // any environment-driven inflation is diagnosable from the artifact.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

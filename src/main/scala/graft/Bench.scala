@@ -25,15 +25,48 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => drain(fn(spark, sfDir)))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query must never flatter the bench as a ~0s win: record the
+    // error per-query, surface it on stderr, and emit it in the JSON line.
+    // Optional comma-separated subset for standalone measurement
+    // (e.g. SPARK_GRAFT_QUERIES=q60_winnowing_pairs,q11_clean_project).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter { case (k, _) => s(k) })
+    // Per-query GC seconds make any environment-driven inflation
+    // self-diagnosing in the artifact (r2's driver run recorded q60 at
+    // 84.9s vs 6.8s reproduced — unexplainable after the fact without
+    // this breakdown).
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { drain(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val gc0 = gcMillis
+      val err = try { drain(fn(spark, sfDir)); None } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, (gcMillis - gc0) / 1e3, err)
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -127,14 +127,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
-    // first(text) is exact within a digest group (all values identical),
-    // so no join back to docs is needed to recover the rep's text
+    // min_by(text, doc_id) recovers the rep's text without a join back to
+    // docs — self-evidently deterministic and identical in shape to the
+    // oracle SQL's min_by (any member's text would do: all values in a
+    // sha256 group are identical)
     val groups = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         sha2(col(textCol), 256).as("_fp"))
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
-        first(col("_text")).as("_text"))
+        min_by(col("_text"), col("doc_id")).as("_text"))
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -575,9 +577,8 @@ object Dedup {
     * bands). */
   def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
       minShared: Long = 3): DataFrame = {
-    val fp = winnowingFingerprints(docs, textCol, idCol)
-      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-      .distinct()
+    val fp = winnowingRows(docs, textCol, idCol, k = 8, w = 4, xxhash64(_))
+      .select(col("doc_id"), col("w").as("fp"))
     fp.as("x").join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -670,7 +671,7 @@ object Dedup {
         sha2(col(textCol), 256).as("_fp"))
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
-        first(col("_text")).as("_text"))
+        min_by(col("_text"), col("doc_id")).as("_text"))
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val fp = winnowingFingerprintRowsSha(repDocs, "_text", "doc_id", k, w)
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
@@ -688,35 +689,49 @@ object Dedup {
     inter.unionByName(intra)
   }
 
-  /** (doc_id, fingerprint) ROWS via posexplode + window-min — bit-identical
-    * fingerprint set to `explode(winnowingFingerprintsSha(...))` but safe to
-    * consume downstream: exploding the array form is a performance TRAP —
-    * Generate makes the optimizer infer `size(fps) > 0` and push it to the
-    * scan with the WHOLE nested fingerprint expression substituted inline,
-    * where the interpreted window lambda re-evaluates every gram hash per
-    * window (measured: 66s for 500 docs vs 0.5s here). Full windows only
-    * (pos ≤ ng−w); a shorter-than-one-window doc contributes its global
-    * min at pos 0, matching the array form's fallback; empty docs vanish,
-    * matching what explode does to empty arrays.
+  /** (doc_id, fingerprint) ROWS via position-explode + window-min —
+    * bit-identical fingerprint set to `explode(winnowingFingerprints*(...))`
+    * but safe to consume downstream. Two traps this shape dodges:
+    * (1) exploding the ARRAY form makes the optimizer infer `size(fps) > 0`
+    * and push it to the scan with the whole nested fingerprint expression
+    * substituted inline, where the interpreted window lambda re-evaluates
+    * every gram hash per window (measured: 66s for 500 docs vs 0.5s here);
+    * (2) exploding a pre-hashed GRAM array still inlines the full
+    * `transform(sequence, i => hash(substr))` into that inferred filter, so
+    * every gram is hashed twice — once for the filter, once for the
+    * Generate. So: explode the positions `sequence(1, nGrams)` (the
+    * inferred filter then inlines only cheap length arithmetic) and hash
+    * `substr(text, pos, k)` per row AFTER the Generate — each gram hashed
+    * exactly once, inside whole-stage codegen. Full windows only
+    * (pos ≤ ng−w+1, 1-based); a shorter-than-one-window doc contributes its
+    * global min at pos 1, matching the array form's fallback; empty docs
+    * vanish, matching what explode does to empty arrays.
     */
-  def winnowingFingerprintRowsSha(docs: DataFrame, textCol: String,
-      idCol: String, k: Int, w: Int): DataFrame = {
+  private def winnowingRows(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, gramHash: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nGrams = length(col(textCol)) - (k - 1)
-    val grams = when(nGrams < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nGrams),
-        i => sha2(col(textCol).substr(i, lit(k)), 256)))
-    val g = docs.select(col(idCol).as("doc_id"),
-      posexplode(grams).as(Seq("pos", "g")))
+    val idx = when(nGrams < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), nGrams))
+    val g = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_wtext"),
+        explode(idx).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        gramHash(col("_wtext").substr(col("pos"), lit(k))).as("g"))
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     val perDoc = Window.partitionBy(col("doc_id"))
     g.withColumn("m", min(col("g")).over(winMin))
       .withColumn("ng", count(lit(1)).over(perDoc))
-      .filter(col("pos") <= col("ng") - w || (col("ng") < w && col("pos") === 0))
+      .filter(col("pos") <= col("ng") - (w - 1) ||
+        (col("ng") < w && col("pos") === 1))
       .select(col("doc_id"), col("m").as("w"))
       .distinct()
   }
+
+  def winnowingFingerprintRowsSha(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, w: Int): DataFrame =
+    winnowingRows(docs, textCol, idCol, k, w, s => sha2(s, 256))
 
   def q60(s: SparkSession, dir: String): DataFrame =
     winnowingShaPairs(documents(s, dir), "text", "doc_id")

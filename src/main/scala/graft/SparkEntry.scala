@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops, e.g.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      graft.streaming.EventsStream.oracle
 }

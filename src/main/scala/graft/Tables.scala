@@ -26,9 +26,21 @@ object Tables {
     * pins the old file listing (stale rows / FileNotFound otherwise). */
   def invalidate(): Unit = memo.clear()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop memoized relations under one path prefix — what a fixture
+    * writer should call after rewriting that location (narrower and safer
+    * than the global clear; other sessions' relations survive). */
+  def invalidatePath(pathPrefix: String): Unit =
+    memo.filterInPlace { case ((_, p), _) => !p.startsWith(pathPrefix) }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Opportunistic sweep: entries whose session has been stopped can
+    // never be read again — dropping them keeps the memo from retaining
+    // DataFrames + SparkSessions for the JVM lifetime when suites create
+    // many short-lived sessions. O(entries), a few dozen at most.
+    memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     memo.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

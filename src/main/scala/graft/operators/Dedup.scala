@@ -864,15 +864,22 @@ object Dedup {
   //        primitive of training-data curation (cap any one
   //        language/source/domain at n).
   def stratifiedSample(docs: DataFrame, keyCol: String, idCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    // internal ranking column: collision-resistant name, dropped before
+    // returning — the helper's output schema is exactly the input schema
+    // (callers needing the rank recompute sha2(id), e.g. q58's ORDER BY)
+    val rank = "_graft_strat_rank"
     org.apache.spark.sql.graft.TopKPerKey.of(
-        docs.withColumn("_h", sha2(col(idCol).cast("string"), 256)),
+        docs.withColumn(rank, sha2(col(idCol).cast("string"), 256)),
         keys = Seq(keyCol),
-        orderBy = Seq("_h" -> true, idCol -> true), k = n)
+        orderBy = Seq(rank -> true, idCol -> true), k = n)
+      .drop(rank)
+  }
 
   def q58(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(documents(s, dir), "lang", "doc_id", n = 20)
-      .orderBy(col("lang"), col("_h"), col("doc_id"))
+      .orderBy(col("lang"), sha2(col("doc_id").cast("string"), 256),
+        col("doc_id"))
       .select(col("lang"), col("doc_id"))
 
   val q58Sql: String =

@@ -152,10 +152,14 @@ object Similarity {
       Array.fill(bands * rowsPerBand * Dim)(rng.nextGaussian())
     })
 
-  /** Auto-tuned banding: one cheap count() picks the geometry for this
-    * corpus size, then the explicit-geometry path below runs. */
-  def srpCandidatePairs(e: DataFrame): DataFrame = {
-    val (bands, rows) = srpParams(e.count())
+  /** Auto-tuned banding: geometry from the corpus size. Pass `knownN`
+    * when the caller already knows (even approximately) the row count —
+    * the count() probe otherwise re-executes the entire upstream plan
+    * once before the real job, which doubles the scan cost of an
+    * expensive input. Geometry only needs log2(n), so an estimate within
+    * 2× is fine. */
+  def srpCandidatePairs(e: DataFrame, knownN: Option[Long] = None): DataFrame = {
+    val (bands, rows) = srpParams(knownN.getOrElse(e.count()))
     srpCandidatePairs(e, bands, rows)
   }
 
@@ -199,9 +203,11 @@ object Similarity {
       .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
   }
 
-  /** Near-dup pairs via SRP-LSH candidates + exact cosine verification. */
-  def neardupLsh(e: DataFrame, threshold: Double): DataFrame =
-    srpCandidatePairs(e)
+  /** Near-dup pairs via SRP-LSH candidates + exact cosine verification.
+    * `knownN` skips the geometry count() probe (see srpCandidatePairs). */
+  def neardupLsh(e: DataFrame, threshold: Double,
+      knownN: Option[Long] = None): DataFrame =
+    srpCandidatePairs(e, knownN)
       .select(col("id_a"), col("id_b"),
         round4(cosine(col("v_a"), col("v_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -227,8 +233,9 @@ object Similarity {
     * whose pairwise work grows quadratically with block size (measured:
     * 219.6s at 50× for label blocks, PLANS.md).
     */
-  def cosineDedupIds(e: DataFrame, threshold: Double): DataFrame = {
-    val drops = neardupLsh(e, threshold)
+  def cosineDedupIds(e: DataFrame, threshold: Double,
+      knownN: Option[Long] = None): DataFrame = {
+    val drops = neardupLsh(e, threshold, knownN)
       .select(col("id_b").as("drop_id")).distinct()
     e.join(drops, col("vec_id") === col("drop_id"), "left_anti")
       .select(col("vec_id"))
@@ -380,6 +387,88 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // ── q61: the ORACLE-ABLE SRP twin — the same candidate→verify pipeline
+  //        as srpCandidatePairs/neardupLsh (sign projections → banded
+  //        signatures → band equi-join → exact-cosine verification) with
+  //        every signature step in EXACT integer arithmetic so DuckDB
+  //        reproduces it bit-for-bit:
+  //        * vectors quantize as floor(v_i·1000) — float32·1000 fits a
+  //          double mantissa exactly, so floor sees an exact value and
+  //          both engines agree on every coordinate;
+  //        * hyperplane coefficients come from a closed-form integer
+  //          formula ((j·64+i)·2654435761) % 7 − 3 ∈ {-3..3} (Knuth
+  //          multiplicative hash), evaluated at plan-build time here and
+  //          inline in the SQL — no seeded Gaussians, no literal matrix;
+  //        * integer dot products and bit-packed band values are exact in
+  //          both engines regardless of summation order (the one thing
+  //          seeded-double SRP could never guarantee).
+  //        The production path stays srpCandidatePairs (Gaussian planes,
+  //        fused codegen signature, adaptive geometry, clone collapse);
+  //        this twin hash-verifies the MECHANISM end-to-end.
+  private val TwinBands = 4
+  private val TwinRowsPerBand = 8
+  private def twinCoef(j: Int): Seq[Long] =
+    (0 until Dim).map(i => ((j.toLong * Dim + i) * 2654435761L) % 7 - 3)
+
+  def srpTwinCandidates(e: DataFrame): DataFrame = {
+    val qv = transform(col("v"), x => floor(x * lit(1000.0)))
+    val ed = e.select(col("vec_id"), qv.as("qv"))
+    val dots = (0 until TwinBands * TwinRowsPerBand).map { j =>
+      aggregate(zip_with(col("qv"), typedlit(twinCoef(j)), (x, c) => x * c),
+        lit(0L), (a, v) => a + v)
+    }
+    val bandVals = (0 until TwinBands).map { b =>
+      (0 until TwinRowsPerBand).map { r =>
+        when(dots(b * TwinRowsPerBand + r) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val rows = ed.select(col("vec_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "val")))
+    rows.as("x").join(rows.as("y"),
+        col("x.band") === col("y.band") && col("x.val") === col("y.val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    srpTwinCandidates(e)
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round4(cosine(col("v_a"), col("v_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q61Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT vec_id, j,
+      |    list_sum([qv[CAST(i AS INT)] * (((j*64 + i - 1) * 2654435761) % 7 - 3)
+      |              for i in range(1, 65)]) AS dot
+      |  FROM e, range(0, 32) t(j)),
+      |bands AS (
+      |  SELECT vec_id, j // 8 AS band,
+      |    sum(CASE WHEN dot >= 0 THEN 1 << CAST(j % 8 AS INT) ELSE 0 END) AS val
+      |  FROM sums GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.val = y.val AND x.vec_id < y.vec_id)
+      |SELECT c.id_a, c.id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |        * 10000) / 10000.0 AS cos_sim
+      |FROM cand c
+      |JOIN embeddings a ON a.vec_id = c.id_a
+      |JOIN embeddings b ON b.vec_id = c.id_b
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      * 10000) / 10000.0 >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // q55: learned-list IVF ANN (rows-only: k-means centroids aren't
   //      expressible in the oracle; nprobe=all ≡ brute force is asserted
   //      in SimilaritySpec).
@@ -417,10 +506,12 @@ object Similarity {
     "q39_knn_batch" -> q39,
     "q41_ann_ivf" -> q41,
     "q49_neardup_lsh" -> q49,
-    "q55_ann_ivf_kmeans" -> q55)
+    "q55_ann_ivf_kmeans" -> q55,
+    "q61_srp_twin" -> q61)
 
   val oracle: Map[String, String] = Map(
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,
-    "q39_knn_batch" -> q39Sql)
+    "q39_knn_batch" -> q39Sql,
+    "q61_srp_twin" -> q61Sql)
 }

@@ -28,11 +28,14 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** `globFilter` narrows a multi-table directory to the events files
+    * (the file-stream source only accepts directories, never a file). */
+  def readEvents(spark: SparkSession, dir: String,
+      globFilter: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
+    val reader = spark.readStream.schema(rawSchema)
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
@@ -60,21 +63,61 @@ object EventsStream {
 
   /** Streaming CONTENT dedup — the ingestion gate of a training-data
     * pipeline: documents arriving on a stream are dropped if their text
-    * digest was already seen inside the watermark horizon. Only the
-    * 32-byte sha-256 digest enters the dedup state, never the text —
-    * state size is 32B × docs-per-horizon regardless of document length.
-    * (Cross-horizon exact dedup belongs to the batch pass, Dedup
-    * .exactDedupIds; near-dup stays batch-only by design — MinHash/SRP
-    * banding needs corpus-wide joins.)
+    * digest was already seen inside the watermark horizon. Only the text
+    * digest enters the dedup state, never the text — keyed on
+    * unhex(sha2(text)), a 32-byte binary, so state is ~32B of key ×
+    * docs-per-horizon regardless of document length (the hex string form
+    * would double that to 64 chars). (Cross-horizon exact dedup belongs
+    * to the batch pass, Dedup.exactDedupIds; near-dup stays batch-only by
+    * design — MinHash/SRP banding needs corpus-wide joins.)
     */
   def dedupDocsByContent(docs: DataFrame, tsCol: String, textCol: String,
-      watermarkDelay: String = "1 hour"): DataFrame =
-    docs.withColumn("_fp", sha2(col(textCol), 256))
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    // collision-safe internal name: a caller's own "_fp" column must
+    // survive the round trip untouched
+    val fp = "_graft_stream_fp"
+    docs.withColumn(fp, unhex(sha2(col(textCol), 256)))
       .withWatermark(tsCol, watermarkDelay)
       // WithinWatermark, for the same reason as dedupEvents: a digest-only
       // key under plain dropDuplicates is never evicted
-      .dropDuplicatesWithinWatermark("_fp")
-      .drop("_fp")
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
+
+  // ── q62: the streaming face of batch q24 AS A REGISTERED QUERY — a real
+  //        file-stream over events.parquet, bounded by Trigger.AvailableNow,
+  //        complete-mode aggregation into a memory sink, identical rollup
+  //        formula to q24 (exact-cents sums), so the SAME DuckDB oracle
+  //        verifies a plan whose source is a streaming relation. The stream
+  //        executes eagerly inside the builder (a streaming Dataset cannot
+  //        be returned to a batch driver); the returned DataFrame reads the
+  //        sink table. Complete mode (not append): at end-of-input the
+  //        final watermark would withhold the trailing window in append
+  //        mode, silently dropping the last hour.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q62_events_hourly_stream_sink"
+    s.catalog.dropTempView(qn)
+    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(graft.Fns.cents(col("value"))) / 100.0).as("sum_value"),
+        (sum(graft.Fns.cents(col("value"))) / count(lit(1)) / 100.0).as("avg_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+    val query = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("hour_start"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_events_hourly_stream" -> q62)
+
+  /** Identical rollup to batch q24 → identical oracle SQL. */
+  val oracle: Map[String, String] = Map(
+    "q62_events_hourly_stream" -> graft.ops.Events.q24Sql)
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output

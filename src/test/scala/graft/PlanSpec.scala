@@ -92,4 +92,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange rangepartitioning"),
       "global sort would not survive 100 TB: " + p)
   }
+
+  test("q60/q53 winnowing: gram hashing is never inlined into a Filter") {
+    // The InferFiltersFromGenerate trap (PLANS.md rounds 2-3): exploding a
+    // hash-built array pushes `size(arr) > 0` to the scan with the whole
+    // hash expression inlined — every gram hashed twice (or, with a window
+    // lambda, O(n²)). The position-explode shape keeps crypto out of every
+    // Filter; this pins it.
+    for (q <- Seq(graft.operators.Dedup.q60(spark, sfDir),
+        graft.operators.Dedup.q53(spark, sfDir))) {
+      val opt = q.queryExecution.optimizedPlan.toString
+      val offending = opt.linesIterator
+        .filter(l => l.contains("Filter ") && l.contains("sha2("))
+      assert(offending.isEmpty,
+        "sha2 inside a Filter means duplicated gram hashing:\n" +
+          offending.mkString("\n"))
+    }
+  }
+
+  test("q61: SRP twin pairs via equi-joins only — no cartesian fallback") {
+    val p = plan(graft.operators.Similarity.q61(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -782,6 +782,63 @@ object Dedup {
       |  (SELECT * FROM inter UNION ALL SELECT * FROM intra)
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ── benchmark decontamination ──────────────────────────────────────────
+
+  /** Drop every corpus document sharing ≥1 word n-gram with an evaluation
+    * set — the standard pretraining decontamination pass (remove benchmark
+    * leakage before training). Scale shape: the eval side is benchmark-
+    * sized (thousands of docs) so its distinct gram-hash set broadcasts;
+    * the corpus side is one narrow gram-explode + the broadcast semi-join
+    * + one anti-join — the corpus text never shuffles. Grams join as
+    * sha256 hashes (narrow rows, oracle-identical in DuckDB); real
+    * pipelines use ~13-gram windows (GPT-3/Gopher practice) — width is
+    * the selectivity dial, exactly as with q54's shingles.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, gramWords: Int = 13): DataFrame = {
+    val evalGrams = distinctTokens(evalSet, textCol, idCol, gramWords)
+      .select(sha2(col("t"), 256).as("g")).distinct()
+    val contaminated = distinctTokens(corpus, textCol, idCol, gramWords)
+      .select(col("doc_id"), sha2(col("t"), 256).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("doc_id"), "left_anti")
+  }
+
+  // q64: decontaminate the corpus against a held-out eval slice
+  //      (doc_id % 97 = 0). Width 4 on this corpus: its vocabulary is so
+  //      small that 13-grams never collide except exact copies (0 hits),
+  //      while 4-grams catch real phrase overlap (8 docs at sf0.01, 727 at
+  //      sf0.1) — the demonstrative width for the fixture, not the
+  //      production default.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", gramWords = 4)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      |ev AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |evg AS (
+      |  SELECT DISTINCT sha256(t) AS g FROM (
+      |    SELECT unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')
+      |            for i in range(1, len(toks) - 2)] END) AS t
+      |    FROM (SELECT regexp_extract_all(text, '\S+') AS toks FROM ev))),
+      |cg AS (
+      |  SELECT DISTINCT doc_id, sha256(t) AS g FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')
+      |            for i in range(1, len(toks) - 2)] END) AS t
+      |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM corpus)))
+      |SELECT doc_id, lang FROM corpus
+      |WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (g))
+      |ORDER BY doc_id""".stripMargin
+
   // ── q57: the whole training-data-prep pipeline in one declarative plan —
   //        quality filter → exact dedup (keep lowest id per digest) →
   //        trigram-Jaccard near-dup removal (drop the higher id of every
@@ -904,7 +961,8 @@ object Dedup {
     "q57_training_prep" -> q57,
     "q58_stratified_sample" -> q58,
     "q59_norm_dedup" -> q59,
-    "q60_winnowing_pairs" -> q60)
+    "q60_winnowing_pairs" -> q60,
+    "q64_decontaminate" -> q64)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
@@ -916,5 +974,6 @@ object Dedup {
     "q51_minhash_sha" -> q51Sql,
     "q53_winnowing_sha" -> q53Sql,
     "q54_trigram_jaccard" -> q54Sql,
-    "q56_simhash_sha" -> q56Sql)
+    "q56_simhash_sha" -> q56Sql,
+    "q64_decontaminate" -> q64Sql)
 }

@@ -173,17 +173,66 @@ object TextQueries {
       |      * 10000) / 10000.0 >= 0.5 AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ── q65: Gopher-style repetition filter — fraction of DUPLICATE word
+  //        2-grams per document (1 − distinct/total); repetitive boilerplate
+  //        scores high and is dropped. Pure scalar array ops on a staged
+  //        token array (size/array_distinct — no explode, no shuffle except
+  //        the output sort); the ratio divides two exact ints so both
+  //        engines agree bit-for-bit after round4.
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 2): DataFrame = {
+    // token array staged as a real column BEFORE the shingle windows —
+    // embedding tokens() in the window lambda would re-split the text per
+    // window (the nested-HOF O(n²) trap; shinglesFromTokens' contract).
+    // CollapseProject keeps the stages apart because the alias is used
+    // more than once (its non-cheap-duplication guard).
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("_toks"))
+    val staged = toked.select(col("doc_id"),
+      graft.operators.Dedup.shinglesFromTokens(col("_toks"), gram).as("_grams"))
+    staged.select(col("doc_id"),
+      size(col("_grams")).cast("long").as("n_grams"),
+      size(array_distinct(col("_grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        round((lit(1.0) - col("n_distinct") / col("n_grams").cast("double"))
+          * 10000) / 10000.0)
+  }
+
+  def q65(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(documents(s, dir), "text", "doc_id")
+      .withColumn("keep", col("dup_frac") <= 0.05)
+      .orderBy(col("doc_id"))
+
+  val q65Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
+      |            for i in range(1, len(toks))] END AS grams
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |        FROM documents))
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      |  round((1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE) * 10000)
+      |    / 10000.0 AS dup_frac,
+      |  round((1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE) * 10000)
+      |    / 10000.0 <= 0.05 AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_text_stats" -> q28,
     "q29_lang_id" -> q29,
     "q30_token_topk" -> q30,
     "q31_fingerprint" -> q31,
-    "q45_quality_filter" -> q45)
+    "q45_quality_filter" -> q45,
+    "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
     "q28_text_stats" -> q28Sql,
     "q29_lang_id" -> q29Sql,
     "q30_token_topk" -> q30Sql,
     "q31_fingerprint" -> q31Sql,
-    "q45_quality_filter" -> q45Sql)
+    "q45_quality_filter" -> q45Sql,
+    "q65_repetition_filter" -> q65Sql)
 }

@@ -170,6 +170,36 @@ class DedupSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta and a tail"), // shares a 4-gram
+      (2L, "beta gamma delta unrelated continuation here"),   // only a 3-gram run
+      (3L, "completely different content with no overlap"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .decontaminate(corpus, eval, "text", "doc_id", gramWords = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L),
+      "doc 1 carries eval 4-gram 'alpha beta gamma delta' and must drop")
+  }
+
+  test("repetitionStats: hand-checked duplicate 2-gram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "w x y z"),       // all distinct → dup 0
+      (3L, "solo"),          // under one window → whole-text fallback, dup 0
+      (4L, ""))              // no tokens → [""] fallback, dup 0
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextQueries.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == 2 &&
+      out(0).getDouble(3) == 0.6)
+    assert(out(1).getDouble(3) == 0.0)
+    assert(out(2).getLong(1) == 1 && out(2).getDouble(3) == 0.0)
+    assert(out(3).getLong(1) == 1 && out(3).getDouble(3) == 0.0)
+  }
+
   test("shingles: n-gram windows; short texts fall back to whole text") {
     val sh = Seq((1L, "a b c d"), (2L, "x y"))
       .toDF("doc_id", "text")

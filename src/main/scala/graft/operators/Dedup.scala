@@ -948,6 +948,52 @@ object Dedup {
       |WHERE rn <= 20
       |ORDER BY lang, sha256(CAST(doc_id AS VARCHAR)), doc_id""".stripMargin
 
+  // ── q66: per-key QUOTA sampling — domain mixing, the stage after
+  //        stratification in training-data prep: each key (language /
+  //        source / domain) is capped at its OWN target count, not one
+  //        shared n. Scale shape: TopKPerKey does the heavy lifting with
+  //        k = max(quota) (one hash-shuffle + bounded heap per key — the
+  //        corpus never sorts), then the per-key trim runs as a window
+  //        over the tiny bounded result (≤ keys × maxQuota rows). Keys
+  //        missing from the map default to 0 (drop unlisted domains — the
+  //        conservative mixing default).
+  def quotaSample(docs: DataFrame, keyCol: String, idCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxQ = if (quotas.isEmpty) 0 else quotas.values.max
+    if (maxQ <= 0) return docs.limit(0) // TopKPerKey requires k > 0
+    val rank = "_graft_quota_rank"
+    val rn = "_graft_quota_rn"
+    val quota = quotas.foldLeft(lit(0)) { case (acc, (k, q)) =>
+      when(col(keyCol) === k, lit(q)).otherwise(acc)
+    }
+    val capped = org.apache.spark.sql.graft.TopKPerKey.of(
+      docs.withColumn(rank, sha2(col(idCol).cast("string"), 256)),
+      keys = Seq(keyCol),
+      orderBy = Seq(rank -> true, idCol -> true), k = maxQ)
+    capped
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(rank), col(idCol))))
+      .filter(col(rn) <= quota)
+      .drop(rank, rn)
+  }
+
+  def q66(s: SparkSession, dir: String): DataFrame =
+    quotaSample(documents(s, dir), "lang", "doc_id",
+        Map("en" -> 30, "de" -> 10, "es" -> 5, "fr" -> 5))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val q66Sql: String =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10
+      |            WHEN 'es' THEN 5 WHEN 'fr' THEN 5 ELSE 0 END
+      |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
@@ -962,7 +1008,8 @@ object Dedup {
     "q58_stratified_sample" -> q58,
     "q59_norm_dedup" -> q59,
     "q60_winnowing_pairs" -> q60,
-    "q64_decontaminate" -> q64)
+    "q64_decontaminate" -> q64,
+    "q66_quota_sample" -> q66)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
@@ -975,5 +1022,6 @@ object Dedup {
     "q53_winnowing_sha" -> q53Sql,
     "q54_trigram_jaccard" -> q54Sql,
     "q56_simhash_sha" -> q56Sql,
-    "q64_decontaminate" -> q64Sql)
+    "q64_decontaminate" -> q64Sql,
+    "q66_quota_sample" -> q66Sql)
 }

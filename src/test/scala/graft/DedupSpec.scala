@@ -170,6 +170,30 @@ class DedupSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("quotaSample: per-key caps, unlisted keys dropped, deterministic") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "zz"))
+      .toDF("doc_id", "lang")
+    val out = graft.operators.Dedup
+      .quotaSample(docs, "lang", "doc_id", Map("en" -> 3, "de" -> 7))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byKey = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byKey == Map("en" -> 3, "de" -> 7), s"got $byKey")
+    // deterministic: same membership on re-run
+    val again = graft.operators.Dedup
+      .quotaSample(docs, "lang", "doc_id", Map("en" -> 3, "de" -> 7))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.toSet == again.toSet)
+    // quota above key cardinality returns the whole key, no padding
+    val all = graft.operators.Dedup
+      .quotaSample(docs, "lang", "doc_id", Map("en" -> 100))
+      .collect()
+    assert(all.length == 10 && all.forall(_.getString(1) == "en"))
+    // empty quota map is an empty result, not an error
+    assert(graft.operators.Dedup
+      .quotaSample(docs, "lang", "doc_id", Map.empty).isEmpty)
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(

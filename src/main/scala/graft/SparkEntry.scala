@@ -23,6 +23,7 @@ object SparkEntry {
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      graft.operators.Clusters.queries ++
       graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      graft.operators.Clusters.oracle ++
       graft.streaming.EventsStream.oracle
 }

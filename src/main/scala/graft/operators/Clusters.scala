@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Near-dup CLUSTERING: connected components over a dup-pair edge list —
+  * the step that turns pairwise near-dup evidence (q33/q51/q54/q60 shapes)
+  * into deletable groups (keep one representative per cluster, drop the
+  * rest). Reference analog: the dedup family's "which rows are the same
+  * entity" step (itsmuriuki/airline_data_pipeline has only exact
+  * drop_duplicates — clustering generalizes it to transitive near-dups).
+  *
+  * Algorithm: iterative min-label propagation to a fixpoint — every node
+  * adopts the smallest label among itself and its neighbors until nothing
+  * changes. Converges in O(component diameter) rounds; near-dup clusters
+  * in real corpora are shallow (dup clusters are cliques or short chains),
+  * so 3-5 rounds is typical. Each round is one equi-join + one min
+  * aggregate; lineage is truncated per round (localCheckpoint) so the plan
+  * does not grow with iterations. At 100 TB the same loop runs with
+  * large-star/small-star edge rewriting (Kiveris et al., "Connected
+  * Components in MapReduce") to bound the per-round shuffle; the
+  * fixpoint-of-min-joins skeleton is identical.
+  */
+object Clusters {
+
+  /** Connected components over an undirected edge list (id_a, id_b).
+    * Returns (cluster, id) where cluster = min node id reachable — only
+    * for nodes that appear in at least one edge (singletons are not dup
+    * candidates and stay out of the result, matching what a dedup pass
+    * needs). Deterministic: labels are ids, min is order-free.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bi = edges.select(col("id_a").cast("long").as("a"),
+        col("id_b").cast("long").as("b"))
+      .unionByName(edges.select(col("id_b").cast("long").as("a"),
+        col("id_a").cast("long").as("b")))
+      .localCheckpoint(true)
+    var labels = bi.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = bi.join(labels, bi("a") === labels("id"))
+        .select(col("b").as("id"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("cluster"), col("id"))
+  }
+
+  /** Cluster representatives to KEEP and members to DROP: one row per
+    * clustered doc with its verdict — the actionable output of near-dup
+    * dedup. */
+  def dedupClusters(edges: DataFrame): DataFrame =
+    connectedComponents(edges)
+      .withColumn("action",
+        when(col("id") === col("cluster"), "keep").otherwise("drop"))
+
+  // ── q67: near-dup clusters over the corpus-wide trigram-Jaccard pairs
+  //        (q54's unblocked edge shape, jaccard ≥ 0.5) — transitive
+  //        closure turns 897-style pair lists into per-cluster keep/drop
+  //        verdicts. Oracle: DuckDB WITH RECURSIVE reachability (min root
+  //        per node), pruned to min-label paths.
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.jaccardPairs(documents(s, dir), "text", "doc_id", gram = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    dedupClusters(edges)
+      .select(col("cluster"), col("id").as("doc_id"), col("action"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
+  val q67Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |            for i in range(1, len(toks) - 1)] END) AS t FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1,2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+      |bi AS (SELECT id_a AS a, id_b AS b FROM edges
+      |       UNION ALL SELECT id_b, id_a FROM edges),
+      |nodes AS (SELECT DISTINCT a AS id FROM bi),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, root) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT bi.b, r.root FROM reach r
+      |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
+      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id)
+      |SELECT cluster, id AS doc_id,
+      |  CASE WHEN id = cluster THEN 'keep' ELSE 'drop' END AS action
+      |FROM rec ORDER BY cluster, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_neardup_clusters" -> q67)
+
+  val oracle: Map[String, String] = Map(
+    "q67_neardup_clusters" -> q67Sql)
+}

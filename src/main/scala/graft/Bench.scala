@@ -59,14 +59,33 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    // The harness captures only the LAST ~2000 chars of output, so the
+    // stdout line must stay compact or early queries fall off the record
+    // (round 3's did): qNN keys, 3-decimal seconds, gc only where ≥ 0.1s.
+    // The full-precision, full-name record goes to BENCH_FULL.json.
+    def shortK(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _, _) => "\"" + shortK(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    val gcs = results.collect { case (k, _, g, _) if g >= 0.1 =>
+        "\"" + shortK(k) + "\":" + r3(g) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + shortK(k) + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullGcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val fullErrs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH_FULL.json write failed: $e") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

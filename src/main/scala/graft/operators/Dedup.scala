@@ -577,8 +577,13 @@ object Dedup {
     * bands). */
   def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
       minShared: Long = 3): DataFrame = {
-    val fp = winnowingRows(docs, textCol, idCol, k = 8, w = 4, xxhash64(_))
-      .select(col("doc_id"), col("w").as("fp"))
+    import org.apache.spark.storage.StorageLevel
+    // Persisted array form for the same reason as winnowingShaPairs: the
+    // self-join consumes the fingerprint relation twice, and a cache (one
+    // materialization, ~12% of text size) beats hoping for exchange reuse.
+    val fpArr = winnowingFingerprints(docs, textCol, idCol, k = 8, w = 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = fpArr.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
     fp.as("x").join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -666,15 +671,38 @@ object Dedup {
   //        shingles: selectivity comes from gram WIDTH, not thresholds.
   def winnowingShaPairs(docs: DataFrame, textCol: String, idCol: String,
       minShared: Long = 5, k: Int = 16, w: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Both multi-consumer subtrees are persisted rather than left to
+    // runtime exchange reuse: `groups` feeds three consumers (repDocs,
+    // inter-expansion, intra-pairs) and the fingerprint relation three
+    // more (self-join x/y + per-doc counts). AQE's ReusedExchange is
+    // best-effort — when it misses (observed: 60s vs 8s for the same
+    // query under a loaded driver), the sha-gram hashing and the
+    // full-text shuffle re-run per consumer. A cache is the structural
+    // guarantee: one materialization, every consumer reads blocks.
+    // MEMORY_AND_DISK ≈ the footprint of one shuffle spill of the same
+    // relation, so this holds at cluster scale too; CacheManager dedupes
+    // by canonicalized plan, so repeated calls share one entry.
     val groups = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         sha2(col(textCol), 256).as("_fp"))
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
         min_by(col("_text"), col("doc_id")).as("_text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
-    val fp = winnowingFingerprintRowsSha(repDocs, "_text", "doc_id", k, w)
-    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    // Array form (q53-measured faster than the row pipeline), computed
+    // once behind the cache boundary. The boundary also retires the
+    // InferFiltersFromGenerate trap for downstream explodes: the inferred
+    // `size(fingerprints) > 0` filter now tests a cached column instead
+    // of inlining the whole gram-hash expression.
+    val fpArr = winnowingFingerprintsSha(repDocs, "_text", "doc_id", k, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // array_distinct in the array form = the row form's distinct():
+    // fingerprint sets are per-doc sets either way (spec-pinned).
+    val fp = fpArr.select(col("doc_id"), explode(col("fingerprints")).as("w"))
+    val nfp = fpArr.select(col("doc_id"),
+      size(col("fingerprints")).cast("long").as("n_fp"))
     val repPairs = fp.as("x")
       .join(fp.as("y"),
         col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))

@@ -42,16 +42,18 @@ object Clusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Tag each node's own row so the round's aggregate carries BOTH the
+      // new min label and the previous one: convergence then reads the
+      // checkpointed round output (a cheap block scan) instead of paying
+      // a second labels-vs-labels join action per round.
       val prop = bi.join(labels, bi("a") === labels("id"))
-        .select(col("b").as("id"), col("cluster"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .select(col("b").as("id"), col("cluster"), lit(false).as("self"))
+      val next = labels.withColumn("self", lit(true)).unionByName(prop)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
+          min(when(col("self"), col("cluster"))).as("prev"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("cluster") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -131,14 +131,20 @@ object Dedup {
     // docs — self-evidently deterministic and identical in shape to the
     // oracle SQL's min_by (any member's text would do: all values in a
     // sha256 group are identical)
+    // groups (3 consumers) and toks (self-join x/y + sizes) are persisted
+    // so one materialization feeds every consumer — the same structural
+    // guarantee as winnowingShaPairs, instead of best-effort exchange
+    // reuse (see that function's comment for the observed failure mode).
     val groups = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         sha2(col(textCol), 256).as("_fp"))
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
         min_by(col("_text"), col("doc_id")).as("_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repPairs = toks.as("x")
       .join(toks.as("y"),
@@ -279,9 +285,13 @@ object Dedup {
       gram: Int = 1): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, gram)
     // the group KEY is the signature, so reps need no join back to sigs:
-    // component i is sig[i]
+    // component i is sig[i]. Persisted: every downstream relation
+    // (repSigs → buckets x/y + sa + sb, expansion, intra) is a cheap
+    // projection of groups, so one materialization runs the 64-min-agg
+    // signature pass exactly once (see winnowingShaPairs for rationale).
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
       .select(col("doc_id") +: col("sig") +:
         (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
@@ -366,9 +376,12 @@ object Dedup {
   def minhashShaCandidates(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val sigs = minhashShaSignatures(docs, textCol, idCol)
+    // persisted for the same single-materialization guarantee as
+    // minhashCandidates
     val groups = sigs
       .groupBy(array((0 until ShaHashes).map(i => col(s"m$i")): _*).as("_sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repSigs = groups.select(col("rep").as("doc_id") +:
       (0 until ShaHashes).map(i => col("_sig")(i).as(s"m$i")): _*)
     val bandCols = (0 until ShaBands).map { b =>
@@ -462,7 +475,10 @@ object Dedup {
     * on 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 chunks equal). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
+    // persisted: the pigeonhole self-join reads the 64-sum-agg simhash
+    // relation twice; one materialization, two cache scans
     val sh = simhash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),

@@ -176,9 +176,14 @@ object Similarity {
     // cosine still verifies downstream). On an exact-dup-free corpus the
     // collapse is a no-op. At real scale, content-hash exact dedup runs
     // BEFORE near-dup anyway; this makes the operator safe either way.
+    // persisted: banded x/y, intra, and the expansion all derive from
+    // groups — one materialization runs the signature pass exactly once
+    // instead of per consumer (see Dedup.winnowingShaPairs for the
+    // exchange-reuse failure mode this guards against)
     val groups = e.select(col("vec_id"), sig.as("_sig"))
       .groupBy(col("_sig"))
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ALL member pairs within a group (identical signatures ⇒ candidates),
     // not just rep→member: member↔member pairs carry their own exact
     // cosines downstream (identical sign pattern does NOT imply the exact

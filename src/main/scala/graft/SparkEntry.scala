@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
+      Redact.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       graft.operators.Clusters.queries ++
       graft.streaming.EventsStream.queries
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
+      Redact.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       graft.operators.Clusters.oracle ++
       graft.streaming.EventsStream.oracle

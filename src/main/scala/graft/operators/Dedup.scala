@@ -883,6 +883,77 @@ object Dedup {
       |WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (g))
       |ORDER BY doc_id""".stripMargin
 
+  // ── chunk-level (paragraph-style) exact dedup ──────────────────────────
+
+  /** Sub-document exact dedup: split each doc into consecutive
+    * `chunkTokens`-token chunks, drop every chunk whose content already
+    * appeared earlier in the corpus (first occurrence by (doc_id, idx)
+    * wins), and reassemble the surviving text per doc. This is the
+    * paragraph-dedup pass real pretraining pipelines run between exact
+    * doc-dedup and near-dup removal (boilerplate/header removal at scale);
+    * the fixture corpus has no newlines, so chunk boundaries are token
+    * windows rather than '\n\n' splits — the operator is the same.
+    *
+    * Scale shape: one narrow chunk-explode (positions exploded, chunk text
+    * derived per row AFTER the Generate — the InferFiltersFromGenerate
+    * discipline), one shuffle on the 32-byte chunk digest for the
+    * first-occurrence window, one shuffle back on doc_id to reassemble.
+    * Chunk text crosses the digest exchange (the winners' text is needed
+    * for reassembly), matching the q57 dedup-aggregate trade.
+    */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("_tk"))
+    val n = size(col("_tk"))
+    val nCh = ((n + (chunkTokens - 1)) / chunkTokens).cast("int")
+    // guard: sequence(0, -1) DESCENDS for empty docs — fabricating chunks
+    val idx = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nCh - 1))
+    val rows = staged
+      .select(col("doc_id"), col("_tk"), explode(idx).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        array_join(slice(col("_tk"), col("idx") * chunkTokens + 1,
+          lit(chunkTokens)), " ").as("chunk"))
+    val firstSeen = Window.partitionBy(sha2(col("chunk"), 256))
+      .orderBy(col("doc_id"), col("idx"))
+    rows.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+  }
+
+  // q69: chunk dedup over the corpus — 16-token chunks, first occurrence
+  //      wins; per-doc survival stats + reassembled text, fully
+  //      oracle-able (sha digests never surface; content equality is
+  //      engine-neutral).
+  def q69(s: SparkSession, dir: String): DataFrame =
+    chunkDedup(documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val q69Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |ch AS (
+      |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+      |    SELECT doc_id, unnest([{'idx': i, 'chunk': array_to_string(tk[CAST(i*16+1 AS INT):CAST(i*16+16 AS INT)], ' ')}
+      |      for i in range(0, CAST(ceil(len(tk)/16.0) AS INT))]) AS u
+      |    FROM toks)),
+      |ranked AS (
+      |  SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY sha256(chunk) ORDER BY doc_id, idx) AS rn
+      |  FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS kept_text
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── q57: the whole training-data-prep pipeline in one declarative plan —
   //        quality filter → exact dedup (keep lowest id per digest) →
   //        trigram-Jaccard near-dup removal (drop the higher id of every
@@ -1053,7 +1124,8 @@ object Dedup {
     "q59_norm_dedup" -> q59,
     "q60_winnowing_pairs" -> q60,
     "q64_decontaminate" -> q64,
-    "q66_quota_sample" -> q66)
+    "q66_quota_sample" -> q66,
+    "q69_chunk_dedup" -> q69)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
@@ -1067,5 +1139,6 @@ object Dedup {
     "q54_trigram_jaccard" -> q54Sql,
     "q56_simhash_sha" -> q56Sql,
     "q64_decontaminate" -> q64Sql,
-    "q66_quota_sample" -> q66Sql)
+    "q66_quota_sample" -> q66Sql,
+    "q69_chunk_dedup" -> q69Sql)
 }

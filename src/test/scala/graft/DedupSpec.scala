@@ -263,4 +263,40 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
+
+  test("bloom decontamination: no false keeps; over-drop bounded by fpp") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val exactKept = Dedup.decontaminate(corpus, eval, "text", "doc_id",
+      gramWords = 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomKept = Dedup.bloomDecontaminate(corpus, eval, "text", "doc_id",
+      gramWords = 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    // Bloom filters have no false negatives → every doc the exact pass
+    // drops, the bloom pass must also drop (kept sets nest)
+    assert(bloomKept.subsetOf(exactKept),
+      s"bloom kept docs the exact pass dropped: ${(bloomKept -- exactKept).take(5)}")
+    // false positives over-drop clean docs at a rate bounded by fpp per
+    // gram — at 0.1% it must be a trickle, not a purge
+    val overDropped = exactKept -- bloomKept
+    assert(overDropped.size <= math.max(1, exactKept.size / 100),
+      s"bloom over-dropped ${overDropped.size} of ${exactKept.size} clean docs")
+  }
+
+  test("chunk dedup: duplicate chunks lose to first occurrence, text reassembles") {
+    val docs = Seq(
+      (1L, Array.tabulate(32)(i => s"w$i").mkString(" ")), // chunks A,B
+      (2L, Array.tabulate(32)(i => s"w$i").mkString(" ")), // same → both lose
+      (3L, (Array.tabulate(16)(i => s"w$i") ++
+        Array.tabulate(16)(i => s"x$i")).mkString(" ")))   // A lost, X kept
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 2L, Array.tabulate(32)(i => s"w$i").mkString(" "))))
+    assert(out(1) == ((2L, 2L, 0L, "")))
+    assert(out(2)._3 == 1L)
+    assert(out(2)._4 == Array.tabulate(16)(i => s"x$i").mkString(" "))
+  }
 }

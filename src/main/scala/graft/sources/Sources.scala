@@ -88,6 +88,18 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  // ── S10: ORC — the second columnar at-rest format (Hive-ecosystem
+  //        interchange); same pushdown/pruning behavior as parquet via the
+  //        built-in datasource, same partitioned-layout discipline. */
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ── S5/S6: JDBC sink/scan — the "load_to_postgres" boundary
   //        (dags/flight_data_pipeline.py:78-122) as batched df.write.jdbc
   //        instead of a row-tuple INSERT loop. No database exists in this

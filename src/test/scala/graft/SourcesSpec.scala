@@ -73,6 +73,19 @@ class SourcesSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("S10: ORC round-trip preserves values; filters push to the scan") {
+    val dir = Files.createTempDirectory("orc").toString
+    val df = Seq(("2024-01-01", "AA", 1.5), ("2024-01-02", "DL", 2.5))
+      .toDF("flight_date", "airline", "v")
+    Sources.writeOrc(df, s"$dir/t", partitionBy = Seq("flight_date"))
+    val back = Sources.readOrc(spark, s"$dir/t")
+      .filter(col("flight_date") === "2024-01-02")
+    assert(back.select("airline", "v").collect().map(r =>
+      (r.getString(0), r.getDouble(1))).toSeq == Seq(("DL", 2.5)))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("S5/S6: JDBC sink + pushed-query scan round-trip (embedded Derby)") {
     val db = java.nio.file.Files.createTempDirectory("derby").resolve("g").toString
     val url = s"jdbc:derby:$db;create=true"

@@ -110,6 +110,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q68: PII redaction is one shuffle-free codegen'd projection") {
+    val q = graft.ops.Redact.q68(spark, sfDir)
+    val exec = q.queryExecution.executedPlan.toString
+    // only the output ORDER BY may exchange; the scrub itself must not
+    assert(!exec.contains("hashpartitioning"),
+      s"redaction projection must not hash-shuffle:\n$exec")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.linesIterator.exists(l =>
+      l.contains("Filter ") && l.contains("regexp")), opt)
+  }
+
+  test("q69: chunk text is derived after the Generate, never in a Filter") {
+    // same InferFiltersFromGenerate discipline as q60/q53: the inferred
+    // size() filter must inline only the cheap position sequence, not the
+    // chunk-assembly (slice + array_join) expression
+    val opt = graft.operators.Dedup.q69(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val offending = opt.linesIterator
+      .filter(l => l.contains("Filter ") && l.contains("array_join("))
+    assert(offending.isEmpty,
+      "array_join inside a Filter means duplicated chunk assembly:\n" +
+        offending.mkString("\n"))
+  }
+
   test("q61: SRP twin pairs via equi-joins only — no cartesian fallback") {
     val p = plan(graft.operators.Similarity.q61(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

@@ -883,6 +883,86 @@ object Dedup {
       |WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (g))
       |ORDER BY doc_id""".stripMargin
 
+  /** Dataset-level overlap: how much does source A's gram set overlap
+    * source B's — the "is this crawl snapshot new data or a re-crawl"
+    * question asked BEFORE doc-level dedup spends cluster time. Emits,
+    * per source pair, the exact gram Jaccard (audit path: pairwise
+    * distinct-gram join) AND a MinHash-sketch estimate (scale path: each
+    * source's gram stream reduces to `numHashes` sha mins in ONE
+    * aggregate — at 100 TB the sketch is the only side that runs; the
+    * exact columns exist here so the oracle verifies both mechanisms and
+    * the fixture measures the estimator's error). Source-pair cardinality
+    * is sources², tiny by definition — the pair join is dataset-level,
+    * never row-level.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      gram: Int = 3, numHashes: Int = 16): DataFrame = {
+    val grams = docs
+      .select(col(srcCol).as("src"), tokens(col(textCol)).as("_toks"))
+      .select(col("src"), explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sizes and all sketch components in ONE aggregate pass
+    val aggs = count(lit(1)).as("n") +: (0 until numHashes).map(i =>
+      min(sha2(concat(lit(s"$i:"), col("t")), 256)).as(s"m$i"))
+    val sigs = grams.groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+    val shared = grams.as("x").join(grams.as("y"),
+        col("x.t") === col("y.t") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sa = sigs.select(col("src").as("src_a") +: col("n").as("n_a") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("src").as("src_b") +: col("n").as("n_b") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    sa.join(sb, col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .withColumn("est_jaccard",
+        (0 until numHashes).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+          / lit(numHashes.toDouble))
+      .select("src_a", "src_b", "n_a", "n_b", "shared", "jaccard", "est_jaccard")
+  }
+
+  // q72: trigram overlap matrix over the corpus's 20 sources (190 pairs),
+  //      exact + sketch columns both sha-oracle-verified.
+  def q72(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(documents(s, dir), "text", "source")
+      .orderBy(col("src_a"), col("src_b"))
+
+  val q72Sql: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(sha256('$i:' || t)) AS m$i").mkString(",\n    ")
+    val matches = (0 until 16)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT source, regexp_extract_all(text, '\\S+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source, t FROM (
+       |    SELECT source, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |      ELSE [array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+       |            for i in range(1, len(tk) - 1)] END) AS t FROM toks)),
+       |sigs AS (
+       |  SELECT source, count(*) AS n,
+       |    $mins
+       |  FROM sh GROUP BY source),
+       |sh2 AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+       |  FROM sh x JOIN sh y ON x.t = y.t AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT sa.source AS src_a, sb.source AS src_b,
+       |  sa.n AS n_a, sb.n AS n_b,
+       |  CAST(coalesce(sh2.shared, 0) AS BIGINT) AS shared,
+       |  coalesce(sh2.shared, 0) / (sa.n + sb.n - coalesce(sh2.shared, 0)) AS jaccard,
+       |  ($matches) / 16.0 AS est_jaccard
+       |FROM sigs sa JOIN sigs sb ON sa.source < sb.source
+       |LEFT JOIN sh2 ON sh2.src_a = sa.source AND sh2.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Bloom-filter decontamination — the 100 TB shape of `decontaminate`:
     * instead of broadcasting the eval set's exact gram-hash table into a
     * semi-join, compress it into a driver-built Bloom sketch (~1.2 bytes/
@@ -1178,7 +1258,8 @@ object Dedup {
     "q64_decontaminate" -> q64,
     "q66_quota_sample" -> q66,
     "q69_chunk_dedup" -> q69,
-    "q70_bloom_decontam" -> q70)
+    "q70_bloom_decontam" -> q70,
+    "q72_source_overlap" -> q72)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
@@ -1193,5 +1274,6 @@ object Dedup {
     "q56_simhash_sha" -> q56Sql,
     "q64_decontaminate" -> q64Sql,
     "q66_quota_sample" -> q66Sql,
-    "q69_chunk_dedup" -> q69Sql)
+    "q69_chunk_dedup" -> q69Sql,
+    "q72_source_overlap" -> q72Sql)
 }

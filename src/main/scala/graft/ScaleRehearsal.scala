@@ -78,7 +78,8 @@ object ScaleRehearsal {
       "q22_window_running", "q23_sessionize", "q24_events_hourly",
       "q49_neardup_lsh", "q37_ann_bruteforce", "q54_trigram_jaccard",
       "q60_winnowing_pairs", "q57_training_prep", "q58_stratified_sample",
-      "q67_neardup_clusters", "q69_chunk_dedup", "q70_bloom_decontam")
+      "q67_neardup_clusters", "q69_chunk_dedup", "q70_bloom_decontam",
+      "q68_pii_redaction", "q72_source_overlap")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics. q61 (the

@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
-      Redact.queries ++
+      Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       graft.operators.Clusters.queries ++
       graft.streaming.EventsStream.queries
@@ -33,7 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
-      Redact.oracle ++
+      Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       graft.operators.Clusters.oracle ++
       graft.streaming.EventsStream.oracle

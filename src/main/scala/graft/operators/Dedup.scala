@@ -985,7 +985,10 @@ object Dedup {
     // driver-side sketch build over the distinct gram hashes
     val evalHashes = distinctTokens(evalSet, textCol, idCol, gramWords)
       .select(xxhash64(col("t")).as("h"))
-    val expected = math.max(evalHashes.count(), 1L)
+    val expected = evalHashes.count()
+    // empty eval set → no contamination possible; also the bloom aggregate
+    // yields a null sketch buffer over zero rows, so don't build one
+    if (expected == 0) return corpus
     val sketch = evalHashes.stat.bloomFilter("h", expected, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     sketch.writeTo(bos)

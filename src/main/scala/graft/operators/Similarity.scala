@@ -504,8 +504,62 @@ object Similarity {
     annLsh(e, q, 3).orderBy(col("qid"), col("rn"))
   }
 
+  // ── q77: inter-cluster centroid cosine matrix — "how distinct are my
+  //        embedding clusters / sources" at dataset level. Scale shape:
+  //        vectors reduce to labels×dims integer sums in ONE map-side-
+  //        combinable aggregate (the only pass over the data); the pair
+  //        join runs on the labels×dims relation (≤ KBs, broadcast).
+  //        Exactness: each float dim is scaled to an integer
+  //        (round(x·10⁶)) so the sums are order-independent BIGINTs, and
+  //        cosine is scale-invariant so the centroid's 1/n and 10⁻⁶
+  //        factors cancel — both engines do the same integer arithmetic
+  //        and one identical double division at the end. No float-sum
+  //        nondeterminism anywhere.
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        round(col("x").cast("double") * 1000000).cast("long").as("v"))
+    val cent = dims.groupBy(col("label"), col("i")).agg(sum(col("v")).as("sv"))
+    val a = cent.select(col("label").as("label_a"), col("i").as("ia"),
+      col("sv").as("va"))
+    val b = cent.select(col("label").as("label_b"), col("i").as("ib"),
+      col("sv").as("vb"))
+    a.join(broadcast(b),
+        col("ia") === col("ib") && col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("va") * col("vb")).as("dot"),
+        sum(col("va") * col("va")).as("na"),
+        sum(col("vb") * col("vb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        (round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * 10000) / 10000.0).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val q77Sql: String =
+    """WITH dims AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(round(CAST(embedding[generate_subscripts(embedding, 1)]
+      |      AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT label, i, sum(v) AS sv FROM dims GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    sum(a.sv * b.sv) AS dot, sum(a.sv * a.sv) AS na,
+      |    sum(b.sv * b.sv) AS nb
+      |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  round(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+      |    * 10000) / 10000.0 AS cos
+      |FROM pairs ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_embedding_neardup" -> q36,
+    "q77_centroid_cosine" -> q77,
     "q37_ann_bruteforce" -> q37,
     "q38_ann_lsh" -> q38,
     "q39_knn_batch" -> q39,
@@ -517,6 +571,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,
+    "q77_centroid_cosine" -> q77Sql,
     "q39_knn_batch" -> q39Sql,
     "q61_srp_twin" -> q61Sql)
 }

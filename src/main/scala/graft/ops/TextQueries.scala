@@ -220,8 +220,55 @@ object TextQueries {
       |    / 10000.0 <= 0.05 AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ── q76: per-document TF-IDF top terms — the classic "what is this
+  //        document about" signal, and the shape every keyword-extraction /
+  //        BM25-features stage takes at scale: tf is a (doc, term) count,
+  //        df a term count, and the top-k a bounded per-doc window. All
+  //        three are map-side-combinable aggregates; the join ships only
+  //        the tiny (term, df) relation (vocabulary-sized → broadcast).
+  //        round-to-4 absorbs the ≤1 ulp Math.log-vs-libm divergence.
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, dir).select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")) * 10000)
+          / 10000.0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("t"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("doc_id"), col("t").as("token"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
+  val q76Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+      |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000) / 10000.0
+      |      AS tfidf
+      |  FROM tf JOIN df USING (t) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rk
+      |  FROM scored)
+      |SELECT doc_id, t AS token, tf, df, tfidf FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, tfidf DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_text_stats" -> q28,
+    "q76_tfidf_topk" -> q76,
     "q29_lang_id" -> q29,
     "q30_token_topk" -> q30,
     "q31_fingerprint" -> q31,
@@ -234,5 +281,6 @@ object TextQueries {
     "q30_token_topk" -> q30Sql,
     "q31_fingerprint" -> q31Sql,
     "q45_quality_filter" -> q45Sql,
-    "q65_repetition_filter" -> q65Sql)
+    "q65_repetition_filter" -> q65Sql,
+    "q76_tfidf_topk" -> q76Sql)
 }

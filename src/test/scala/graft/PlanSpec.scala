@@ -139,4 +139,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q73: as-of join is one key shuffle + window — no join operator at all") {
+    val p = plan(graft.ops.TemporalJoins.q73(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "as-of must rewrite to union+window, not a join\n" + p)
+  }
+
+  test("q74: range join keeps its equi keys — hash/SMJ with a residual, never NLJ") {
+    val p = plan(graft.ops.TemporalJoins.q74(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q77: centroid matrix reduces vectors in one aggregate, pairs via broadcast") {
+    val p = plan(graft.operators.Similarity.q77(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

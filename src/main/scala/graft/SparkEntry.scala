@@ -23,6 +23,7 @@ object SparkEntry {
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
       Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
+      Merge.queries ++ Scale.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       graft.operators.Clusters.queries ++
       graft.streaming.EventsStream.queries
@@ -34,6 +35,7 @@ object SparkEntry {
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
       Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
+      Merge.oracle ++ Scale.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       graft.operators.Clusters.oracle ++
       graft.streaming.EventsStream.oracle

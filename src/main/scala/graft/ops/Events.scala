@@ -97,12 +97,42 @@ object Events {
       |FROM ev JOIN stats ON event_type = et
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ── q78: HOPPING-window rollup — 1-hour windows sliding every 15 min
+  //         (each event lands in exactly 4 windows). Spark's `window()`
+  //         generator is the native form (and runs unchanged under
+  //         Structured Streaming with a watermark); the oracle replays the
+  //         same epoch-aligned window algebra with an explicit k ∈ [0,4)
+  //         expansion. Scale shape: a 4× narrow row expansion feeding one
+  //         hash aggregate — partial aggregation absorbs the fan-out
+  //         map-side, so the shuffle carries one row per (window, partial).
+  def q78(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n_events"),
+        col("total_value"))
+      .orderBy(col("win_start"))
+
+  val q78Sql: String =
+    """WITH hops AS (
+      |  SELECT value,
+      |    make_timestamp((CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - k)
+      |      * 900000000) AS win_start
+      |  FROM events, range(0, 4) t(k))
+      |SELECT win_start, count(*) AS n_events,
+      |  sum(round("value" * 100)) / 100.0 AS total_value
+      |FROM hops GROUP BY 1 ORDER BY win_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_hopping_window" -> q78,
     "q24_events_hourly" -> q24,
     "q25_events_json" -> q25,
     "q50_value_outliers" -> q50)
 
   val oracle: Map[String, String] = Map(
+    "q78_hopping_window" -> q78Sql,
     "q24_events_hourly" -> q24Sql,
     "q25_events_json" -> q25Sql,
     "q50_value_outliers" -> q50Sql)

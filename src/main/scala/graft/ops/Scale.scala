@@ -57,4 +57,37 @@ object Scale {
     * error with KiB-sized state per group instead of a distinct shuffle. */
   def approxDistinct(df: DataFrame, col_ : String, rsd: Double = 0.02): DataFrame =
     df.agg(approx_count_distinct(col(col_), rsd).as("approx_distinct"))
+
+  // ── q80: skew-safe exact distinct-count per HOT key. A naive
+  //        `groupBy(source).agg(countDistinct(token))` ships every
+  //        (source, token) row to one reducer per source — 20 sources
+  //        means ≥31/32 of the cluster idles while the hot keys build
+  //        gigabyte hash sets. The rewrite pre-distincts on the FULL
+  //        (source, token) pair — hash-partitioned over every reducer —
+  //        then counts the already-unique pairs per source, which
+  //        partial-aggregates map-side to one row per (source, partition).
+  //        Result-identical (the oracle is the naive form), shuffle-safe
+  //        at any skew.
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    documents(s, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q80Sql: String =
+    """SELECT source, count(DISTINCT t) AS n_distinct_tokens FROM (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_skew_distinct" -> q80)
+
+  val oracle: Map[String, String] = Map(
+    "q80_skew_distinct" -> q80Sql)
 }

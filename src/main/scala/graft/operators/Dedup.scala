@@ -1244,6 +1244,75 @@ object Dedup {
       |            WHEN 'es' THEN 5 WHEN 'fr' THEN 5 ELSE 0 END
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Incremental dedup — the continuous-crawl shape: dedup only the NEW
+    * batch against (a) itself and (b) the historical corpus's digest
+    * index. History never rescans its text: at 100 TB the `hist` side is
+    * a maintained bucketed digest table (32 bytes/doc), and the batch
+    * anti-joins it on the digest — shuffle is batch-sized, not
+    * corpus-sized. Within-batch first-occurrence wins via one min_by
+    * aggregate (no window sort).
+    */
+  def incrementalDedup(batch: DataFrame, histDigests: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val winners = batch
+      .withColumn("_d", sha2(col(textCol), 256))
+      .groupBy(col("_d"))
+      .agg(min(col(idCol)).as(idCol))
+    winners.join(histDigests, Seq("_d"), "left_anti").drop("_d")
+  }
+
+  // q82: docs with doc_id ≡ 4 (mod 5) arrive as the new batch; the rest
+  //      are history. Survivors = first-in-batch content not seen before.
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+      .select(sha2(col("text"), 256).as("_d")).distinct()
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    incrementalDedup(batch.select(col("doc_id"), col("text")), hist,
+        "text", "doc_id")
+      .join(batch.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q82Sql: String =
+    """WITH d AS (SELECT doc_id, lang, source, sha256(text) AS _d FROM documents),
+      |hist AS (SELECT DISTINCT _d FROM d WHERE doc_id % 5 != 4),
+      |batch AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+      |win AS (SELECT _d, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+      |SELECT w.doc_id, b.lang, b.source
+      |FROM win w JOIN batch b ON b.doc_id = w.doc_id
+      |WHERE w._d NOT IN (SELECT _d FROM hist)
+      |ORDER BY w.doc_id""".stripMargin
+
+  /** Temperature-scaled sampling weights for the training mix
+    * (w_i ∝ n_i^α, α < 1 upweights small sources — the multilingual /
+    * multi-source balancing rule). Dataset-level: per-source token counts
+    * reduce map-side; the normalizer is a 20-row aggregate broadcast
+    * back. round-to-6 absorbs libm pow/sum-order ulps.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val t = documents(s, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val z = t.agg(sum(pow(col("n_tokens"), alpha)).as("_z"))
+    t.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        (round(pow(col("n_tokens"), alpha) / col("_z") * 1000000) / 1000000.0)
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
+  val q83Sql: String =
+    """WITH t AS (
+      |  SELECT source, sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |z AS (SELECT sum(pow(n_tokens, 0.7)) AS _z FROM t)
+      |SELECT source, n_tokens,
+      |  round(pow(n_tokens, 0.7) / _z * 1000000) / 1000000.0 AS weight
+      |FROM t CROSS JOIN z ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
@@ -1262,7 +1331,9 @@ object Dedup {
     "q66_quota_sample" -> q66,
     "q69_chunk_dedup" -> q69,
     "q70_bloom_decontam" -> q70,
-    "q72_source_overlap" -> q72)
+    "q72_source_overlap" -> q72,
+    "q82_incremental_dedup" -> q82,
+    "q83_mix_weights" -> q83)
 
   val oracle: Map[String, String] = Map(
     "q57_training_prep" -> q57Sql,
@@ -1278,5 +1349,7 @@ object Dedup {
     "q64_decontaminate" -> q64Sql,
     "q66_quota_sample" -> q66Sql,
     "q69_chunk_dedup" -> q69Sql,
-    "q72_source_overlap" -> q72Sql)
+    "q72_source_overlap" -> q72Sql,
+    "q82_incremental_dedup" -> q82Sql,
+    "q83_mix_weights" -> q83Sql)
 }

@@ -29,10 +29,13 @@ object Stats {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_items"),
-        r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
-        r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        // ONE percentile buffer serves all four ranks (4 scalar calls
+        // would each build their own value map)
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
+          .as("_qs"))
+      .select(col("l_returnflag"), col("n_items"),
+        r4(col("_qs")(0)).as("p25"), r4(col("_qs")(1)).as("p50"),
+        r4(col("_qs")(2)).as("p75"), r4(col("_qs")(3)).as("p99"))
       .orderBy(col("l_returnflag"))
 
   val q75Sql: String =

@@ -134,14 +134,38 @@ object EventsStream {
     s.table(qn).orderBy(col("user_id"), col("session_start"))
   }
 
+  // ── q81: the streaming face of batch q78 — SLIDING windows as a
+  //        streaming aggregation (each event feeds 4 overlapping window
+  //        states), AvailableNow into a memory sink, verified by q78's
+  //        unchanged hop-expansion oracle. Complete mode for the same
+  //        end-of-input reason as q62.
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q81_hopping_stream_sink"
+    s.catalog.dropTempView(qn)
+    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(graft.Fns.cents(col("value"))) / 100.0).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n_events"),
+        col("total_value"))
+    val query = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("win_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_events_hourly_stream" -> q62,
-    "q71_sessions_stream" -> q71)
+    "q71_sessions_stream" -> q71,
+    "q81_hopping_stream" -> q81)
 
-  /** Identical rollups to batch q24/q43 → identical oracle SQL. */
+  /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,
-    "q71_sessions_stream" -> graft.ops.Windows.q43Sql)
+    "q71_sessions_stream" -> graft.ops.Windows.q43Sql,
+    "q81_hopping_stream" -> graft.ops.Events.q78Sql)
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output

@@ -23,7 +23,7 @@ object SparkEntry {
     RefQueries.queries ++ Joins.queries ++ Windows.queries ++
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
       Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
-      Merge.queries ++ Scale.queries ++
+      Merge.queries ++ Scale.queries ++ Analytics.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       graft.operators.Clusters.queries ++
       graft.streaming.EventsStream.queries
@@ -35,7 +35,7 @@ object SparkEntry {
     RefQueries.oracle ++ Joins.oracle ++ Windows.oracle ++
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
       Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
-      Merge.oracle ++ Scale.oracle ++
+      Merge.oracle ++ Scale.oracle ++ Analytics.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       graft.operators.Clusters.oracle ++
       graft.streaming.EventsStream.oracle

@@ -50,7 +50,14 @@ object Bench {
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
           Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
       }
-      (name, (System.nanoTime() - t0) / 1e9, (gcMillis - gc0) / 1e3, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release THIS query's persisted subtrees before the next one runs:
+      // 89 queries × MEMORY_AND_DISK persists otherwise accumulate for the
+      // whole session, and storage-memory churn lands on whichever query
+      // runs late (the long-tail inflation mechanism the driver records).
+      // Outside the timer: cleanup is bookkeeping, not query cost.
+      spark.catalog.clearCache()
+      (name, dt, (gcMillis - gc0) / 1e3, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

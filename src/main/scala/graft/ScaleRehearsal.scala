@@ -79,7 +79,11 @@ object ScaleRehearsal {
       "q49_neardup_lsh", "q37_ann_bruteforce", "q54_trigram_jaccard",
       "q60_winnowing_pairs", "q57_training_prep", "q58_stratified_sample",
       "q67_neardup_clusters", "q69_chunk_dedup", "q70_bloom_decontam",
-      "q68_pii_redaction", "q72_source_overlap")
+      "q68_pii_redaction", "q72_source_overlap",
+      "q73_asof_join", "q74_range_join", "q75_exact_quantiles",
+      "q76_tfidf_topk", "q78_hopping_window", "q79_merge_upsert",
+      "q80_skew_distinct", "q82_incremental_dedup", "q84_cube",
+      "q88_funnel", "q89_cohort_retention")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics. q61 (the
@@ -99,6 +103,8 @@ object ScaleRehearsal {
         .agg(count(lit(1)), bit_xor(col("_h"))).collect()(0).getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$name%-24s $dt%7.2f s   ($n rows)")
+      // same per-query cache release discipline as Bench
+      spark.catalog.clearCache()
       name -> dt
     }
     println(f"TOTAL ${times.map(_._2).sum}%.1f s over ${headline.size} queries at ~${replicas}x sf0.1")

@@ -159,7 +159,42 @@ object Windows {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ── q90: analytic-function completeness in one suite — lag/lead
+  //        neighbors, exact-cents delta to the previous row, percent_rank
+  //        and cume_dist. All rank fractions are divisions of identical
+  //        integers on both engines (k/(n−1), k/n), so the doubles are
+  //        bit-equal without rounding. One shuffle per partition key, the
+  //        standard distributed window shape.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ((cents(col("o_totalprice"))
+          - lag(cents(col("o_totalprice")), 1).over(w)) / 100.0)
+          .as("delta_prev"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q90Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  lag(o_orderkey) OVER w AS prev_key,
+      |  lead(o_orderkey) OVER w AS next_key,
+      |  (round(o_totalprice * 100) - lag(round(o_totalprice * 100)) OVER w)
+      |    / 100.0 AS delta_prev,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_window_suite" -> q90,
     "q21_window_topn" -> q21,
     "q22_window_running" -> q22,
     "q23_sessionize" -> q23,
@@ -167,6 +202,7 @@ object Windows {
     "q44_topk_custom" -> q44)
 
   val oracle: Map[String, String] = Map(
+    "q90_window_suite" -> q90Sql,
     "q21_window_topn" -> q21Sql,
     "q22_window_running" -> q22Sql,
     "q23_sessionize" -> q23Sql,

@@ -156,16 +156,59 @@ object EventsStream {
     s.table(qn).orderBy(col("win_start"))
   }
 
+  // ── q91: STREAM-STREAM interval join — errors joined to the same
+  //        user's clicks within the preceding 10 minutes (inclusive),
+  //        both sides watermarked so the join state is bounded by the
+  //        time-range condition (the production stream-stream shape).
+  //        Inner joins emit on match in append mode; AvailableNow drains
+  //        the file source, so the output set is deterministic and a
+  //        batch interval-join SQL oracles it exactly.
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q91_interval_join_stream_sink"
+    s.catalog.dropTempView(qn)
+    val ev = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES"))
+    val query = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).select(col("e_id"), col("e_user"), col("e_ts"),
+        col("c_id"), col("c_ts"))
+      .orderBy(col("e_id"), col("c_id"))
+  }
+
+  val q91Sql: String =
+    """SELECT e.event_id AS e_id, e.user_id AS e_user, e.ts AS e_ts,
+      |  c.event_id AS c_id, c.ts AS c_ts
+      |FROM events e JOIN events c
+      |  ON c.user_id = e.user_id AND c.event_type = 'click'
+      | AND c.ts <= e.ts AND epoch_us(e.ts) - epoch_us(c.ts) <= 600000000
+      |WHERE e.event_type = 'error'
+      |ORDER BY e_id, c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_events_hourly_stream" -> q62,
     "q71_sessions_stream" -> q71,
-    "q81_hopping_stream" -> q81)
+    "q81_hopping_stream" -> q81,
+    "q91_interval_join_stream" -> q91)
 
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,
     "q71_sessions_stream" -> graft.ops.Windows.q43Sql,
-    "q81_hopping_stream" -> graft.ops.Events.q78Sql)
+    "q81_hopping_stream" -> graft.ops.Events.q78Sql,
+    "q91_interval_join_stream" -> q91Sql)
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimExpr, TopKPerKeyStrategy}
+import org.apache.spark.sql.graft.{CosineSimExpr, MergePercentiles, TopKPerKeyStrategy}
 
 /** SparkSessionExtensions entry point — wire the engine's native functions
   * and operators into any session via config, so SQL users get them
@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => MergePercentiles)
   }
 }

@@ -152,6 +152,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q75: four scalar percentile calls fuse to one buffer (MergePercentiles)") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
+    val df = graft.ops.Stats.q75(spark, sfDir)
+    val buffers = df.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect {
+        case ae: AggregateExpression
+            if ae.aggregateFunction.isInstanceOf[Percentile] => ae.resultId
+      }).distinct.size
+    assert(buffers == 1, df.queryExecution.optimizedPlan)
+  }
+
   test("q77: centroid matrix reduces vectors in one aggregate, pairs via broadcast") {
     val p = plan(graft.operators.Similarity.q77(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -87,11 +87,16 @@ object Bench {
     val fullErrs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"BENCH_FULL.json write failed: $e") }
+    // Only a FULL run may replace the full-session record: a standalone
+    // SPARK_GRAFT_QUERIES subset re-measure must not clobber the 91-query
+    // artifact with a 1-query file (that exact loss happened once).
+    if (only.isEmpty) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH_FULL.json write failed: $e") }
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -982,27 +982,35 @@ object Dedup {
       textCol: String, idCol: String, gramWords: Int = 13,
       fpp: Double = 1e-6): DataFrame = {
     // eval side is benchmark-sized by definition: one count + one
-    // driver-side sketch build over the distinct gram hashes
-    val evalHashes = distinctTokens(evalSet, textCol, idCol, gramWords)
-      .select(xxhash64(col("t")).as("h"))
-    val expected = evalHashes.count()
-    // empty eval set → no contamination possible; also the bloom aggregate
-    // yields a null sketch buffer over zero rows, so don't build one
-    if (expected == 0) return corpus
-    val sketch = evalHashes.stat.bloomFilter("h", expected, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    sketch.writeTo(bos)
-    // corpus side: NO distinct before the probe (that would shuffle every
-    // corpus gram — the exact thing this operator exists to avoid)
-    val grams = corpus
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), gramWords)).as("t"))
-    val contaminated = grams
-      .filter(org.apache.spark.sql.graft.BloomMightContain.column(
-        bos.toByteArray, xxhash64(col("t"))))
-      .select(col("doc_id")).distinct()
-    corpus.join(contaminated,
-      corpus(idCol) === contaminated("doc_id"), "left_anti")
+    // driver-side sketch build over the distinct gram hashes. Distinct on
+    // the GRAM (not (doc_id, gram)): a gram shared by k eval docs must
+    // count once, or the sketch is sized k× too large at ~29 bits/gram.
+    // Persisted so count() and the bloom aggregate share one scan.
+    val evalHashes = evalSet
+      .select(tokens(col(textCol)).as("_toks"))
+      .select(explode(shinglesFromTokens(col("_toks"), gramWords)).as("t"))
+      .select(xxhash64(col("t")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val expected = evalHashes.count()
+      // empty eval set → no contamination possible; also the bloom aggregate
+      // yields a null sketch buffer over zero rows, so don't build one
+      if (expected == 0) return corpus
+      val sketch = evalHashes.stat.bloomFilter("h", expected, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      // corpus side: NO distinct before the probe (that would shuffle every
+      // corpus gram — the exact thing this operator exists to avoid)
+      val grams = corpus
+        .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+        .select(col("doc_id"), explode(shinglesFromTokens(col("_toks"), gramWords)).as("t"))
+      val contaminated = grams
+        .filter(org.apache.spark.sql.graft.BloomMightContain.column(
+          bos.toByteArray, xxhash64(col("t"))))
+        .select(col("doc_id")).distinct()
+      corpus.join(contaminated,
+        corpus(idCol) === contaminated("doc_id"), "left_anti")
+    } finally evalHashes.unpersist(blocking = false)
   }
 
   // q70: Bloom-sketch decontamination on the q64 slices — same eval/corpus
@@ -1043,23 +1051,34 @@ object Dedup {
       tokens(col(textCol)).as("_tk"))
     val n = size(col("_tk"))
     val nCh = ((n + (chunkTokens - 1)) / chunkTokens).cast("int")
-    // guard: sequence(0, -1) DESCENDS for empty docs — fabricating chunks
-    val idx = when(n === 0, array().cast("array<int>"))
+    // guard: sequence(0, -1) DESCENDS for empty docs — fabricating chunks.
+    // Empty docs emit a SENTINEL idx = -1 instead of no row at all: a
+    // plain explode of an empty array deletes the doc from the output,
+    // and a corpus rewritten through this operator would silently lose
+    // every empty document (review finding, round 4).
+    val idx = when(n === 0, array(lit(-1)))
       .otherwise(sequence(lit(0), nCh - 1))
     val rows = staged
       .select(col("doc_id"), col("_tk"), explode(idx).as("idx"))
       .select(col("doc_id"), col("idx"),
-        array_join(slice(col("_tk"), col("idx") * chunkTokens + 1,
-          lit(chunkTokens)), " ").as("chunk"))
-    val firstSeen = Window.partitionBy(sha2(col("chunk"), 256))
+        when(col("idx") >= 0,
+          array_join(slice(col("_tk"), col("idx") * chunkTokens + 1,
+            lit(chunkTokens)), " ")).as("chunk"))
+    // Sentinel rows get a per-doc partition key ("e:" prefix can't collide
+    // with hex digests) so a corpus full of empty docs doesn't funnel into
+    // one window partition.
+    val firstSeen = Window.partitionBy(
+        when(col("idx") < 0, concat(lit("e:"), col("doc_id")))
+          .otherwise(sha2(col("chunk"), 256)))
       .orderBy(col("doc_id"), col("idx"))
     rows.withColumn("rn", row_number().over(firstSeen))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("idx") >= 0, 1L).otherwise(0L)).as("n_chunks"),
+        sum(when(col("idx") >= 0 && col("rn") === 1, 1L).otherwise(0L))
+          .as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(when(col("rn") === 1,
+          array_sort(collect_list(when(col("idx") >= 0 && col("rn") === 1,
             struct(col("idx"), col("chunk"))))),
           x => x.getField("chunk")), " ").as("kept_text"))
   }
@@ -1084,10 +1103,15 @@ object Dedup {
       |  SELECT doc_id, idx, chunk,
       |    row_number() OVER (PARTITION BY sha256(chunk) ORDER BY doc_id, idx) AS rn
       |  FROM ch)
-      |SELECT doc_id, count(*) AS n_chunks,
-      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS kept_text
-      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS kept_text
+      |  FROM ranked GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  coalesce(a.kept_text, '') AS kept_text
+      |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   // ── q57: the whole training-data-prep pipeline in one declarative plan —
   //        quality filter → exact dedup (keep lowest id per digest) →

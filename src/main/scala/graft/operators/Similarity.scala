@@ -528,9 +528,15 @@ object Similarity {
     a.join(broadcast(b),
         col("ia") === col("ib") && col("label_a") < col("label_b"))
       .groupBy(col("label_a"), col("label_b"))
-      .agg(sum(col("va") * col("vb")).as("dot"),
-        sum(col("va") * col("va")).as("na"),
-        sum(col("vb") * col("vb")).as("nb"))
+      // Widen to decimal(38,0) BEFORE the product: va,vb are per-label
+      // coordinate sums that reach ~1e15 at 1e9 docs/label, so va*vb
+      // overflows int64 (Spark would wrap silently in non-ANSI mode).
+      // decimal(38,0) holds the 64-dim dot exactly up to ~1e38; DuckDB
+      // mirrors with HUGEINT (int128) — both stay exact, then one
+      // identical int→double conversion at the end.
+      .agg(sum(col("va").cast("decimal(38,0)") * col("vb")).as("dot"),
+        sum(col("va").cast("decimal(38,0)") * col("va")).as("na"),
+        sum(col("vb").cast("decimal(38,0)") * col("vb")).as("nb"))
       .select(col("label_a"), col("label_b"),
         (round(col("dot").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
@@ -547,8 +553,9 @@ object Similarity {
       |cent AS (SELECT label, i, sum(v) AS sv FROM dims GROUP BY 1, 2),
       |pairs AS (
       |  SELECT a.label AS label_a, b.label AS label_b,
-      |    sum(a.sv * b.sv) AS dot, sum(a.sv * a.sv) AS na,
-      |    sum(b.sv * b.sv) AS nb
+      |    sum(CAST(a.sv AS HUGEINT) * b.sv) AS dot,
+      |    sum(CAST(a.sv AS HUGEINT) * a.sv) AS na,
+      |    sum(CAST(b.sv AS HUGEINT) * b.sv) AS nb
       |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
       |  GROUP BY 1, 2)
       |SELECT label_a, label_b,

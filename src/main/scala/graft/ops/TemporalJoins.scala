@@ -48,6 +48,15 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String): DataFrame = {
     val payloadCols = right.columns.filterNot(keys.contains)
+    // The output is left.* ++ payloadCols, so a right payload name (incl.
+    // rightTs) that collides with a left column would emit two columns of
+    // the same name — every later col("name") then throws
+    // AMBIGUOUS_REFERENCE. Fail at construction instead (q73 renames to
+    // click_ts/click_id for exactly this reason).
+    val clash = payloadCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"asofJoin: right payload column(s) ${clash.mkString(", ")} collide " +
+        "with left columns; rename the right side before joining")
     val lPart = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("_ts"), lit(1).as("_side"),

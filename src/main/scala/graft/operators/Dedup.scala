@@ -1102,7 +1102,7 @@ object Dedup {
       |ranked AS (
       |  SELECT doc_id, idx, chunk,
       |    row_number() OVER (PARTITION BY sha256(chunk) ORDER BY doc_id, idx) AS rn
-      |  FROM ch)
+      |  FROM ch),
       |agg AS (
       |  SELECT doc_id, count(*) AS n_chunks,
       |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1311,20 +1311,31 @@ object Dedup {
   /** Temperature-scaled sampling weights for the training mix
     * (w_i ∝ n_i^α, α < 1 upweights small sources — the multilingual /
     * multi-source balancing rule). Dataset-level: per-source token counts
-    * reduce map-side; the normalizer is a 20-row aggregate broadcast
-    * back. round-to-6 absorbs libm pow/sum-order ulps.
+    * reduce map-side; the normalizer is a ~20-row aggregate broadcast
+    * back.
+    *
+    * Cross-engine exactness by construction (NOT by rounding): α = 3/4,
+    * and n^0.75 = sqrt(n)·sqrt(sqrt(n)). IEEE-754 `sqrt` is exactly
+    * rounded (unlike libm `pow`, whose last-ulp differs between Java's
+    * Math.pow and DuckDB's libm — the r4 hash mismatch), so both engines
+    * compute bit-identical doubles from the same integer token counts.
+    * Each score is then quantized to an integer (×1e6, round) and the
+    * normalizer is an INTEGER sum — order-free — so the final division
+    * sees identical operands on both engines.
     */
   def q83(s: SparkSession, dir: String): DataFrame = {
-    val alpha = 0.7
     val t = documents(s, dir)
       .select(col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
-    val z = t.agg(sum(pow(col("n_tokens"), alpha)).as("_z"))
-    t.crossJoin(broadcast(z))
+    val scored = t.withColumn("_s",
+      round(sqrt(col("n_tokens")) * sqrt(sqrt(col("n_tokens"))) * 1000000)
+        .cast("long"))
+    val z = scored.agg(sum(col("_s")).as("_z"))
+    scored.crossJoin(broadcast(z))
       .select(col("source"), col("n_tokens"),
-        (round(pow(col("n_tokens"), alpha) / col("_z") * 1000000) / 1000000.0)
-          .as("weight"))
+        (round(col("_s").cast("double") / col("_z").cast("double") * 1000000)
+          / 1000000.0).as("weight"))
       .orderBy(col("source"))
   }
 
@@ -1332,10 +1343,14 @@ object Dedup {
     """WITH t AS (
       |  SELECT source, sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens
       |  FROM documents GROUP BY 1),
-      |z AS (SELECT sum(pow(n_tokens, 0.7)) AS _z FROM t)
+      |s AS (
+      |  SELECT source, n_tokens,
+      |    CAST(round(sqrt(n_tokens) * sqrt(sqrt(n_tokens)) * 1000000) AS BIGINT) AS _s
+      |  FROM t),
+      |z AS (SELECT sum(_s) AS _z FROM s)
       |SELECT source, n_tokens,
-      |  round(pow(n_tokens, 0.7) / _z * 1000000) / 1000000.0 AS weight
-      |FROM t CROSS JOIN z ORDER BY source""".stripMargin
+      |  round(CAST(_s AS DOUBLE) / CAST(_z AS DOUBLE) * 1000000) / 1000000.0 AS weight
+      |FROM s CROSS JOIN z ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_dedup_exact" -> q32,

@@ -56,7 +56,9 @@ object Bench {
       // whole session, and storage-memory churn lands on whichever query
       // runs late (the long-tail inflation mechanism the driver records).
       // Outside the timer: cleanup is bookkeeping, not query cost.
-      spark.catalog.clearCache()
+      // OperatorCaches.release (not catalog.clearCache): drops exactly the
+      // graft-created persists — the library caller contract under test.
+      OperatorCaches.release()
       (name, dt, (gcMillis - gc0) / 1e3, err)
     }
     def jstr(s: String): String =

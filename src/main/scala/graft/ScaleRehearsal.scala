@@ -104,7 +104,7 @@ object ScaleRehearsal {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$name%-24s $dt%7.2f s   ($n rows)")
       // same per-query cache release discipline as Bench
-      spark.catalog.clearCache()
+      OperatorCaches.release()
       name -> dt
     }
     println(f"TOTAL ${times.map(_._2).sum}%.1f s over ${headline.size} queries at ~${replicas}x sf0.1")

@@ -30,7 +30,7 @@ object Verify {
       // Release this query's MEMORY_AND_DISK persists (pairing operators
       // cache 1-2 subtrees each) so 90+ queries don't accumulate storage
       // for the whole session — same hygiene as Bench/ScaleRehearsal.
-      finally spark.catalog.clearCache()
+      finally OperatorCaches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.OperatorCaches.TrackedDataset
 import graft.Tables._
 import graft.ops.TextQueries.tokens
 
@@ -141,10 +143,10 @@ object Dedup {
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
         min_by(col("_text"), col("doc_id")).as("_text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repPairs = toks.as("x")
       .join(toks.as("y"),
@@ -291,7 +293,7 @@ object Dedup {
     // signature pass exactly once (see winnowingShaPairs for rationale).
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
       .select(col("doc_id") +: col("sig") +:
         (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
@@ -381,7 +383,7 @@ object Dedup {
     val groups = sigs
       .groupBy(array((0 until ShaHashes).map(i => col(s"m$i")): _*).as("_sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val repSigs = groups.select(col("rep").as("doc_id") +:
       (0 until ShaHashes).map(i => col("_sig")(i).as(s"m$i")): _*)
     val bandCols = (0 until ShaBands).map { b =>
@@ -478,7 +480,7 @@ object Dedup {
     // persisted: the pigeonhole self-join reads the 64-sum-agg simhash
     // relation twice; one materialization, two cache scans
     val sh = simhash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
@@ -598,7 +600,7 @@ object Dedup {
     // self-join consumes the fingerprint relation twice, and a cache (one
     // materialization, ~12% of text size) beats hoping for exchange reuse.
     val fpArr = winnowingFingerprints(docs, textCol, idCol, k = 8, w = 4)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val fp = fpArr.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
     fp.as("x").join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -705,7 +707,7 @@ object Dedup {
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
         min_by(col("_text"), col("doc_id")).as("_text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     // Array form (q53-measured faster than the row pipeline), computed
     // once behind the cache boundary. The boundary also retires the
@@ -713,7 +715,7 @@ object Dedup {
     // `size(fingerprints) > 0` filter now tests a cached column instead
     // of inlining the whole gram-hash expression.
     val fpArr = winnowingFingerprintsSha(repDocs, "_text", "doc_id", k, w)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // array_distinct in the array form = the row form's distinct():
     // fingerprint sets are per-doc sets either way (spec-pinned).
     val fp = fpArr.select(col("doc_id"), explode(col("fingerprints")).as("w"))
@@ -901,7 +903,7 @@ object Dedup {
       .select(col(srcCol).as("src"), tokens(col(textCol)).as("_toks"))
       .select(col("src"), explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // sizes and all sketch components in ONE aggregate pass
     val aggs = count(lit(1)).as("n") +: (0 until numHashes).map(i =>
       min(sha2(concat(lit(s"$i:"), col("t")), 256)).as(s"m$i"))
@@ -990,7 +992,7 @@ object Dedup {
       .select(tokens(col(textCol)).as("_toks"))
       .select(explode(shinglesFromTokens(col("_toks"), gramWords)).as("t"))
       .select(xxhash64(col("t")).as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     try {
       val expected = evalHashes.count()
       // empty eval set → no contamination possible; also the bloom aggregate

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.OperatorCaches.TrackedDataset
 import graft.Tables._
 import graft.Fns._
 
@@ -183,7 +185,7 @@ object Similarity {
     val groups = e.select(col("vec_id"), sig.as("_sig"))
       .groupBy(col("_sig"))
       .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // ALL member pairs within a group (identical signatures ⇒ candidates),
     // not just rep→member: member↔member pairs carry their own exact
     // cosines downstream (identical sign pattern does NOT imply the exact

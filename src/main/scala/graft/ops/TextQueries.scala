@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.OperatorCaches.TrackedDataset
 import graft.Tables._
 
 /** Text-analysis operators over the `documents` table (north-star
@@ -231,7 +233,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val tok = documents(s, dir).select(col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
     val n = tok.agg(countDistinct(col("doc_id")).as("n"))

@@ -39,6 +39,25 @@ object EventsStream {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n` — the
+    * knob that sizes STREAMING STATE, not just shuffle width. A stateful
+    * streaming query creates one state store per shuffle partition per
+    * stateful operator (a stream-stream join keeps FOUR per partition:
+    * keyToNumValues + keyWithIndexToValue on each side), and every store
+    * pays a checkpoint commit per micro-batch regardless of how little
+    * data it holds. So the right size tracks per-trigger volume, not CPU
+    * count: at bench scale 32 partitions means 128 near-empty stores per
+    * batch for q91 (~3x the query's whole runtime in commit overhead);
+    * on a real cluster you raise it with throughput and switch the
+    * provider to RocksDB once state outgrows the heap. Partition count
+    * never changes results — only where keys land. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour windowed rollup with a 2-hour watermark — the
     * streaming form of batch q24 (graft.ops.Events). */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -94,7 +113,7 @@ object EventsStream {
   //        sink table. Complete mode (not append): at end-of-input the
   //        final watermark would withhold the trailing window in append
   //        mode, silently dropping the last hour.
-  def q62(s: SparkSession, dir: String): DataFrame = {
+  def q62(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q62_events_hourly_stream_sink"
     s.catalog.dropTempView(qn)
@@ -118,7 +137,7 @@ object EventsStream {
   //        memory sink, verified by the same gap-walk oracle SQL as q43.
   //        Complete mode for the same end-of-input reason as q62: append
   //        would withhold every session inside the final watermark.
-  def q71(s: SparkSession, dir: String): DataFrame = {
+  def q71(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q71_sessions_stream_sink"
     s.catalog.dropTempView(qn)
@@ -139,7 +158,7 @@ object EventsStream {
   //        states), AvailableNow into a memory sink, verified by q78's
   //        unchanged hop-expansion oracle. Complete mode for the same
   //        end-of-input reason as q62.
-  def q81(s: SparkSession, dir: String): DataFrame = {
+  def q81(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q81_hopping_stream_sink"
     s.catalog.dropTempView(qn)
@@ -163,7 +182,7 @@ object EventsStream {
   //        Inner joins emit on match in append mode; AvailableNow drains
   //        the file source, so the output set is deterministic and a
   //        batch interval-join SQL oracles it exactly.
-  def q91(s: SparkSession, dir: String): DataFrame = {
+  def q91(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q91_interval_join_stream_sink"
     s.catalog.dropTempView(qn)

@@ -31,33 +31,54 @@ object Clusters {
     * needs). Deterministic: labels are ids, min is order-free.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val bi = edges.select(col("id_a").cast("long").as("a"),
+    val s = edges.sparkSession
+    // Checkpoint the DIRECTED edge list before mirroring it: the mirror
+    // union would otherwise evaluate the caller's edge subtree twice —
+    // once per branch — and that subtree is typically the expensive part
+    // (q67 feeds the corpus-wide jaccard pair join here; the double
+    // evaluation was ~40% of the whole query).
+    val e0 = edges.select(col("id_a").cast("long").as("a"),
         col("id_b").cast("long").as("b"))
-      .unionByName(edges.select(col("id_b").cast("long").as("a"),
-        col("id_a").cast("long").as("b")))
       .localCheckpoint(true)
-    var labels = bi.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // Tag each node's own row so the round's aggregate carries BOTH the
-      // new min label and the previous one: convergence then reads the
-      // checkpointed round output (a cheap block scan) instead of paying
-      // a second labels-vs-labels join action per round.
-      val prop = bi.join(labels, bi("a") === labels("id"))
-        .select(col("b").as("id"), col("cluster"), lit(false).as("self"))
-      val next = labels.withColumn("self", lit(true)).unionByName(prop)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
-          min(when(col("self"), col("cluster"))).as("prev"))
+    // Size the loop's shuffle width to the GRAPH, not the session: each
+    // round is a handful of small jobs whose per-task scheduling cost
+    // dominates when a few-thousand-edge graph is spread over the
+    // session's partition count, while a 100 TB edge list still gets one
+    // partition per ~500k edges up to the session cap. The count is a
+    // cheap block scan of the already-checkpointed edge RDD.
+    val p = math.max(1, math.min(s.sessionState.conf.numShufflePartitions,
+      (2 * e0.count() / 500000L).toInt + 1))
+    graft.ScopedConf.withShufflePartitions(s, p) {
+      // One-time co-partition on the propagation key: every round's
+      // bi(a)=labels(id) join then reuses this layout (labels come out of
+      // a groupBy(id) with the same width) instead of re-shuffling the
+      // edge list per round.
+      val bi = e0
+        .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .repartition(p, col("a")).localCheckpoint(true)
+      var labels = bi.select(col("a").as("id")).distinct()
+        .withColumn("cluster", col("id"))
         .localCheckpoint(true)
-      converged = next.filter(col("cluster") < col("prev")).isEmpty
-      labels = next.select(col("id"), col("cluster"))
-      i += 1
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // Tag each node's own row so the round's aggregate carries BOTH the
+        // new min label and the previous one: convergence then reads the
+        // checkpointed round output (a cheap block scan) instead of paying
+        // a second labels-vs-labels join action per round.
+        val prop = bi.join(labels, bi("a") === labels("id"))
+          .select(col("b").as("id"), col("cluster"), lit(false).as("self"))
+        val next = labels.withColumn("self", lit(true)).unionByName(prop)
+          .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
+            min(when(col("self"), col("cluster"))).as("prev"))
+          .localCheckpoint(true)
+        converged = next.filter(col("cluster") < col("prev")).isEmpty
+        labels = next.select(col("id"), col("cluster"))
+        i += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      labels.select(col("cluster"), col("id"))
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("cluster"), col("id"))
   }
 
   /** Cluster representatives to KEEP and members to DROP: one row per

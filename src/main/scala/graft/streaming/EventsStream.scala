@@ -51,12 +51,8 @@ object EventsStream {
     * on a real cluster you raise it with throughput and switch the
     * provider to RocksDB once state outgrows the heap. Partition count
     * never changes results — only where keys land. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    graft.ScopedConf.withShufflePartitions(s, n)(body)
 
   /** Tumbling 1-hour windowed rollup with a 2-hour watermark — the
     * streaming form of batch q24 (graft.ops.Events). */

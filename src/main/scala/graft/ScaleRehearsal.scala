@@ -93,7 +93,12 @@ object ScaleRehearsal {
     // the adaptive-geometry q49 is the scale form of that mechanism.
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val times = headline.map { name =>
+    // Optional comma-separated subset (same env contract as Bench) for
+    // standalone re-measurement of a changed operator.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
+    val times = selected.map { name =>
       val t0 = System.nanoTime()
       // same drain as Bench: hash every output column — count() lets
       // column pruning skip expensive projections and under-measures
@@ -107,7 +112,7 @@ object ScaleRehearsal {
       OperatorCaches.release()
       name -> dt
     }
-    println(f"TOTAL ${times.map(_._2).sum}%.1f s over ${headline.size} queries at ~${replicas}x sf0.1")
+    println(f"TOTAL ${times.map(_._2).sum}%.1f s over ${selected.size} queries at ~${replicas}x sf0.1")
     spark.stop()
   }
 }

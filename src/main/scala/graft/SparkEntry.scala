@@ -25,7 +25,7 @@ object SparkEntry {
       Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
       Merge.queries ++ Scale.queries ++ Analytics.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      graft.operators.Clusters.queries ++
+      graft.operators.Clusters.queries ++ graft.operators.Pack.queries ++
       graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
       Merge.oracle ++ Scale.oracle ++ Analytics.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      graft.operators.Clusters.oracle ++
+      graft.operators.Clusters.oracle ++ graft.operators.Pack.oracle ++
       graft.streaming.EventsStream.oracle
 }

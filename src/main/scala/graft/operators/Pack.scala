@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-sequence PACKING and snapshot DIFF — the two bookkeeping
+  * operators between dedup/filtering and tokenization in a training-data
+  * pipeline.
+  *
+  * `packSequences` greedily fills fixed token-budget sequences with whole
+  * documents: docs are taken per group in id order; a doc joins the
+  * current sequence if it fits, else opens a new one (an oversized doc
+  * gets a sequence of its own — splitting is the tokenizer's concern).
+  * Greedy-sequential is the CONTRACT, not an approximation of optimal
+  * bin-packing: the assignment must be a pure function of (group, id
+  * order) so a re-run — or a different engine — reproduces byte-identical
+  * training batches. That determinism is what the DuckDB recursive-CTE
+  * oracle replays.
+  *
+  * Scale shape: only (group, id, n_tokens) ever shuffles (~24 B per doc —
+  * the text column is projected away before the exchange); the packing
+  * ASSIGNMENT comes back as a row per doc, and the sequence writer joins
+  * it to the text by id. Groups pack independently (parallelism = number
+  * of groups); the within-group walk is sequential by construction
+  * because each placement depends on every earlier one. At 100 TB you
+  * bound the sequential span by sharding the group key — e.g.
+  * (source, xxhash64(doc_id) % k) — trading a few partially-filled
+  * sequences per shard for k-way parallelism; the per-shard semantics
+  * are unchanged.
+  */
+object Pack {
+
+  // public (not private): the codegen'd Encoder projections are emitted
+  // into a separate generated class that cannot touch private members
+  case class PackIn(source: String, doc_id: Long, n_tokens: Long)
+  case class PackOut(source: String, doc_id: Long, n_tokens: Long,
+      seq_no: Long)
+
+  /** One row per doc: (group, id, n_tokens, seq_no) where seq_no counts
+    * sequences within the group from 0 in id order. Token count =
+    * whitespace tokens, the engine-neutral proxy (a real tokenizer slots
+    * in by replacing the n_tokens projection). */
+  def packSequences(docs: DataFrame, capacity: Long,
+      groupCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val sized = docs.select(
+        col(groupCol).cast("string").as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        regexp_count(col(textCol), lit("\\S+")).cast("long").as("n_tokens"))
+      .as[PackIn]
+    sized.groupByKey(_.source)
+      .flatMapSortedGroups($"doc_id") { (src, it) =>
+        // sequential by design: each placement depends on the running fill
+        var seq = 0L
+        var fill = 0L
+        var first = true
+        it.map { d =>
+          if (first) { first = false; fill = d.n_tokens }
+          else if (fill + d.n_tokens > capacity) { seq += 1; fill = d.n_tokens }
+          else fill += d.n_tokens
+          PackOut(src, d.doc_id, d.n_tokens, seq)
+        }
+      }
+      .toDF()
+  }
+
+  /** Content diff between two dataset snapshots: which ids were added,
+    * removed, or changed (by text digest) — the "what does this crawl
+    * refresh actually change" audit before reprocessing. Only 32-byte
+    * digests shuffle; unchanged rows are dropped before the result. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(idCol).cast("long").as("id"),
+      sha2(col(textCol), 256).as("_od"))
+    val n = newSnap.select(col(idCol).cast("long").as("id"),
+      sha2(col(textCol), 256).as("_nd"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("_od").isNull, "added")
+          .when(col("_nd").isNull, "removed")
+          .when(col("_od") =!= col("_nd"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("id"), col("status"))
+  }
+
+  // ── q92: pack the corpus into 256-token training sequences per source.
+  //        Oracle: DuckDB recursive CTE replays the greedy walk exactly
+  //        (integer arithmetic only — nothing float-ordered anywhere).
+  def q92(s: SparkSession, dir: String): DataFrame =
+    packSequences(documents(s, dir), capacity = 256)
+      .orderBy(col("source"), col("doc_id"))
+
+  val q92Sql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tokens, rn,
+      |    CAST(0 AS BIGINT) AS seq_no, n_tokens AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+      |    CASE WHEN p.fill + t.n_tokens > 256 THEN p.seq_no + 1 ELSE p.seq_no END,
+      |    CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      |  FROM packed p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+      |SELECT source, doc_id, n_tokens, seq_no
+      |FROM packed ORDER BY source, doc_id""".stripMargin
+
+  // ── q93: snapshot diff between two deterministic slices of documents —
+  //        "old" drops doc_id ≡ 3 (mod 7), "new" drops ≡ 5 (mod 7) and
+  //        rewrites the text of doc_id ≡ 0 (mod 11) (a simulated edit),
+  //        so all three statuses appear.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val oldSnap = docs.where(col("doc_id") % 7 =!= 3)
+    val newSnap = docs.where(col("doc_id") % 7 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    snapshotDiff(oldSnap, newSnap)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q93Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, sha256(text) AS d FROM documents WHERE doc_id % 7 != 3),
+      |n AS (
+      |  SELECT doc_id,
+      |    sha256(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS d
+      |  FROM documents WHERE doc_id % 7 != 5)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.d != n.d THEN 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.d != n.d THEN 'changed' END IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_pack_sequences" -> q92,
+    "q93_snapshot_diff" -> q93)
+
+  val oracle: Map[String, String] = Map(
+    "q92_pack_sequences" -> q92Sql,
+    "q93_snapshot_diff" -> q93Sql)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Pack
+
+class PackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "source", "text")
+
+  test("packSequences: hand-checked greedy walk, oversize doc isolated") {
+    // tokens per doc: 4, 5, 3, 12(oversize), 2 — capacity 10
+    val docs = docsOf(
+      (1L, "a", "w w w w"),
+      (2L, "a", "w w w w w"),
+      (3L, "a", "w w w"),
+      (4L, "a", "w w w w w w w w w w w w"),
+      (5L, "a", "w w"))
+    val got = Pack.packSequences(docs, capacity = 10)
+      .orderBy("doc_id").select("doc_id", "seq_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // d1 fill 4; d2 fill 9; d3 would hit 12 -> seq 1 fill 3; d4 oversize
+    // -> seq 2 fill 12; d5 -> seq 3 fill 2
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 3L)))
+  }
+
+  test("packSequences: groups pack independently and restart at seq 0") {
+    val docs = docsOf(
+      (1L, "a", "w w w w w w"), (2L, "a", "w w w w w w"),
+      (10L, "b", "w"), (11L, "b", "w"))
+    val got = Pack.packSequences(docs, capacity = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(("a", 1L, 0L), ("a", 2L, 1L), ("b", 10L, 0L), ("b", 11L, 0L)))
+  }
+
+  test("packSequences: empty text counts zero tokens and always fits") {
+    val docs = docsOf((1L, "a", "w w"), (2L, "a", ""), (3L, "a", "   "))
+    val got = Pack.packSequences(docs, capacity = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 0L), (0L, 0L), (0L, 0L)))
+  }
+
+  test("packSequences: only the sized projection reaches the exchange") {
+    // AQE wraps the plan and materializes exchanges lazily — turn it off
+    // so ShuffleExchangeExec nodes are visible in the compiled plan
+    val plan = ScopedConf.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      Pack.packSequences(
+        docsOf((1L, "a", "w")), capacity = 10).queryExecution.executedPlan
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    // text is projected away before the shuffle: no string column wider
+    // than the group key may cross it
+    exchanges.foreach { e =>
+      val names = e.child.output.map(_.name).toSet
+      assert(!names.contains("text"), s"text crossed the exchange: $names")
+    }
+  }
+
+  test("snapshotDiff: added/removed/changed, unchanged dropped") {
+    val oldSnap = docsOf((1L, "s", "same"), (2L, "s", "before"), (3L, "s", "gone"))
+    val newSnap = docsOf((1L, "s", "same"), (2L, "s", "after"), (4L, "s", "fresh"))
+    val got = Pack.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+}

@@ -88,6 +88,50 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  // ── S11: size-targeted parquet write + compaction — the small-files
+  //        answer. A 100 TB table written by a wide shuffle (or a
+  //        streaming sink) ends up as millions of KB-sized files; every
+  //        downstream scan then pays a task per file and the name node /
+  //        listing layer melts. Rewrite with an explicit file budget:
+  //        rows-per-file from a sampled average row width, repartitioned
+  //        to the resulting file count so each task writes ~one full
+  //        file, and maxRecordsPerFile as the hard ceiling. Compaction of
+  //        an existing directory is the same call with a read in front. */
+  def writeSized(df: DataFrame, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sampleRows: Int = 10000): Long = {
+    val sample = df.limit(sampleRows)
+      .select(sum(length(to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+        .cast("double").as("bytes"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = df.count()
+    // JSON width over-estimates the encoded width (field names repeat per
+    // row; parquet encodes + compresses columns) — treat it as a 4x-ish
+    // upper bound so the file target lands under, not over.
+    val avgRowBytes =
+      if (sample.getLong(1) == 0L) 64.0
+      else math.max(8.0, sample.getDouble(0) / sample.getLong(1) / 4.0)
+    val rowsPerFile = math.max(1L, (targetFileBytes / avgRowBytes).toLong)
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)
+    df.repartition(files.toInt)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+    files
+  }
+
+  /** Compact an existing parquet directory in place-adjacent form: read,
+    * rewrite size-targeted to `outPath` (never the input path — a failed
+    * overwrite-in-place destroys the only copy). Returns file count. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(new java.io.File(inPath).getCanonicalPath !=
+      new java.io.File(outPath).getCanonicalPath,
+      "compactParquet refuses in-place rewrite: read and overwrite of the " +
+        "same path races the scan against its own deletion")
+    writeSized(spark.read.parquet(inPath), outPath, targetFileBytes)
+  }
+
   // ── S10: ORC — the second columnar at-rest format (Hive-ecosystem
   //        interchange); same pushdown/pruning behavior as parquet via the
   //        built-in datasource, same partitioned-layout discipline. */

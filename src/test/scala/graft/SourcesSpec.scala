@@ -118,4 +118,33 @@ class SourcesSpec extends SparkTestBase {
       assert(seen.get() != null, "onFailure callback must fire")
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("S11: writeSized hits the file budget; compaction defragments") {
+    val dir = Files.createTempDirectory("sized").toString
+    val df = spark.range(10000).select(col("id"),
+      concat(lit("payload-"), col("id")).as("s"))
+    // fragment: 32 tiny files
+    df.repartition(32).write.parquet(s"$dir/frag")
+    assert(new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 32)
+    // compact with a budget that wants everything in one or two files
+    val files = Sources.compactParquet(spark, s"$dir/frag", s"$dir/compact",
+      targetFileBytes = 16L * 1024 * 1024)
+    val got = new java.io.File(s"$dir/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(got == files.toInt)
+    assert(got <= 2)
+    // content survives
+    assert(spark.read.parquet(s"$dir/compact").count() == 10000)
+    assert(spark.read.parquet(s"$dir/compact").agg(sum(col("id")))
+      .collect()(0).getLong(0) == 10000L * 9999 / 2)
+  }
+
+  test("S11: compactParquet refuses in-place rewrite") {
+    val dir = Files.createTempDirectory("inplace").toString
+    spark.range(10).write.parquet(s"$dir/t")
+    intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, s"$dir/t", s"$dir/t")
+    }
+  }
 }

@@ -87,6 +87,42 @@ object Pack {
       .select(col("id"), col("status"))
   }
 
+  /** The capstone composition: documents in → packed training shards on
+    * disk. trainingPrep (quality → exact dedup → near-dup drop → sample)
+    * → packing assignment (metadata-only shuffle) → text joined back by
+    * id → one concatenated row per sequence → size-targeted parquet
+    * shards. Returns (sequences written, files written).
+    *
+    * The prep subtree feeds three consumers (the assignment, the
+    * text-join, and writeSized's row count), so it is tracked-persisted
+    * here and released after the write — the OperatorCaches contract,
+    * applied inside the library itself. */
+  def trainingExport(docs: DataFrame, outPath: String,
+      capacity: Long = 2048,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    import graft.OperatorCaches.TrackedDataset
+    val prepped = Dedup.trainingPrep(docs).trackedPersist()
+    try {
+      val assign = packSequences(prepped, capacity)
+      val seqs = assign
+        .join(prepped.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy(col("source"), col("seq_no"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          // deterministic document order inside the sequence: sort the
+          // (id, text) structs, then strip to text
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n\n").as("text"))
+        .trackedPersist()
+      val nSeqs = seqs.count()
+      val nFiles = graft.sources.Sources.writeSized(seqs, outPath,
+        targetFileBytes)
+      (nSeqs, nFiles)
+    } finally graft.OperatorCaches.release()
+  }
+
   // ── q92: pack the corpus into 256-token training sequences per source.
   //        Oracle: DuckDB recursive CTE replays the greedy walk exactly
   //        (integer arithmetic only — nothing float-ordered anywhere).

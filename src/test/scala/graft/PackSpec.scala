@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Pack
 
 class PackSpec extends SparkTestBase {
@@ -65,5 +66,21 @@ class PackSpec extends SparkTestBase {
     val got = Pack.snapshotDiff(oldSnap, newSnap)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("trainingExport: docs in, capacity-respecting shards out") {
+    val dir = java.nio.file.Files.createTempDirectory("texport").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (nSeqs, nFiles) = Pack.trainingExport(docs, s"$dir/shards",
+      capacity = 256, targetFileBytes = 8L * 1024 * 1024)
+    assert(nSeqs > 0 && nFiles > 0)
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == nSeqs)
+    // every multi-doc sequence respects the budget (single oversized docs
+    // may exceed it by contract)
+    val over = back.filter(col("n_docs") > 1 && col("n_tokens") > 256).count()
+    assert(over == 0)
+    // no operator caches leak past the call
+    assert(OperatorCaches.liveCount == 0)
   }
 }

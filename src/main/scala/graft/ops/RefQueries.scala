@@ -235,9 +235,11 @@ object RefQueries {
       .filter(col("o_orderdate") >= to_timestamp(lit("1995-06-01 00:00:00")))
       .agg(
         count(lit(1)).as("total_flights"),
-        (round(count(when(col("o_orderstatus") === "P", 1)) / count(lit(1)) * 100 * 100) / 100.0)
+        // nullif guard: an empty slice (0 rows after the date filter) must
+        // summarize as null rates, not throw DIVIDE_BY_ZERO under ANSI
+        (round(count(when(col("o_orderstatus") === "P", 1)) / nullif(count(lit(1)), lit(0)) * 100 * 100) / 100.0)
           .as("cancellation_rate"),
-        (round(count(when(col("o_totalprice") > 300000, 1)) / count(lit(1)) * 100 * 100) / 100.0)
+        (round(count(when(col("o_totalprice") > 300000, 1)) / nullif(count(lit(1)), lit(0)) * 100 * 100) / 100.0)
           .as("delay_rate"),
         (sum(cents(col("o_totalprice"))) / count(lit(1)) / 100.0).as("avg_price"),
         max(col("o_totalprice")).as("max_price"),
@@ -247,8 +249,8 @@ object RefQueries {
 
   val q10Sql: String =
     """SELECT count(*) AS total_flights,
-      |  round(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) / count(*) * 100 * 100) / 100.0 AS cancellation_rate,
-      |  round(count(CASE WHEN o_totalprice > 300000 THEN 1 END) / count(*) * 100 * 100) / 100.0 AS delay_rate,
+      |  round(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) / nullif(count(*), 0) * 100 * 100) / 100.0 AS cancellation_rate,
+      |  round(count(CASE WHEN o_totalprice > 300000 THEN 1 END) / nullif(count(*), 0) * 100 * 100) / 100.0 AS delay_rate,
       |  sum(round(o_totalprice * 100)) / count(*) / 100.0 AS avg_price,
       |  max(o_totalprice) AS max_price,
       |  min(o_totalprice) AS min_price,

@@ -85,9 +85,38 @@ object Scale {
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ── q94: exact-n per-source sample as ONE aggregate —
+  //        org.apache.spark.sql.graft.HashReservoir, the
+  //        TypedImperativeAggregate form of the TopKPerKey contract. The
+  //        bounded buffer partial-aggregates map-side (≤ k entries per
+  //        group per partition cross the shuffle), vs the window/sort
+  //        formulation that shuffles and sorts every row. Deterministic
+  //        by construction: membership = k lowest sha256(id) ranks, a
+  //        pure function of the id set, replayed exactly by the DuckDB
+  //        window oracle.
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    documents(s, dir)
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.HashReservoir.of(col("doc_id"), 5).as("ids"))
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q94Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id FROM ranked WHERE rn <= 5
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q80_skew_distinct" -> q80)
+    "q80_skew_distinct" -> q80,
+    "q94_hash_reservoir" -> q94)
 
   val oracle: Map[String, String] = Map(
-    "q80_skew_distinct" -> q80Sql)
+    "q80_skew_distinct" -> q80Sql,
+    "q94_hash_reservoir" -> q94Sql)
 }

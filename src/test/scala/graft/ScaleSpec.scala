@@ -51,4 +51,24 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("HashReservoir: aggregate equals window model; partition-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select("source", "doc_id")
+    def viaAgg(parts: Int) =
+      docs.repartition(parts)
+        .groupBy(col("source"))
+        .agg(org.apache.spark.sql.graft.HashReservoir.of(col("doc_id"), 3).as("ids"))
+        .select(col("source"), explode(col("ids")).as("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val model = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(sha2(col("doc_id").cast("string"), 256), col("doc_id"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // 32-way repartition forces serialize/deserialize + partial merges;
+    // 1-way exercises the single-buffer path — identical output required
+    assert(viaAgg(32) == model)
+    assert(viaAgg(1) == model)
+  }
 }

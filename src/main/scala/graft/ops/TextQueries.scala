@@ -268,7 +268,51 @@ object TextQueries {
       |SELECT doc_id, t AS token, tf, df, tfidf FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, tfidf DESC, token""".stripMargin
 
+  // ── q95: EXACT heavy hitters via a two-pass Misra-Gries sketch — the
+  //        hot-key detector (what to salt in q80, what to cache, what to
+  //        stoplist). Pass 1: one scan folds every partition into a ≤512-
+  //        entry mergeable sketch + the exact stream length (single
+  //        aggregate, map side emits ≤512 counters per partition — the
+  //        full token domain NEVER shuffles, unlike q30's groupBy). Pass 2:
+  //        recount only the candidate tokens (broadcast semi-join; partial
+  //        agg absorbs the hot keys' row counts before the exchange) and
+  //        keep count·500 ≥ total. The MG superset guarantee (every item
+  //        with frequency > n/513 survives m=512) makes the output EXACTLY
+  //        `GROUP BY token HAVING count(*)·500 ≥ n` — the DuckDB oracle —
+  //        even though the sketch's candidate set itself is partition-
+  //        dependent. Integer threshold arithmetic: bit-exact cross-engine.
+  def heavyHitters(toks: DataFrame, tokenCol: String, supportDenom: Int,
+      m: Int): DataFrame = {
+    require(m + 1 > supportDenom,
+      s"capacity m=$m too small for support 1/$supportDenom (need m+1 > denom)")
+    val tok = toks.select(col(tokenCol).as("token")).trackedPersist()
+    val pass1 = tok.agg(
+      org.apache.spark.sql.graft.FreqSketch.of(col("token"), m).as("cands"),
+      count(lit(1)).as("total"))
+    // one row → ≤ m rows; carrying `total` on each avoids re-running pass 1
+    val cands = pass1.select(explode(col("cands")).as("token"), col("total"))
+    tok.join(broadcast(cands), "token")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), max(col("total")).as("_total"))
+      .where(col("n") * supportDenom >= col("_total"))
+      .select(col("token"), col("n"))
+      .orderBy(desc("n"), col("token"))
+  }
+
+  def q95(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(
+      documents(s, dir).select(explode(tokens(col("text"))).as("token")),
+      "token", supportDenom = 500, m = 512)
+
+  val q95Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+      |SELECT token, count(*) AS n FROM tok GROUP BY token
+      |HAVING count(*) * 500 >= (SELECT count(*) FROM tok)
+      |ORDER BY n DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_heavy_hitters" -> q95,
     "q28_text_stats" -> q28,
     "q76_tfidf_topk" -> q76,
     "q29_lang_id" -> q29,
@@ -278,6 +322,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q95_heavy_hitters" -> q95Sql,
     "q28_text_stats" -> q28Sql,
     "q29_lang_id" -> q29Sql,
     "q30_token_topk" -> q30Sql,

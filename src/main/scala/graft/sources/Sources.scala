@@ -132,6 +132,25 @@ object Sources {
     writeSized(spark.read.parquet(inPath), outPath, targetFileBytes)
   }
 
+  // ── S13: bucketed parquet table — the join/agg keys are pre-shuffled ON
+  //        DISK: every file belongs to hash(key) % n, so an equi-join of
+  //        two tables bucketed the same way (or a groupBy on the bucket
+  //        key) plans with ZERO exchange. At 100 TB this is the biggest
+  //        single lever the engine has: the fact-table shuffle a key join
+  //        would otherwise pay on every query is paid once, at write time.
+  //        Repartitioning by the key before the write yields one file per
+  //        bucket, which also lets the sorted-bucket metadata satisfy the
+  //        SMJ sort requirement (BucketingSpec pins exchange-free +
+  //        sort-free). */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      keys: Seq[String]): Unit =
+    df.repartition(numBuckets, keys.map(col).toIndexedSeq: _*)
+      .write.format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+
   // ── S10: ORC — the second columnar at-rest format (Hive-ecosystem
   //        interchange); same pushdown/pruning behavior as parquet via the
   //        built-in datasource, same partitioned-layout discipline. */

@@ -112,11 +112,47 @@ object Scale {
       |SELECT source, doc_id FROM ranked WHERE rn <= 5
       |ORDER BY source, doc_id""".stripMargin
 
+  // ── q97: deterministic train/val/test split — the assignment every
+  //        training pipeline needs to be STABLE across reruns, engines,
+  //        and repartitioning (a doc must never migrate between splits
+  //        when data is added — that contaminates eval). Membership is a
+  //        pure function of the salted content key's sha256 prefix (the
+  //        q48 move, three-way): < 0xcc → train (204/256 ≈ 79.7%),
+  //        < 0xe6 → val (26/256 ≈ 10.2%), else test. Narrow scan + one
+  //        small groupBy; no rand(), no layout dependence.
+  /** Split assignment column over a string key column (salted). */
+  def splitOf(key: org.apache.spark.sql.Column,
+      salt: String = "split:"): org.apache.spark.sql.Column = {
+    val h = substring(sha2(concat(lit(salt), key), 256), 1, 2)
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    documents(s, dir)
+      .withColumn("split", splitOf(col("doc_id").cast("string")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val q97Sql: String =
+    """WITH s AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_skew_distinct" -> q80,
-    "q94_hash_reservoir" -> q94)
+    "q94_hash_reservoir" -> q94,
+    "q97_dataset_split" -> q97)
 
   val oracle: Map[String, String] = Map(
     "q80_skew_distinct" -> q80Sql,
-    "q94_hash_reservoir" -> q94Sql)
+    "q94_hash_reservoir" -> q94Sql,
+    "q97_dataset_split" -> q97Sql)
 }

@@ -71,4 +71,19 @@ class ScaleSpec extends SparkTestBase {
     assert(viaAgg(32) == model)
     assert(viaAgg(1) == model)
   }
+
+  test("splitOf: stable under repartitioning, near-nominal fractions, covers all splits") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"))
+    def assign(parts: Int) = docs.repartition(parts)
+      .withColumn("split", graft.ops.Scale.splitOf(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val a = assign(1)
+    assert(assign(17) == a, "split assignment moved under repartitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 204.0 / 256) < 0.04, frac.toString)
+    assert(math.abs(frac("val") - 26.0 / 256) < 0.03, frac.toString)
+    assert(math.abs(frac("test") - 26.0 / 256) < 0.03, frac.toString)
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Dynamic partition pruning: the 100 TB star-join pattern — a fact table
+  * partitioned on its join key reads ONLY the partitions the filtered
+  * dimension selects, with the pruning value discovered at RUNTIME from
+  * the dim scan (no static predicate on the fact exists in the query).
+  * This is Catalyst's DPP (enabled by default); the spec pins that our
+  * partitioned-layout discipline actually triggers it, end to end, with
+  * metrics — not just that the conf is on.
+  */
+class PruningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("star join over a partitioned fact prunes partitions at runtime") {
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/fact"
+    // fact: orders partitioned by order year (derived partition column)
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val years = spark.read.parquet(dir)
+      .select(col("o_year")).distinct().collect().map(_.getInt(0)).sorted
+    assert(years.length > 3, s"fixture spans only ${years.toSeq} years")
+
+    // dim: (year, label) with a SELECTIVE filter — only via the join can
+    // the fact scan learn which partitions matter. Written to parquet: an
+    // in-memory LocalRelation dim gets its filter constant-folded away
+    // before the PartitionPruning rule can see a selective predicate.
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    years.map(y => (y, if (y == years.head) "pick" else "skip"))
+      .toSeq.toDF("d_year", "d_label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+
+    // sizeInBytes of a KB-scale test fixture fails DPP's benefit estimate
+    // (real fact tables pass it on size alone); pin the mechanism by
+    // disabling the stats heuristic, not by faking stats
+    val (q, row) = ScopedConf.withConf(spark,
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false") {
+      val q = spark.read.parquet(dir)
+        .join(dim.where(col("d_label") === "pick"),
+          col("o_year") === col("d_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      (q, q.collect()(0))
+    }
+
+    // AQE materializes subtrees as QueryStageExec leaves — recurse into them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(s.plan)
+      }.flatten
+    val scan = scans(q.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("fact")).get
+    assert(scan.metadata("PartitionFilters").toLowerCase
+      .contains("dynamicpruning"),
+      s"no DPP in scan: ${scan.metadata("PartitionFilters")}")
+    // runtime evidence: only the picked year's partition was read
+    val expected = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")) === years.head)
+      .agg(count(lit(1)),
+        sum(round(col("o_totalprice") * 100).cast("long"))).collect()(0)
+    assert(row == expected)
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+    partsRead.foreach(p => assert(p == 1L,
+      s"DPP read $p partitions, expected 1 of ${years.length}"))
+  }
+}

@@ -3,7 +3,6 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Dynamic partition pruning: the 100 TB star-join pattern — a fact table
@@ -50,16 +49,9 @@ class PruningSpec extends SparkTestBase {
       (q, q.collect()(0))
     }
 
-    // AQE materializes subtrees as QueryStageExec leaves — recurse into them
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p.collect {
-        case f: FileSourceScanExec => Seq(f)
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scans(s.plan)
-      }.flatten
-    val scan = scans(q.queryExecution.executedPlan)
-      .find(_.metadata("Location").contains("fact")).get
+    val scan = deepCollect(q.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }.find(_.metadata("Location").contains("fact")).get
     assert(scan.metadata("PartitionFilters").toLowerCase
       .contains("dynamicpruning"),
       s"no DPP in scan: ${scan.metadata("PartitionFilters")}")

@@ -7,6 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Collect nodes across AQE boundaries: AdaptiveSparkPlanExec and
+    * QueryStageExec hide their subtrees from plain `collect`. */
+  def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deepCollect(a.executedPlan)(f)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deepCollect(s.plan)(f) ++ f.lift(s).toSeq
+      case n if f.isDefinedAt(n) => Seq(f(n))
+    }.flatten
 }
 
 object SparkTestBase {

@@ -394,6 +394,116 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Product quantization (Jégou et al., TPAMI 2011): split each vector
+    * into M subvectors, k-means each subspace to K centroids, and store a
+    * vector as M small codes — 64 doubles become 8 bytes here (64× less
+    * state to scan; at 100 TB of embeddings the codes fit where the
+    * vectors never could). Queries score codes via ADC lookup tables
+    * (M×K floats per query, built once on the driver — queries are few by
+    * definition) and only the top `rerankPool` candidates are re-scored
+    * with exact cosine. Vectors are unit-normalized first so squared-L2
+    * ADC order == cosine order (‖a−b‖² = 2−2cos on the unit sphere).
+    *
+    * Contract (SimilaritySpec): rerankPool ≥ corpus ⇒ output ≡ brute
+    * force exactly; recall@k and determinism pinned at defaults.
+    */
+  def pqTrain(e: DataFrame, m: Int, k: Int, seed: Long = 4242L,
+      sampleFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(Dim % m == 0, s"M=$m must divide dim=$Dim")
+    val sub = Dim / m
+    val unit = normalized(e).trackedPersist()
+    (0 until m).map { mi =>
+      // slice is 1-based; fit each subspace on the (sampled) corpus slice
+      val slices = unit.select(
+        array_to_vector(slice(col("vn"), mi * sub + 1, sub)).as("features"))
+      val fitOn = if (sampleFraction >= 1.0) slices
+        else slices.sample(withReplacement = false, sampleFraction, seed)
+      new KMeans().setK(k).setSeed(seed + mi).setMaxIter(10)
+        .fit(fitOn).clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
+  /** Unit-normalize `v` (zero vectors pass through unchanged — they have
+    * no direction; exact-cosine re-rank nulls them out downstream). */
+  private def normalized(e: DataFrame): DataFrame = {
+    val n = sqrt(dot(col("v"), col("v")))
+    e.withColumn("vn",
+      when(n =!= 0.0, transform(col("v"), x => x / n)).otherwise(col("v")))
+  }
+
+  /** PQ-encode: per subspace, the index of the nearest codebook centroid.
+    * Pure expressions (M·K squared-L2 folds per row, fully parallel). */
+  def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = Dim / m
+    val codes = (0 until m).map { mi =>
+      val sl = slice(col("vn"), mi * sub + 1, sub)
+      val dists = array(codebooks(mi).map { c =>
+        aggregate(zip_with(sl, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    normalized(e).withColumn("codes", array(codes: _*))
+  }
+
+  def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L): DataFrame = {
+    val books = pqTrain(e, m, kCent, seed)
+    val sub = Dim / m
+    val encoded = pqEncode(e, books).select(col("vec_id"), col("v"), col("codes"))
+    // ADC lookup tables per query, computed where the queries live (the
+    // driver): lut[mi][ci] = ‖q_mi − c_mi,ci‖² over the normalized query.
+    val qRows = queries.select(col("qid"), col("qv")).collect()
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      val norm = math.sqrt(q.map(x => x * x).sum)
+      val qn = if (norm != 0.0) q.map(_ / norm) else q
+      val lut = books.zipWithIndex.map { case (cents, mi) =>
+        cents.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val diff = qn(mi * sub + i) - c(i); d += diff * diff; i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+      (r.getLong(0), lut)
+    }.toSeq
+    val lutDf = e.sparkSession.createDataFrame(luts).toDF("qid", "lut")
+      .join(queries, "qid") // carry qv for the exact re-rank
+    // ADC score: M table lookups per (vector, query) — no vector math
+    val adc = (0 until m).map { mi =>
+      element_at(element_at(col("lut"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nn_id"))
+    val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    encoded.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("v"), col("vec_id").as("nn_id"),
+        adc.as("adc"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= rerankPool)
+      .select(col("qid"), col("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wK).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // q98: PQ-ADC ANN (rows-only: learned codebooks aren't expressible in
+  //      the oracle; the rerankPool ≥ corpus ⇒ ≡ brute-force contract and
+  //      recall at defaults are pinned in SimilaritySpec).
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    annPq(e, q, k = 3).orderBy(col("qid"), col("rn"))
+  }
+
   // ── q61: the ORACLE-ABLE SRP twin — the same candidate→verify pipeline
   //        as srpCandidatePairs/neardupLsh (sign projections → banded
   //        signatures → band equi-join → exact-cosine verification) with
@@ -575,7 +685,8 @@ object Similarity {
     "q41_ann_ivf" -> q41,
     "q49_neardup_lsh" -> q49,
     "q55_ann_ivf_kmeans" -> q55,
-    "q61_srp_twin" -> q61)
+    "q61_srp_twin" -> q61,
+    "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
     "q36_embedding_neardup" -> q36Sql,

@@ -105,6 +105,47 @@ class SimilaritySpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("PQ ANN with rerankPool >= corpus equals brute-force kNN exactly") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val n = e.count().toInt
+    val pq = Similarity.annPq(e, q, k = 3, rerankPool = n)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pq.toSeq == brute.toSeq,
+      "re-ranking the whole corpus must reduce PQ to exact kNN")
+    graft.OperatorCaches.release()
+  }
+
+  test("PQ ANN at defaults: recall@3 vs brute force, deterministic reruns") {
+    val got = Similarity.q98(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(brute) / brute.size.toDouble
+    assert(recall >= 0.6, s"PQ recall@3 too low: $recall")
+    val again = Similarity.q98(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq, "seeded PQ must be deterministic")
+    graft.OperatorCaches.release()
+  }
+
+  test("pqEncode emits one code per subspace, all within the codebook") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val books = Similarity.pqTrain(e, m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(e, books)
+      .select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    graft.OperatorCaches.release()
+  }
+
   test("cosineDedupIds: drops exactly the higher-id member of near-dup pairs") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

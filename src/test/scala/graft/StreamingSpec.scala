@@ -109,4 +109,38 @@ class StreamingSpec extends SparkTestBase {
         s"user $u: closed=${closedPerUser.getOrElse(u, 0L)} batch=$n")
     }
   }
+
+  test("checkpointed restart: each input file processed exactly once") {
+    // the operational exactly-once contract at scale: a restarted job must
+    // neither reprocess committed files nor miss ones added while down —
+    // all state lives in the checkpoint + the sink's transaction log
+    val root = java.nio.file.Files.createTempDirectory("graft-eo")
+    val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    import org.apache.spark.sql.streaming.Trigger
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG")
+        .parquet(in)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    spark.range(0, 100).toDF("id").write.mode("append").parquet(in)
+    runOnce()
+    spark.range(100, 200).toDF("id").write.mode("append").parquet(in)
+    runOnce()
+
+    val got = spark.read.parquet(out).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 200L), {
+      val dupes = got.groupBy(identity).filter(_._2.length > 1).keys
+      val missing = (0L until 200L).filterNot(got.toSet)
+      s"dupes=${dupes.take(5).toList} missing=${missing.take(5).toList}"
+    })
+  }
 }

@@ -181,11 +181,70 @@ object Pack {
       |       WHEN o.d != n.d THEN 'changed' END IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  // ── q99: weighted mix SCHEDULE — stride scheduling (weighted fair
+  //        queueing) turns per-source mix weights (what q83 computes) into
+  //        a deterministic global training ORDER: doc r (1-based, in
+  //        seeded-hash order within its source) from a source of weight w
+  //        runs at virtual time r·(L/w), L = lcm(weights); ascending vt
+  //        interleaves sources at their weight ratios from the very first
+  //        rows (a weight-4 source appears 4× as often as a weight-1
+  //        source in EVERY prefix — epoch-level quotas can't promise
+  //        that). All integer arithmetic, so DuckDB replays it exactly.
+  //        Scale shape: one narrow scan, one per-source window; the global
+  //        order is consumed as a RANGE-PARTITION SORT KEY by the shard
+  //        writer (writeSized on vt), never through a single reducer —
+  //        the global row_number here only numbers the bounded audit head.
+  def mixSchedule(docs: DataFrame, weight: org.apache.spark.sql.Column,
+      head: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Window.partitionBy(col("source")).orderBy(
+      sha2(concat(lit("mix:"), col("doc_id").cast("string")), 256),
+      col("doc_id"))
+    val vt = col("rn") * when(col("weight") === 1, 12)
+      .when(col("weight") === 2, 6)
+      .when(col("weight") === 3, 4)
+      .otherwise(3) // L = lcm(1,2,3,4) = 12; stride = L / w, exact
+    val ordered = docs
+      .select(col("doc_id"), col("source"), weight.as("weight"))
+      .withColumn("rn", row_number().over(perSrc))
+      .withColumn("vt", vt)
+      .orderBy(col("vt"), col("source"), col("doc_id"))
+      .limit(head)
+    ordered.withColumn("pos",
+      row_number().over(Window.orderBy(col("vt"), col("source"),
+        col("doc_id"))).cast("long"))
+      .select(col("pos"), col("source"), col("doc_id"), col("weight"),
+        col("vt"))
+  }
+
+  def q99(s: SparkSession, dir: String): DataFrame =
+    mixSchedule(documents(s, dir),
+      substring(col("source"), 4, 10).cast("int") % 4 + 1, head = 200)
+      .orderBy(col("pos"))
+
+  val q99Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(substring(source, 4) AS INT) % 4 + 1 AS weight,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY sha256('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, source, weight,
+      |    rn * (CASE weight WHEN 1 THEN 12 WHEN 2 THEN 6
+      |          WHEN 3 THEN 4 ELSE 3 END) AS vt
+      |  FROM w)
+      |SELECT row_number() OVER (ORDER BY vt, source, doc_id) AS pos,
+      |  source, doc_id, weight, vt
+      |FROM v ORDER BY vt, source, doc_id LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_pack_sequences" -> q92,
-    "q93_snapshot_diff" -> q93)
+    "q93_snapshot_diff" -> q93,
+    "q99_mix_schedule" -> q99)
 
   val oracle: Map[String, String] = Map(
     "q92_pack_sequences" -> q92Sql,
-    "q93_snapshot_diff" -> q93Sql)
+    "q93_snapshot_diff" -> q93Sql,
+    "q99_mix_schedule" -> q99Sql)
 }

@@ -83,4 +83,27 @@ class PackSpec extends SparkTestBase {
     // no operator caches leak past the call
     assert(OperatorCaches.liveCount == 0)
   }
+
+  test("mixSchedule: every prefix holds sources at their weight ratios") {
+    val sched = Pack.q99(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(sched.length == 200)
+    // stride scheduling's defining property: weight-w sources hold a ~w
+    // share in EVERY prefix, not just at epoch end. 20 sources cycle
+    // weights 1..4 (5 sources each); expected docs per weight class in a
+    // prefix of n ≈ n·w/10.
+    for (n <- Seq(50, 100, 200)) {
+      val byW = sched.take(n).groupBy(_._3).view.mapValues(_.length).toMap
+      for (w <- 1 to 4) {
+        val expected = n * w / 10.0
+        val gotN = byW.getOrElse(w, 0)
+        assert(math.abs(gotN - expected) <= math.max(4, expected * 0.15),
+          s"prefix $n weight $w: got $gotN, expected ~$expected")
+      }
+    }
+    // deterministic: same schedule on re-run
+    val again = Pack.q99(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(sched.toSeq == again.toSeq)
+  }
 }

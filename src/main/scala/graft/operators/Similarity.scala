@@ -451,6 +451,12 @@ object Similarity {
 
   def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L): DataFrame = {
+    // F6-style empty gate: k-means codebooks cannot fit on zero vectors; an
+    // empty corpus has no neighbors to return. One limit-1 probe, trivial
+    // next to the M KMeans fits that follow.
+    if (e.isEmpty)
+      return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rn"))
     val books = pqTrain(e, m, kCent, seed)
     val sub = Dim / m
     val encoded = pqEncode(e, books).select(col("vec_id"), col("v"), col("codes"))

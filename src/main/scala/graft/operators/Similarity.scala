@@ -408,21 +408,85 @@ object Similarity {
     * force exactly; recall@k and determinism pinned at defaults.
     */
   def pqTrain(e: DataFrame, m: Int, k: Int, seed: Long = 4242L,
-      sampleFraction: Double = 1.0): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      sampleCap: Int = 65536): Array[Array[Array[Double]]] = {
     require(Dim % m == 0, s"M=$m must divide dim=$Dim")
     val sub = Dim / m
-    val unit = normalized(e).trackedPersist()
+    // Codebooks are trained on a BOUNDED deterministic sample — the k
+    // lowest xxhash64(vec_id) ranks (a pure function of the id set, the
+    // q52/q94 idiom), ONE TakeOrderedAndProject pass over the corpus
+    // regardless of M. The M per-subspace fits then run driver-local on
+    // ≤sampleCap unit vectors (≤32 MB at 64 dims). A distributed fit per
+    // subspace would pay M×maxIter full corpus passes for codebooks that
+    // are standardly sample-trained at any scale.
+    val sample = normalized(e)
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(sampleCap)
+      .select("vn").collect().map(_.getSeq[Double](0).toArray)
     (0 until m).map { mi =>
-      // slice is 1-based; fit each subspace on the (sampled) corpus slice
-      val slices = unit.select(
-        array_to_vector(slice(col("vn"), mi * sub + 1, sub)).as("features"))
-      val fitOn = if (sampleFraction >= 1.0) slices
-        else slices.sample(withReplacement = false, sampleFraction, seed)
-      new KMeans().setK(k).setSeed(seed + mi).setMaxIter(10)
-        .fit(fitOn).clusterCenters.map(_.toArray)
+      lloyd(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k,
+        iters = 10, seed = seed + mi)
     }.toArray
+  }
+
+  /** Driver-local seeded Lloyd's k-means for PQ codebooks. Deterministic:
+    * seeded-shuffle init over distinct points (padded by cycling when the
+    * sample has fewer than k distinct values); an emptied cluster keeps
+    * its previous centroid. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val order = new scala.util.Random(seed).shuffle(points.indices.toVector)
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    order.foreach { i =>
+      if (init.length < k && seen.add(points(i).toSeq)) init += points(i).clone()
+    }
+    var pad = 0
+    while (init.length < k) { init += points(pad % n).clone(); pad += 1 }
+    var cents = init.toArray
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) {
+            val t = points(i)(j) - cents(c)(j); dist += t * t; j += 1
+          }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k, d)(0.0)
+      val cnt = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val c = assign(i)
+        cnt(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) cents(c)
+        else {
+          val a = sums(c)
+          var j = 0
+          while (j < d) { a(j) /= cnt(c); j += 1 }
+          a
+        }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Unit-normalize `v` (zero vectors pass through unchanged — they have
@@ -433,21 +497,13 @@ object Similarity {
       when(n =!= 0.0, transform(col("v"), x => x / n)).otherwise(col("v")))
   }
 
-  /** PQ-encode: per subspace, the index of the nearest codebook centroid.
-    * Pure expressions (M·K squared-L2 folds per row, fully parallel). */
-  def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val sub = Dim / m
-    val codes = (0 until m).map { mi =>
-      val sl = slice(col("vn"), mi * sub + 1, sub)
-      val dists = array(codebooks(mi).map { c =>
-        aggregate(zip_with(sl, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      }.toIndexedSeq: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    normalized(e).withColumn("codes", array(codes: _*))
-  }
+  /** PQ-encode: per subspace, the index of the nearest codebook centroid —
+    * one fused codegen expression (`PqEncodeExpr`, normalization folded
+    * in) over the flat codebook matrix, not m×k interpreted
+    * `aggregate(zip_with(slice…))` folds plus a twice-evaluated HOF norm. */
+  def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    e.withColumn("codes",
+      org.apache.spark.sql.graft.PqEncodeExpr.column(col("v"), codebooks))
 
   def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L): DataFrame = {

@@ -78,6 +78,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("q98: PQ encoding runs as one fused pq_encode expression") {
+    val p = plan(graft.operators.Similarity.q98(spark, sfDir))
+    assert(p.contains("pq_encode"), p)
+    // no interpreted per-centroid HOF folds left in the encode path
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
   test("q41: IVF centroids are one aggregate — no posexplode shuffle") {
     val p = plan(graft.operators.Similarity.q41(spark, sfDir))
     // the old shape exploded v to n·dim rows (Generate) and re-assembled

@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // gc_sec stayed <0.5s at 8g. Bench JSON now emits per-query gc_sec so
   // any environment-driven inflation is diagnosable from the artifact.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 99 queries × several codegen'd stages each overflow the default 240 MB
+  // JIT code cache mid-session; once it fills, the JIT compiler disables
+  // and later queries run interpreted — the non-GC long-tail inflation
+  // (q41 1.4s standalone vs 13.7s late-session, gc_sec 0).
+  "-XX:ReservedCodeCacheSize=1g",
 )

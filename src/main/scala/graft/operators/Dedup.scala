@@ -454,6 +454,107 @@ object Dedup {
       |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ── incremental near-dup (continuous-crawl screening) ─────────────────
+
+  /** Screen a NEW batch against an existing corpus WITHOUT re-pairing the
+    * corpus with itself: signatures for both sides, band buckets, and a
+    * batch→history band equi-join only — shuffle volume is
+    * O((batch + history) × bands) and the history×history quadrant never
+    * pairs. At scale the history side is a maintained signature/band
+    * index (written once per ingest, q82's digest-index pattern); here it
+    * is derived inline. sha256 MinHash (q51's geometry) so DuckDB replays
+    * candidates AND estimates bit-for-bit. Clone blow-up note: a real
+    * pipeline runs exact dedup (q32/q82) on the batch first, so member
+    * multiplicity is 1 by the time LSH pairing runs — the same reason
+    * trainingPrep orders its stages that way.
+    */
+  def incrementalNearDupSha(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val hs = minhashShaSignatures(history, textCol, idCol).trackedPersist()
+    val bs = minhashShaSignatures(batch, textCol, idCol).trackedPersist()
+    def buckets(sigs: DataFrame): DataFrame = {
+      val bandCols = (0 until ShaBands).map { b =>
+        struct(lit(b).as("band"),
+          concat(col(s"m${ShaBandRows * b}"), lit("|"),
+            col(s"m${ShaBandRows * b + 1}")).as("bh"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
+    val cand = buckets(bs).as("x")
+      .join(buckets(hs).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
+      .distinct()
+    val sa = bs.select(col("doc_id").as("new_id") +:
+      (0 until ShaHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = hs.select(col("doc_id").as("hist_id") +:
+      (0 until ShaHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    cand.join(sa, "new_id").join(sb, "hist_id")
+      .withColumn("est_jaccard",
+        (0 until ShaHashes)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _) / lit(ShaHashes.toDouble))
+      .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+  }
+
+  // q103: screen the doc_id ≥ 400 "incoming crawl" against the < 400
+  //       history; emit every near-dup hit (est_jaccard ≥ 0.5).
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    incrementalNearDupSha(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("new_id"), col("hist_id"))
+  }
+
+  val q103Sql: String =
+    """WITH htoks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM documents WHERE doc_id < 400),
+      |btoks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM documents WHERE doc_id >= 400),
+      |hsigs AS (
+      |  SELECT doc_id,
+      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
+      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
+      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
+      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |  FROM htoks GROUP BY doc_id),
+      |bsigs AS (
+      |  SELECT doc_id,
+      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
+      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
+      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
+      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |  FROM btoks GROUP BY doc_id),
+      |hbuckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM hsigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM hsigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM hsigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM hsigs),
+      |bbuckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM bsigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM bsigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM bsigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM bsigs),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS hist_id
+      |  FROM bbuckets x JOIN hbuckets y
+      |    ON x.band = y.band AND x.bh = y.bh)
+      |SELECT new_id, hist_id,
+      |  ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |   (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |   (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 AS est_jaccard
+      |FROM cand JOIN bsigs sa ON new_id = sa.doc_id
+      |          JOIN hsigs sb ON hist_id = sb.doc_id
+      |WHERE ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |       (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
+      |ORDER BY new_id, hist_id""".stripMargin
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash per doc: sign of per-bit ±1 sums over token hashes,
@@ -1361,6 +1462,7 @@ object Dedup {
     "q35_simhash" -> q35,
     "q42_winnowing" -> q42,
     "q51_minhash_sha" -> q51,
+    "q103_incremental_neardup" -> q103,
     "q53_winnowing_sha" -> q53,
     "q54_trigram_jaccard" -> q54,
     "q56_simhash_sha" -> q56,
@@ -1384,6 +1486,7 @@ object Dedup {
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,
+    "q103_incremental_neardup" -> q103Sql,
     "q53_winnowing_sha" -> q53Sql,
     "q54_trigram_jaccard" -> q54Sql,
     "q56_simhash_sha" -> q56Sql,

@@ -41,6 +41,36 @@ object Analytics {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
 
+  // ── q101: explicit GROUPING SETS — the asymmetric aggregation lattice
+  //         CUBE can't express without waste: detail by (returnflag,
+  //         linestatus), a ship-year rollup, and the grand total in ONE
+  //         pass (one scan + one expand, vs three scans for three
+  //         groupBys).
+  def q101(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("ship_year")).as("g_y"),
+        count(lit(1)).as("n"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+      .orderBy(col("g_rf"), col("g_y"), col("l_returnflag"),
+        col("l_linestatus"), col("ship_year"))
+
+  val q101Sql: String =
+    """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+      |  grouping(l_returnflag) AS g_rf, grouping(year(l_shipdate)) AS g_y,
+      |  count(*) AS n,
+      |  sum(round(l_extendedprice * 100)) / 100.0 AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (year(l_shipdate)), ())
+      |ORDER BY g_rf, g_y, l_returnflag, l_linestatus, ship_year""".stripMargin
+
   // ── q85: decile bucketing — ntile(10) per order priority over
   //        (totalprice, orderkey) [the key breaks price ties so bucket
   //        membership is deterministic], then per-decile stats.
@@ -188,7 +218,8 @@ object Analytics {
     "q86_fuzzy_match" -> q86,
     "q87_unpivot" -> q87,
     "q88_funnel" -> q88,
-    "q89_cohort_retention" -> q89)
+    "q89_cohort_retention" -> q89,
+    "q101_grouping_sets" -> q101)
 
   val oracle: Map[String, String] = Map(
     "q84_cube" -> q84Sql,
@@ -196,5 +227,6 @@ object Analytics {
     "q86_fuzzy_match" -> q86Sql,
     "q87_unpivot" -> q87Sql,
     "q88_funnel" -> q88Sql,
-    "q89_cohort_retention" -> q89Sql)
+    "q89_cohort_retention" -> q89Sql,
+    "q101_grouping_sets" -> q101Sql)
 }

@@ -63,9 +63,61 @@ object Merge {
       |  sum(round(o_totalprice * 100)) / 100.0 AS total
       |FROM merged WHERE _rk = 1 GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** SCD type-2 history from a change stream: collapse CONSECUTIVE equal
+    * attribute values per key (ts order, tie-broken on `tieBreak`), then
+    * give each surviving run a [valid_from, valid_to) range and an
+    * is_current marker — the dimension-history shape `MERGE INTO …
+    * WHEN MATCHED` builds incrementally, derived here in one pass.
+    *
+    * Two windows over the SAME (key, ts, tieBreak) ordering ⇒ one hash
+    * shuffle + one sort, reused by both (the change filter is narrow).
+    * Per-key state is O(1) (lag/lead), so skew exposure is bounded by the
+    * largest single key's history, not the table.
+    */
+  def scd2History(changes: DataFrame, key: String, attr: String,
+      ts: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    changes
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      // IS DISTINCT FROM: first row per key (null _prev) starts a run
+      .where(!(col("_prev") <=> col(attr)))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(attr), col(ts).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  // ── q100: SCD2 dimension history of each user's event_type track
+  //         (users < 50 bound the audit slice; the operator is
+  //         key-partitioned and runs at any width).
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).where(col("user_id") < 50)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    scd2History(e, "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
+  val q100Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts, event_id
+      |  FROM events WHERE user_id < 50),
+      |marked AS (
+      |  SELECT *, lag(event_type) OVER w AS _prev FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, ts, event_id FROM marked
+      |  WHERE _prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM runs
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q79_merge_upsert" -> q79)
+    "q79_merge_upsert" -> q79,
+    "q100_scd2_history" -> q100)
 
   val oracle: Map[String, String] = Map(
-    "q79_merge_upsert" -> q79Sql)
+    "q79_merge_upsert" -> q79Sql,
+    "q100_scd2_history" -> q100Sql)
 }

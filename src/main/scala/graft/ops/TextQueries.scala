@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.OperatorCaches.TrackedDataset
@@ -311,8 +312,36 @@ object TextQueries {
       |HAVING count(*) * 500 >= (SELECT count(*) FROM tok)
       |ORDER BY n DESC, token""".stripMargin
 
+  // ── q102: corpus length histogram — fixed-width doc-length buckets with
+  //         per-(source, bucket) counts and integer-exact permille share
+  //         (the "know your corpus before training on it" profile). One
+  //         scan, one partial-agged shuffle on (source, bucket); the
+  //         per-source totals ride a bounded window over the ~|sources| ×
+  //         |buckets| aggregate, never the raw docs.
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val bucketW = 200
+    val agg = documents(s, dir)
+      .groupBy(col("source"),
+        (floor(length(col("text")) / bucketW) * bucketW).as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+    agg.withColumn("permille", (col("n") * 1000) / sum(col("n")).over(w))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  val q102Sql: String =
+    """WITH agg AS (
+      |  SELECT source,
+      |    CAST(floor(length(text) / 200) * 200 AS BIGINT) AS len_bucket,
+      |    count(*) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, len_bucket, n,
+      |  (n * 1000) / sum(n) OVER (PARTITION BY source) AS permille
+      |FROM agg ORDER BY source, len_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_heavy_hitters" -> q95,
+    "q102_length_histogram" -> q102,
     "q28_text_stats" -> q28,
     "q76_tfidf_topk" -> q76,
     "q29_lang_id" -> q29,
@@ -323,6 +352,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q95_heavy_hitters" -> q95Sql,
+    "q102_length_histogram" -> q102Sql,
     "q28_text_stats" -> q28Sql,
     "q29_lang_id" -> q29Sql,
     "q30_token_topk" -> q30Sql,

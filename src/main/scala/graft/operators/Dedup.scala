@@ -470,8 +470,24 @@ object Dedup {
     */
   def incrementalNearDupSha(history: DataFrame, batch: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val hs = minhashShaSignatures(history, textCol, idCol).trackedPersist()
-    val bs = minhashShaSignatures(batch, textCol, idCol).trackedPersist()
+    // Identical signatures collapse to a min-id rep PER SIDE before any
+    // pairing (the GroupExpand discipline): on a clone-heavy corpus the
+    // band join and estimate run once per (new-group × hist-group), not
+    // once per clone pair — the 50× rehearsal measured the uncollapsed
+    // form at 105s/71.7M pairs vs ~20s collapsed (same output; the
+    // member fan-out is a flat per-row explode at the end).
+    def groupsOf(docs: DataFrame): DataFrame =
+      minhashShaSignatures(docs, textCol, idCol)
+        .groupBy(array((0 until ShaHashes).map(i => col(s"m$i")): _*).as("_sig"))
+        .agg(min(col("doc_id")).as("rep"),
+          collect_list(col("doc_id")).as("members"))
+        .trackedPersist()
+    val hg = groupsOf(history)
+    val bg = groupsOf(batch)
+    // the group KEY is the signature, so reps need no join back: m_i = _sig[i]
+    def repSigs(groups: DataFrame): DataFrame =
+      groups.select(col("rep").as("doc_id") +:
+        (0 until ShaHashes).map(i => col("_sig")(i).as(s"m$i")): _*)
     def buckets(sigs: DataFrame): DataFrame = {
       val bandCols = (0 until ShaBands).map { b =>
         struct(lit(b).as("band"),
@@ -481,20 +497,33 @@ object Dedup {
       sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     }
-    val cand = buckets(bs).as("x")
-      .join(buckets(hs).as("y"),
+    val cand = buckets(repSigs(bg)).as("x")
+      .join(buckets(repSigs(hg)).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
       .distinct()
-    val sa = bs.select(col("doc_id").as("new_id") +:
+    val sa = repSigs(bg).select(col("doc_id").as("new_id") +:
       (0 until ShaHashes).map(i => col(s"m$i").as(s"a$i")): _*)
-    val sb = hs.select(col("doc_id").as("hist_id") +:
+    val sb = repSigs(hg).select(col("doc_id").as("hist_id") +:
       (0 until ShaHashes).map(i => col(s"m$i").as(s"b$i")): _*)
-    cand.join(sa, "new_id").join(sb, "hist_id")
+    val repPairs = cand.join(sa, "new_id").join(sb, "hist_id")
       .withColumn("est_jaccard",
         (0 until ShaHashes)
           .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
           .reduce(_ + _) / lit(ShaHashes.toDouble))
+      .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+    // cross-side expansion: each side's groups are disjoint, so every
+    // member pair appears exactly once; the estimate copies verbatim
+    // (members are signature-identical to their rep by construction)
+    repPairs
+      .join(bg.select(col("rep").as("new_id"), col("members").as("_ms_n")),
+        "new_id")
+      .join(hg.select(col("rep").as("hist_id"), col("members").as("_ms_h")),
+        "hist_id")
+      .select(col("est_jaccard"), explode(col("_ms_n")).as("new_id"),
+        col("_ms_h"))
+      .select(col("est_jaccard"), col("new_id"),
+        explode(col("_ms_h")).as("hist_id"))
       .select(col("new_id"), col("hist_id"), col("est_jaccard"))
   }
 

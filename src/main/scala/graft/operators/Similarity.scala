@@ -413,15 +413,29 @@ object Similarity {
     val sub = Dim / m
     // Codebooks are trained on a BOUNDED deterministic sample — the k
     // lowest xxhash64(vec_id) ranks (a pure function of the id set, the
-    // q52/q94 idiom), ONE TakeOrderedAndProject pass over the corpus
-    // regardless of M. The M per-subspace fits then run driver-local on
-    // ≤sampleCap unit vectors (≤32 MB at 64 dims). A distributed fit per
-    // subspace would pay M×maxIter full corpus passes for codebooks that
-    // are standardly sample-trained at any scale.
-    val sample = normalized(e)
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+    // q52/q94 idiom). The rank pass is NARROW: TakeOrderedAndProject over
+    // (vec_id, hash) only — heaping full 64-double vectors through the
+    // top-k (or normalizing them row-wise with interpreted HOFs) measured
+    // 37s of q98's 42s at 50×/5M vectors; the winners' vectors are then
+    // fetched by a broadcast semi-join and unit-normalized ON THE DRIVER
+    // (≤sampleCap × dim doubles). The M per-subspace fits run driver-
+    // local; a distributed fit per subspace would pay M×maxIter full
+    // corpus passes for codebooks that are standardly sample-trained.
+    val picked = e.select(col("vec_id"),
+        xxhash64(col("vec_id"), lit(seed)).as("_r"))
+      .orderBy(col("_r"), col("vec_id"))
       .limit(sampleCap)
-      .select("vn").collect().map(_.getSeq[Double](0).toArray)
+      .select(col("vec_id"))
+    val sample = e.join(broadcast(picked), "vec_id")
+      .select("v").collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        var nsq = 0.0
+        var i = 0
+        while (i < v.length) { nsq += v(i) * v(i); i += 1 }
+        if (nsq == 0.0) v
+        else { val s = 1.0 / math.sqrt(nsq); v.map(_ * s) }
+      }
     (0 until m).map { mi =>
       lloyd(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k,
         iters = 10, seed = seed + mi)
@@ -533,23 +547,29 @@ object Similarity {
           d
         }.toSeq
       }.toSeq
-      (r.getLong(0), lut)
+      (r.getLong(0), r.getSeq[Double](1), lut)
     }.toSeq
-    val lutDf = e.sparkSession.createDataFrame(luts).toDF("qid", "lut")
-      .join(queries, "qid") // carry qv for the exact re-rank
+    // qv rides along from the collected rows — joining `queries` back in
+    // would re-run its (possibly corpus-scanning) plan just to re-fetch
+    // vectors the driver already holds
+    val lutDf = e.sparkSession.createDataFrame(luts).toDF("qid", "qv", "lut")
     // ADC score: M table lookups per (vector, query) — no vector math
     val adc = (0 until m).map { mi =>
       element_at(element_at(col("lut"), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
-    val wA = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nn_id"))
     val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
-    encoded.crossJoin(broadcast(lutDf))
+    val scored = encoded.crossJoin(broadcast(lutDf))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("v"), col("vec_id").as("nn_id"),
         adc.as("adc"))
-      .withColumn("arn", row_number().over(wA))
-      .filter(col("arn") <= rerankPool)
+    // ADC pool selection via the bounded-heap TopKPerKey operator: a
+    // row_number window here ranks the ENTIRE corpus per query (one sort
+    // per qid partition — 75s at 50×/5M vectors); the heap keeps
+    // rerankPool rows per (qid, partition) and shuffles only those.
+    val pool = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
+      Seq(("adc", true), ("nn_id", true)), rerankPool)
+    pool
       .select(col("qid"), col("nn_id"),
         round4(cosine(col("v"), col("qv"))).as("cos_sim"))
       .withColumn("rn", row_number().over(wK).cast("long"))

@@ -339,9 +339,44 @@ object TextQueries {
       |  (n * 1000) / sum(n) OVER (PARTITION BY source) AS permille
       |FROM agg ORDER BY source, len_bucket""".stripMargin
 
+  // ── q104: dataset card — the one-row corpus profile that heads a
+  //         training-data release: volume, source/language spread, exact
+  //         duplicate rate (by content digest), length extremes. One scan;
+  //         the distinct digests shuffle 32 bytes/doc (q31's key), the
+  //         counts ride partial aggregates.
+  def q104(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        sha2(col("text"), 256).as("fp"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_unique_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("dup_permille",
+        ((col("n_docs") - col("n_unique_docs")) * 1000) / col("n_docs"))
+
+  val q104Sql: String =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT source) AS n_sources,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT sha256(text)) AS n_unique_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  ((count(*) - count(DISTINCT sha256(text))) * 1000) / count(*)
+      |    AS dup_permille
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_heavy_hitters" -> q95,
     "q102_length_histogram" -> q102,
+    "q104_dataset_card" -> q104,
     "q28_text_stats" -> q28,
     "q76_tfidf_topk" -> q76,
     "q29_lang_id" -> q29,
@@ -353,6 +388,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q95_heavy_hitters" -> q95Sql,
     "q102_length_histogram" -> q102Sql,
+    "q104_dataset_card" -> q104Sql,
     "q28_text_stats" -> q28Sql,
     "q29_lang_id" -> q29Sql,
     "q30_token_topk" -> q30Sql,

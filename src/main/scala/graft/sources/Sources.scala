@@ -26,6 +26,35 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  // ── S14: lenient CSV ingest — the malformed-row triage every bulk CSV
+  //        load needs: PERMISSIVE parse with the raw offending line
+  //        captured in `_corrupt` (schema must carry the column;
+  //        enforced here), plus a splitter so good rows flow on and bad
+  //        rows land in a quarantine audit instead of killing the job
+  //        (FAILFAST) or vanishing silently (DROPMALFORMED). One scan;
+  //        the split is two lazy filters over it.
+  def readCsvLenient(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
+  /** (good rows without the audit column, quarantined rows with the raw
+    * line in `_corrupt`). The parsed scan is persisted via OperatorCaches
+    * — Spark refuses raw-CSV plans that reference only the corrupt-record
+    * column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and its documented answer
+    * is cache-then-query; the graft cache contract (release() after
+    * materializing) applies as with every pairing operator. One scan
+    * feeds both sides. */
+  def splitCorrupt(lenient: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = graft.OperatorCaches.track(lenient)
+    (parsed.where(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.where(col("_corrupt").isNotNull))
+  }
+
   // ── S2: CSV sink. The reference writes ONE csv per stage
   //        (ingest.py:337); single-file output is a deliberate driver-side
   //        funnel — only for small exports, never for fact data (use

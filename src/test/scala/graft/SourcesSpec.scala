@@ -24,6 +24,35 @@ class SourcesSpec extends SparkTestBase {
     assert(back.filter(col("DEP_TIME") === 1456.0).count() == 1)
   }
 
+  test("S14: lenient CSV quarantines malformed rows, good rows flow on") {
+    val dir = Files.createTempDirectory("csv-lenient")
+    Files.writeString(dir.resolve("in.csv"),
+      """FL_DATE,OP_CARRIER,DEP_TIME
+        |2024-01-01,AA,930.0
+        |2024-01-02,DL,not_a_number
+        |2024-01-03,UA,1456.0
+        |""".stripMargin)
+    val lenient = Sources.readCsvLenient(spark, dir.toString, flightSchema)
+    val (good, bad) = Sources.splitCorrupt(lenient)
+    assert(good.schema == flightSchema)
+    assert(good.count() == 2)
+    assert(good.where(col("OP_CARRIER") === "DL").count() == 0)
+    val quarantined = bad.collect()
+      .map(r => r.getString(r.fieldIndex("_corrupt")))
+    assert(quarantined.length == 1 && quarantined(0).contains("not_a_number"),
+      quarantined.mkString("; "))
+    // same file under DROPMALFORMED: bad row silently gone when columns
+    // are materialized — AND count() sees 3, because a pruned-to-nothing
+    // read parses no fields so nothing is "malformed". Both behaviors are
+    // the trap readCsvLenient exists to avoid.
+    val dropped = spark.read.option("header", "true")
+      .option("mode", "DROPMALFORMED").schema(flightSchema)
+      .csv(dir.toString)
+    assert(dropped.collect().length == 2)
+    assert(dropped.count() == 3)
+    OperatorCaches.release()
+  }
+
   test("S3: weather JSON document explodes to relational station rows") {
     val dir = Files.createTempDirectory("json")
     Files.writeString(dir.resolve("weather.json"),

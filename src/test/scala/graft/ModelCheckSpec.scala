@@ -28,6 +28,38 @@ class ModelCheckSpec extends SparkTestBase {
     }
   }
 
+  test("scd2History == run-length model on random change streams") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val vals = Vector("a", "b", "c")
+      // random change stream: ~repeat-heavy values, distinct ts per key
+      val rows = (0 until 80).map { i =>
+        (rnd.nextInt(5).toLong, vals(rnd.nextInt(vals.size)),
+          (10 + rnd.nextInt(500)).toLong, i.toLong)
+      }
+      val got = graft.ops.Merge
+        .scd2History(rows.toDF("k", "v", "ts", "id"), "k", "v", "ts", "id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+        .sortBy(x => (x._1, x._3, x._4.getOrElse(Long.MaxValue)))
+      // model: per key, sort by (ts, id), collapse consecutive equal
+      // values, then range each run to the next run's start
+      val model = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._4))
+        val runs = ordered.foldLeft(Vector.empty[(String, Long)]) {
+          case (acc, (_, v, ts, _)) =>
+            if (acc.nonEmpty && acc.last._1 == v) acc else acc :+ (v -> ts)
+        }
+        runs.zipWithIndex.map { case ((v, from), i) =>
+          val to = runs.lift(i + 1).map(_._2)
+          (k, v, from, to, to.isEmpty)
+        }
+      }.sortBy(x => (x._1, x._3, x._4.getOrElse(Long.MaxValue)))
+      assert(got.toSeq == model, s"seed=$seed")
+    }
+  }
+
   test("exactDedupIds == min-id-per-text model on dup-heavy corpora") {
     for (seed <- 1 to 6) {
       val rows = corpus(seed, 60)

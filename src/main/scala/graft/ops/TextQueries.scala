@@ -359,7 +359,9 @@ object TextQueries {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
       .withColumn("dup_permille",
-        ((col("n_docs") - col("n_unique_docs")) * 1000) / col("n_docs"))
+        // nullif: total on empty input (the q10 ANSI divide-by-zero fix)
+        ((col("n_docs") - col("n_unique_docs")) * 1000) /
+          nullif(col("n_docs"), lit(0)))
 
   val q104Sql: String =
     """SELECT count(*) AS n_docs,
@@ -369,8 +371,8 @@ object TextQueries {
       |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
       |  count(DISTINCT sha256(text)) AS n_unique_docs,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |  ((count(*) - count(DISTINCT sha256(text))) * 1000) / count(*)
-      |    AS dup_permille
+      |  ((count(*) - count(DISTINCT sha256(text))) * 1000)
+      |    / nullif(count(*), 0) AS dup_permille
       |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -426,8 +426,12 @@ object Similarity {
       .orderBy(col("_r"), col("vec_id"))
       .limit(sampleCap)
       .select(col("vec_id"))
-    val sample = e.join(broadcast(picked), "vec_id")
+    val rows = e.join(broadcast(picked), "vec_id")
       .select("v").collect()
+    require(rows.nonEmpty,
+      "PQ codebooks need a non-empty corpus (annPq gates this; direct " +
+        "pqTrain callers must too)")
+    val sample = rows
       .map { r =>
         val v = r.getSeq[Double](0).toArray
         var nsq = 0.0

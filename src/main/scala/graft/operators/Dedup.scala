@@ -584,6 +584,79 @@ object Dedup {
       |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
       |ORDER BY new_id, hist_id""".stripMargin
 
+  // ── q105: split-leakage audit — after the deterministic train/val/test
+  //         assignment (q97's salted-hash split), screen the val shard
+  //         against the train shard for near-duplicate contamination: a
+  //         val doc whose near-twin sits in train leaks training signal
+  //         into eval numbers. Pure composition: splitOf partitions, then
+  //         the q103 batch→history machinery with val as the batch. The
+  //         whole pipeline (split hash + MinHash + bands) is sha256, so
+  //         DuckDB replays it bit-for-bit.
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .withColumn("split",
+        graft.ops.Scale.splitOf(col("doc_id").cast("string")))
+    incrementalNearDupSha(
+        d.filter(col("split") === "train"), d.filter(col("split") === "val"),
+        "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("new_id").as("val_id"), col("hist_id").as("train_id"),
+        col("est_jaccard"))
+      .orderBy(col("val_id"), col("train_id"))
+  }
+
+  val q105Sql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |htoks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM sp WHERE split = 'train'),
+      |btoks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM sp WHERE split = 'val'),
+      |hsigs AS (
+      |  SELECT doc_id,
+      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
+      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
+      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
+      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |  FROM htoks GROUP BY doc_id),
+      |bsigs AS (
+      |  SELECT doc_id,
+      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
+      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
+      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
+      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |  FROM btoks GROUP BY doc_id),
+      |hbuckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM hsigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM hsigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM hsigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM hsigs),
+      |bbuckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM bsigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM bsigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM bsigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM bsigs),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS val_id, y.doc_id AS train_id
+      |  FROM bbuckets x JOIN hbuckets y
+      |    ON x.band = y.band AND x.bh = y.bh)
+      |SELECT val_id, train_id,
+      |  ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |   (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |   (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 AS est_jaccard
+      |FROM cand JOIN bsigs sa ON val_id = sa.doc_id
+      |          JOIN hsigs sb ON train_id = sb.doc_id
+      |WHERE ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |       (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
+      |ORDER BY val_id, train_id""".stripMargin
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash per doc: sign of per-bit ±1 sums over token hashes,
@@ -1492,6 +1565,7 @@ object Dedup {
     "q42_winnowing" -> q42,
     "q51_minhash_sha" -> q51,
     "q103_incremental_neardup" -> q103,
+    "q105_split_leakage" -> q105,
     "q53_winnowing_sha" -> q53,
     "q54_trigram_jaccard" -> q54,
     "q56_simhash_sha" -> q56,
@@ -1516,6 +1590,7 @@ object Dedup {
     "q33_dedup_jaccard" -> q33Sql,
     "q51_minhash_sha" -> q51Sql,
     "q103_incremental_neardup" -> q103Sql,
+    "q105_split_leakage" -> q105Sql,
     "q53_winnowing_sha" -> q53Sql,
     "q54_trigram_jaccard" -> q54Sql,
     "q56_simhash_sha" -> q56Sql,

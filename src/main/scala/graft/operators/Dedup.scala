@@ -468,14 +468,14 @@ object Dedup {
     * multiplicity is 1 by the time LSH pairing runs — the same reason
     * trainingPrep orders its stages that way.
     */
-  def incrementalNearDupSha(history: DataFrame, batch: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
-    // Identical signatures collapse to a min-id rep PER SIDE before any
-    // pairing (the GroupExpand discipline): on a clone-heavy corpus the
-    // band join and estimate run once per (new-group × hist-group), not
-    // once per clone pair — the 50× rehearsal measured the uncollapsed
-    // form at 105s/71.7M pairs vs ~20s collapsed (same output; the
-    // member fan-out is a flat per-row explode at the end).
+  /** Rep-level cross candidates: identical signatures collapse to a
+    * min-id rep PER SIDE before any pairing (the GroupExpand discipline),
+    * so the band join and estimate run once per (new-group × hist-group),
+    * not once per clone pair — the 50× rehearsal measured the uncollapsed
+    * q103 at 105s/71.7M pairs vs 64.5s collapsed, same output. Returns
+    * (repPairs(new_id, hist_id, est_jaccard), histGroups, batchGroups). */
+  private def crossRepCandidates(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): (DataFrame, DataFrame, DataFrame) = {
     def groupsOf(docs: DataFrame): DataFrame =
       minhashShaSignatures(docs, textCol, idCol)
         .groupBy(array((0 until ShaHashes).map(i => col(s"m$i")): _*).as("_sig"))
@@ -512,6 +512,12 @@ object Dedup {
           .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
           .reduce(_ + _) / lit(ShaHashes.toDouble))
       .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+    (repPairs, hg, bg)
+  }
+
+  def incrementalNearDupSha(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val (repPairs, hg, bg) = crossRepCandidates(history, batch, textCol, idCol)
     // cross-side expansion: each side's groups are disjoint, so every
     // member pair appears exactly once; the estimate copies verbatim
     // (members are signature-identical to their rep by construction)
@@ -525,6 +531,30 @@ object Dedup {
       .select(col("est_jaccard"), col("new_id"),
         explode(col("_ms_h")).as("hist_id"))
       .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+  }
+
+  /** Per-batch-doc leakage summary: for every batch doc with a near-dup
+    * in history at ≥ threshold, its strongest estimate and the COUNT of
+    * matching history docs — the audit shape. Aggregated at rep level
+    * (count = Σ matched history group sizes, max over identical-estimate
+    * members), then only the BATCH side expands: output is ≤ |batch|
+    * rows no matter how clone-heavy the corpus. The full pair expansion
+    * (incrementalNearDupSha's contract) measured 3.6 BILLION rows on the
+    * 50× clone-heavy rehearsal for the q105 split — a pair list is a
+    * dedup input, not an audit. */
+  def crossLeakReport(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val (repPairs, hg, bg) = crossRepCandidates(history, batch, textCol, idCol)
+    repPairs.filter(col("est_jaccard") >= threshold)
+      .join(hg.select(col("rep").as("hist_id"),
+        size(col("members")).as("_nh")), "hist_id")
+      .groupBy(col("new_id"))
+      .agg(sum(col("_nh")).cast("long").as("n_train_matches"),
+        max(col("est_jaccard")).as("max_est"))
+      .join(bg.select(col("rep").as("new_id"), col("members").as("_ms")),
+        "new_id")
+      .select(explode(col("_ms")).as("val_id"),
+        col("n_train_matches"), col("max_est"))
   }
 
   // q103: screen the doc_id ≥ 400 "incoming crawl" against the < 400
@@ -589,20 +619,18 @@ object Dedup {
   //         against the train shard for near-duplicate contamination: a
   //         val doc whose near-twin sits in train leaks training signal
   //         into eval numbers. Pure composition: splitOf partitions, then
-  //         the q103 batch→history machinery with val as the batch. The
-  //         whole pipeline (split hash + MinHash + bands) is sha256, so
-  //         DuckDB replays it bit-for-bit.
+  //         the q103 batch→history machinery with val as the batch,
+  //         aggregated to one row per leaked val doc (crossLeakReport).
+  //         The whole pipeline (split hash + MinHash + bands) is sha256,
+  //         so DuckDB replays it bit-for-bit.
   def q105(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
       .withColumn("split",
         graft.ops.Scale.splitOf(col("doc_id").cast("string")))
-    incrementalNearDupSha(
+    crossLeakReport(
         d.filter(col("split") === "train"), d.filter(col("split") === "val"),
-        "text", "doc_id")
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("new_id").as("val_id"), col("hist_id").as("train_id"),
-        col("est_jaccard"))
-      .orderBy(col("val_id"), col("train_id"))
+        "text", "doc_id", threshold = 0.5)
+      .orderBy(col("val_id"))
   }
 
   val q105Sql: String =
@@ -645,17 +673,17 @@ object Dedup {
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS val_id, y.doc_id AS train_id
       |  FROM bbuckets x JOIN hbuckets y
-      |    ON x.band = y.band AND x.bh = y.bh)
-      |SELECT val_id, train_id,
-      |  ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
-      |   (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
-      |   (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 AS est_jaccard
-      |FROM cand JOIN bsigs sa ON val_id = sa.doc_id
-      |          JOIN hsigs sb ON train_id = sb.doc_id
-      |WHERE ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
-      |       (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
-      |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
-      |ORDER BY val_id, train_id""".stripMargin
+      |    ON x.band = y.band AND x.bh = y.bh),
+      |pairs AS (
+      |  SELECT val_id, train_id,
+      |    ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT +
+      |     (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT +
+      |     (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 AS est_jaccard
+      |  FROM cand JOIN bsigs sa ON val_id = sa.doc_id
+      |            JOIN hsigs sb ON train_id = sb.doc_id)
+      |SELECT val_id, count(*) AS n_train_matches, max(est_jaccard) AS max_est
+      |FROM pairs WHERE est_jaccard >= 0.5
+      |GROUP BY val_id ORDER BY val_id""".stripMargin
 
   // ── SimHash ────────────────────────────────────────────────────────────
 

@@ -353,11 +353,13 @@ object Dedup {
     * DuckDB (`sha256(s)`) emit the same lowercase hex, so the WHOLE
     * MinHash-LSH pipeline — signatures, band buckets, candidate pairs,
     * est_jaccard — is oracle-verifiable bit-for-bit (the q48 content-hash
-    * pattern applied to dedup). Permutation i is the salt prefix "i:"; the
-    * min is lexicographic over hex strings (uniform, order-preserving
-    * under the hash). 8 perms banded 4×2. Slower per token than xxhash64
-    * (cryptographic hash, string min) — the production path stays q34; this
-    * is the hard-signal correctness twin.
+    * pattern applied to dedup). Permutation i is the i-th 8-hex-char slice
+    * of ONE digest — 8 independent 32-bit hash functions for ONE crypto
+    * hash per token (the salted-prefix form paid 8× the sha cost, and sha
+    * dominates the corpus-wide queries q103/q105); the min is
+    * lexicographic over hex (uniform, order-preserving). 8 perms banded
+    * 4×2. Still costlier per token than xxhash64 — the production path
+    * stays q34; this is the hard-signal correctness twin.
     */
   private val ShaHashes = 8
   private val ShaBandRows = 2
@@ -366,8 +368,9 @@ object Dedup {
   def minhashShaSignatures(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val toks = distinctTokens(docs, textCol, idCol)
+      .withColumn("_d", sha2(col("t"), 256))
     val aggs = (0 until ShaHashes).map(i =>
-      min(sha2(concat(lit(s"$i:"), col("t")), 256)).as(s"m$i"))
+      min(substring(col("_d"), 1 + 8 * i, 8)).as(s"m$i"))
     toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -430,10 +433,10 @@ object Dedup {
       |  FROM documents WHERE doc_id < 100),
       |sigs AS (
       |  SELECT doc_id,
-      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
-      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
-      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
-      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
       |  FROM toks GROUP BY doc_id),
       |buckets AS (
       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM sigs
@@ -577,17 +580,17 @@ object Dedup {
       |  FROM documents WHERE doc_id >= 400),
       |hsigs AS (
       |  SELECT doc_id,
-      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
-      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
-      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
-      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
       |  FROM htoks GROUP BY doc_id),
       |bsigs AS (
       |  SELECT doc_id,
-      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
-      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
-      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
-      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
       |  FROM btoks GROUP BY doc_id),
       |hbuckets AS (
       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM hsigs
@@ -648,17 +651,17 @@ object Dedup {
       |  FROM sp WHERE split = 'val'),
       |hsigs AS (
       |  SELECT doc_id,
-      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
-      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
-      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
-      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
       |  FROM htoks GROUP BY doc_id),
       |bsigs AS (
       |  SELECT doc_id,
-      |    min(sha256('0:' || t)) AS m0, min(sha256('1:' || t)) AS m1,
-      |    min(sha256('2:' || t)) AS m2, min(sha256('3:' || t)) AS m3,
-      |    min(sha256('4:' || t)) AS m4, min(sha256('5:' || t)) AS m5,
-      |    min(sha256('6:' || t)) AS m6, min(sha256('7:' || t)) AS m7
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
       |  FROM btoks GROUP BY doc_id),
       |hbuckets AS (
       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM hsigs

@@ -53,6 +53,27 @@ class SourcesSpec extends SparkTestBase {
     OperatorCaches.release()
   }
 
+  test("S8: parquet aggregate pushdown answers count/min/max from footers") {
+    // The 100 TB "don't scan what the footers already know" recipe:
+    // with the V2 parquet reader, whole-query COUNT/MIN/MAX compile to
+    // PushedAggregation in the scan — row groups are never decoded. The
+    // conf scope must cover the ACTION (pushdown happens at optimization).
+    val dir = Files.createTempDirectory("agg-push").toString + "/t"
+    spark.range(0, 10000).selectExpr("id", "id % 7 AS x")
+      .repartition(4).write.parquet(dir)
+    ScopedConf.withConf(spark, "spark.sql.sources.useV1SourceList", "") {
+     ScopedConf.withConf(spark, "spark.sql.parquet.aggregatePushdown", "true") {
+      val agg = spark.read.parquet(dir)
+        .agg(count(col("id")).as("n"), min(col("x")).as("lo"),
+          max(col("x")).as("hi"))
+      val row = agg.collect()(0)
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((10000L, 0L, 6L)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(id), MIN(x), MAX(x)]"), plan)
+     }
+    }
+  }
+
   test("S3: weather JSON document explodes to relational station rows") {
     val dir = Files.createTempDirectory("json")
     Files.writeString(dir.resolve("weather.json"),

@@ -97,29 +97,79 @@ object Pack {
     * text-join, and writeSized's row count), so it is tracked-persisted
     * here and released after the write — the OperatorCaches contract,
     * applied inside the library itself. */
+  /** Pack `prepped` docs into sequences and write size-targeted shards;
+    * returns (n_seqs, n_files). Persists via OperatorCaches — the PUBLIC
+    * entry points release in their finally. */
+  private def packAndWrite(prepped: DataFrame, outPath: String,
+      capacity: Long, targetFileBytes: Long): (Long, Long) = {
+    import graft.OperatorCaches.TrackedDataset
+    val assign = packSequences(prepped, capacity)
+    val seqs = assign
+      .join(prepped.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("source"), col("seq_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // deterministic document order inside the sequence: sort the
+        // (id, text) structs, then strip to text
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n\n").as("text"))
+      .trackedPersist()
+    val nSeqs = seqs.count()
+    val nFiles = graft.sources.Sources.writeSized(seqs, outPath,
+      targetFileBytes)
+    (nSeqs, nFiles)
+  }
+
   def trainingExport(docs: DataFrame, outPath: String,
       capacity: Long = 2048,
       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     import graft.OperatorCaches.TrackedDataset
     val prepped = Dedup.trainingPrep(docs).trackedPersist()
+    try packAndWrite(prepped, outPath, capacity, targetFileBytes)
+    finally graft.OperatorCaches.release()
+  }
+
+  /** The COMPLETE training-data build, corpus in → shards out:
+    * quality filter → exact dedup → near-dup drop (trainingPrep) →
+    * deterministic train/val/test assignment (Scale.splitOf) → LEAKAGE
+    * SCREEN (every val/test doc with a near-twin in train at ≥
+    * `leakThreshold` est-jaccard is dropped — q105's report as a filter,
+    * so eval shards can't score the training set) → greedy packing per
+    * (split, source) → size-targeted shards under `outPath/<split>/`.
+    * Returns per-split (n_docs, n_seqs, n_files).
+    *
+    * Scale shape: each stage is the already-audited operator (one
+    * shuffle each; the screens are rep-level band joins); nothing here
+    * adds a new exchange beyond its parts.
+    */
+  def trainingBuild(docs: DataFrame, outPath: String,
+      capacity: Long = 2048,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      leakThreshold: Double = 0.5): Map[String, (Long, Long, Long)] = {
+    import graft.OperatorCaches.TrackedDataset
+    val prepped = Dedup.trainingPrep(docs)
+      .withColumn("split",
+        graft.ops.Scale.splitOf(col("doc_id").cast("string")))
+      .trackedPersist()
     try {
-      val assign = packSequences(prepped, capacity)
-      val seqs = assign
-        .join(prepped.select(col("doc_id"), col("text")), Seq("doc_id"))
-        .groupBy(col("source"), col("seq_no"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          // deterministic document order inside the sequence: sort the
-          // (id, text) structs, then strip to text
-          array_join(transform(
-            array_sort(collect_list(struct(col("doc_id"), col("text")))),
-            x => x.getField("text")), "\n\n").as("text"))
-        .trackedPersist()
-      val nSeqs = seqs.count()
-      val nFiles = graft.sources.Sources.writeSized(seqs, outPath,
-        targetFileBytes)
-      (nSeqs, nFiles)
+      val train = prepped.filter(col("split") === "train")
+      def screened(name: String): DataFrame = {
+        val shard = prepped.filter(col("split") === name)
+        val leaked = Dedup
+          .crossLeakReport(train, shard, "text", "doc_id", leakThreshold)
+          .select(col("val_id").as("doc_id"))
+        shard.join(leaked, Seq("doc_id"), "left_anti")
+      }
+      (Seq("train" -> train) ++ Seq("val", "test").map(n => n -> screened(n)))
+        .map { case (name, shard) =>
+          val s = shard.trackedPersist()
+          val nDocs = s.count()
+          val (nSeqs, nFiles) =
+            packAndWrite(s, s"$outPath/$name", capacity, targetFileBytes)
+          name -> ((nDocs, nSeqs, nFiles))
+        }.toMap
     } finally graft.OperatorCaches.release()
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import graft.operators.Pack
 
 class PackSpec extends SparkTestBase {
@@ -82,6 +82,41 @@ class PackSpec extends SparkTestBase {
     assert(over == 0)
     // no operator caches leak past the call
     assert(OperatorCaches.liveCount == 0)
+  }
+
+  test("trainingBuild: split shards out, eval splits leakage-screened") {
+    val dir = java.nio.file.Files.createTempDirectory("tbuild").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Pack.trainingBuild(docs, s"$dir/build",
+      capacity = 256, targetFileBytes = 8L * 1024 * 1024)
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(OperatorCaches.liveCount == 0)
+    // recompute the deterministic prep+split to check the screen exactly
+    val prepped = graft.operators.Dedup.trainingPrep(docs)
+      .withColumn("split",
+        graft.ops.Scale.splitOf(col("doc_id").cast("string")))
+    val train = prepped.filter(col("split") === "train")
+    assert(out("train")._1 == train.count())
+    for (name <- Seq("val", "test")) {
+      val shard = prepped.filter(col("split") === name)
+      val leaked = graft.operators.Dedup
+        .crossLeakReport(train, shard, "text", "doc_id", 0.5)
+        .select("val_id").collect().map(_.getLong(0)).toSet
+      val expected = shard.select("doc_id").collect()
+        .map(_.getLong(0)).count(id => !leaked(id))
+      assert(out(name)._1 == expected, s"$name docs")
+      OperatorCaches.release()
+    }
+    // shards read back: doc counts inside sequences reconcile per split
+    // (a split can legitimately come back empty at tiny scale)
+    for ((name, (nDocs, nSeqs, _)) <- out) {
+      val back = spark.read.parquet(s"$dir/build/$name")
+      assert(back.count() == nSeqs, name)
+      val total = back.agg(coalesce(sum(col("n_docs")), lit(0L)))
+        .collect()(0).getLong(0)
+      assert(total == nDocs, name)
+    }
+    assert(out.values.map(_._1).sum > 0, "all splits empty")
   }
 
   test("mixSchedule: every prefix holds sources at their weight ratios") {

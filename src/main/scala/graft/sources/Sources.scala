@@ -55,6 +55,18 @@ object Sources {
       parsed.where(col("_corrupt").isNotNull))
   }
 
+  // ── S15: XML scan/sink — Spark 4's built-in XML source (merged from
+  //        spark-xml, SPARK-44265): explicit schema on the read path like
+  //        every other source here; single-file sink is the same
+  //        small-export funnel as writeCsvSingle.
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).xml(path)
+
+  def writeXmlSingle(df: DataFrame, path: String, rowTag: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("rowTag", rowTag).xml(path)
+
   // ── S2: CSV sink. The reference writes ONE csv per stage
   //        (ingest.py:337); single-file output is a deliberate driver-side
   //        funnel — only for small exports, never for fact data (use

@@ -74,6 +74,18 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("S15: XML round-trip (Spark 4 built-in source) with explicit schema") {
+    val dir = Files.createTempDirectory("xml").toString
+    val df = Seq(("2024-01-01", "AA", 930.0), ("2024-01-02", "DL", 1456.0))
+      .toDF("FL_DATE", "OP_CARRIER", "DEP_TIME")
+    Sources.writeXmlSingle(df, s"$dir/out", rowTag = "flight")
+    val back = Sources.readXml(spark, s"$dir/out", flightSchema, rowTag = "flight")
+    assert(back.schema == flightSchema)
+    assert(back.count() == 2)
+    assert(back.filter(col("OP_CARRIER") === "DL")
+      .select("DEP_TIME").collect()(0).getDouble(0) == 1456.0)
+  }
+
   test("S3: weather JSON document explodes to relational station rows") {
     val dir = Files.createTempDirectory("json")
     Files.writeString(dir.resolve("weather.json"),

@@ -471,6 +471,60 @@ object Dedup {
     * multiplicity is 1 by the time LSH pairing runs — the same reason
     * trainingPrep orders its stages that way.
     */
+  /** PRODUCTION form of the incremental screen: xxhash64 MinHash (q34's
+    * 64-perm / 16-band geometry — better estimates and ~no crypto cost vs
+    * the 8-slice sha twin, but not DuckDB-replayable). Same collapse →
+    * band equi-join → expand shape as [[incrementalNearDupSha]]; recall
+    * behavior is pinned against the sha twin in MergeScd2Spec.
+    */
+  def incrementalNearDup(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, gram: Int = 1): DataFrame = {
+    def groupsOf(docs: DataFrame): DataFrame =
+      minhashSignatures(docs, textCol, idCol, gram)
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"),
+          collect_list(col("doc_id")).as("members"))
+        .trackedPersist()
+    val hg = groupsOf(history)
+    val bg = groupsOf(batch)
+    def repSigs(groups: DataFrame): DataFrame =
+      groups.select(col("rep").as("doc_id") +: col("sig") +:
+        (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
+    def buckets(sigs: DataFrame): DataFrame = {
+      val bandCols = (0 until NumBands).map { bi =>
+        struct(lit(bi).as("band"),
+          xxhash64(((0 until BandRows).map(j =>
+            col(s"m${bi * BandRows + j}")) :+ lit(bi)): _*).as("bh"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
+    val cand = buckets(repSigs(bg)).as("x")
+      .join(buckets(repSigs(hg)).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
+      .distinct()
+    val sa = repSigs(bg).select(col("doc_id").as("new_id"), col("sig").as("sig_a"))
+    val sb = repSigs(hg).select(col("doc_id").as("hist_id"), col("sig").as("sig_b"))
+    val repPairs = cand.join(sa, "new_id").join(sb, "hist_id")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
+      .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+    repPairs
+      .join(bg.select(col("rep").as("new_id"), col("members").as("_ms_n")),
+        "new_id")
+      .join(hg.select(col("rep").as("hist_id"), col("members").as("_ms_h")),
+        "hist_id")
+      .select(col("est_jaccard"), explode(col("_ms_n")).as("new_id"),
+        col("_ms_h"))
+      .select(col("est_jaccard"), col("new_id"),
+        explode(col("_ms_h")).as("hist_id"))
+      .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+  }
+
   /** Rep-level cross candidates: identical signatures collapse to a
     * min-id rep PER SIDE before any pairing (the GroupExpand discipline),
     * so the band join and estimate run once per (new-group × hist-group),

@@ -56,6 +56,25 @@ class MergeScd2Spec extends SparkTestBase {
     assert(current.nonEmpty)
   }
 
+  test("incrementalNearDup (production xxhash) == cross-side slice of minhashCandidates") {
+    val d = Tables.documents(spark, sfDir)
+    val split = 40L
+    val inc = Dedup.incrementalNearDup(
+        d.filter(col("doc_id") < split), d.filter(col("doc_id") >= split),
+        "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    OperatorCaches.release()
+    val all = Dedup.minhashCandidates(d, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < split && b >= split }
+      .toSet
+    OperatorCaches.release()
+    assert(inc == all, s"inc=${inc.size} selfJoinSlice=${all.size}")
+    assert(inc.nonEmpty)
+  }
+
   test("incrementalNearDupSha == cross-side slice of the self-join candidates") {
     val d = Tables.documents(spark, sfDir)
     val split = 40L

@@ -671,6 +671,19 @@ object Dedup {
       |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
       |ORDER BY new_id, hist_id""".stripMargin
 
+  // q106: the PRODUCTION incremental screen on q103's split (xxhash64 —
+  //       rows-only like q34; the sha twin q103 is the oracle-verified
+  //       mechanism). Registered so the bench/rehearsal record carries
+  //       the form a 100 TB run would actually execute.
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    incrementalNearDup(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("new_id"), col("hist_id"))
+  }
+
   // ── q105: split-leakage audit — after the deterministic train/val/test
   //         assignment (q97's salted-hash split), screen the val shard
   //         against the train shard for near-duplicate contamination: a
@@ -1651,6 +1664,7 @@ object Dedup {
     "q51_minhash_sha" -> q51,
     "q103_incremental_neardup" -> q103,
     "q105_split_leakage" -> q105,
+    "q106_incremental_prod" -> q106,
     "q53_winnowing_sha" -> q53,
     "q54_trigram_jaccard" -> q54,
     "q56_simhash_sha" -> q56,

@@ -86,6 +86,28 @@ class SourcesSpec extends SparkTestBase {
       .select("DEP_TIME").collect()(0).getDouble(0) == 1456.0)
   }
 
+  test("S15: XML malformed-record triage mirrors the CSV quarantine") {
+    val dir = Files.createTempDirectory("xml-lenient")
+    Files.writeString(dir.resolve("in.xml"),
+      """<rows>
+        |<flight><FL_DATE>2024-01-01</FL_DATE><OP_CARRIER>AA</OP_CARRIER><DEP_TIME>930.0</DEP_TIME></flight>
+        |<flight><FL_DATE>2024-01-02</FL_DATE><OP_CARRIER>DL</OP_CARRIER><DEP_TIME>bogus</DEP_TIME></flight>
+        |<flight><FL_DATE>2024-01-03</FL_DATE><OP_CARRIER>UA</OP_CARRIER><DEP_TIME>1456.0</DEP_TIME></flight>
+        |</rows>""".stripMargin)
+    val lenient = spark.read
+      .option("rowTag", "flight")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(flightSchema.add("_corrupt", StringType))
+      .xml(dir.toString)
+    val (good, bad) = Sources.splitCorrupt(lenient)
+    assert(good.count() == 2)
+    val quarantined = bad.collect().map(r => r.getString(r.fieldIndex("_corrupt")))
+    assert(quarantined.length == 1 && quarantined(0).contains("bogus"),
+      quarantined.mkString("; "))
+    OperatorCaches.release()
+  }
+
   test("S3: weather JSON document explodes to relational station rows") {
     val dir = Files.createTempDirectory("json")
     Files.writeString(dir.resolve("weather.json"),

@@ -1644,7 +1644,7 @@ object Dedup {
 
   val q83Sql: String =
     """WITH t AS (
-      |  SELECT source, sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+      |  SELECT source, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
       |s AS (
       |  SELECT source, n_tokens,

@@ -143,7 +143,7 @@ object Scale {
       |         WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents)
-      |SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

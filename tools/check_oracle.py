@@ -25,11 +25,39 @@ def norm(v):
     return str(v)
 
 
+# DuckDB output types Spark has no parquet-writable equivalent for. The
+# driver's hasher silently diverges on these (sum() over any integer
+# promotes to HUGEINT/int128 in DuckDB; Spark writes BIGINT) even when the
+# values are exactly equal — the q83/q97 round-5 failure class. Oracle SQL
+# must CAST such columns explicitly.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+                "UTINYINT", "UUID", "BIT", "INTERVAL")
+
+
+def lint_types(con, oracle):
+    """Fail any oracle query whose output has a type Spark cannot emit."""
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+            bad = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                   if any(b in str(t).upper() for b in BANNED_TYPES)]
+            if bad:
+                n_bad += 1
+                print(f"LINT {name}: un-Spark-able oracle column type(s): "
+                      + ", ".join(bad) + " — add an explicit CAST")
+        except Exception as e:  # noqa: BLE001
+            n_bad += 1
+            print(f"LINT-ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+    return n_bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_lint = lint_types(con, oracle)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -64,8 +92,8 @@ def main(sf_dir, out_dir):
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}")
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_lint} lint")
+    return 1 if (n_fail or n_lint) else 0
 
 
 if __name__ == "__main__":

@@ -42,7 +42,25 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Task-metrics tap + process-CPU: attribute each query's wall-clock to
+    // executor CPU / shuffle / spill / scheduling gap, so a driver-side
+    // inflated record (r5: q25 17.6s recorded vs 0.9s standalone) names
+    // its own mechanism instead of needing a forensic re-run.
+    val tap = new MetricsTap
+    spark.sparkContext.addSparkListener(tap)
+    def busDrain(): Unit =
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+    // Optional run-order override for inflation bisection:
+    // SPARK_GRAFT_ORDER=reverse runs the lexicographic list backwards.
+    val ordered0 = selected.toSeq.sortBy(_._1)
+    val ordered = sys.env.get("SPARK_GRAFT_ORDER") match {
+      case Some("reverse") => ordered0.reverse
+      case _ => ordered0
+    }
+    val results = ordered.map { case (name, fn) =>
+      busDrain()
+      val snap0 = tap.snapshot()
+      val pcpu0 = MetricsTap.processCpuSec()
       val t0 = System.nanoTime()
       val gc0 = gcMillis
       val err = try { drain(fn(spark, sfDir)); None } catch {
@@ -51,6 +69,9 @@ object Bench {
           Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      busDrain()
+      val snapD = tap.snapshot() - snap0
+      val pcpuD = MetricsTap.processCpuSec() - pcpu0
       // Release THIS query's persisted subtrees before the next one runs:
       // 89 queries × MEMORY_AND_DISK persists otherwise accumulate for the
       // whole session, and storage-memory churn lands on whichever query
@@ -59,7 +80,7 @@ object Bench {
       // OperatorCaches.release (not catalog.clearCache): drops exactly the
       // graft-created persists — the library caller contract under test.
       OperatorCaches.release()
-      (name, dt, (gcMillis - gc0) / 1e3, err)
+      (name, dt, (gcMillis - gc0) / 1e3, err, snapD, pcpuD)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -74,21 +95,30 @@ object Bench {
     // (round 3's did): qNN keys, 3-decimal seconds, gc only where ≥ 0.1s.
     // The full-precision, full-name record goes to BENCH_FULL.json.
     def shortK(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _) => "\"" + shortK(k) + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + shortK(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcs = results.collect { case (k, _, g, _) if g >= 0.1 =>
+    val gcs = results.collect { case (k, _, g, _, _, _) if g >= 0.1 =>
         "\"" + shortK(k) + "\":" + r3(g) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + shortK(k) + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _) => "\"" + shortK(k) + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullQs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullGcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+    val fullGcs = results.map { case (k, _, g, _, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val fullErrs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+    val fullErrs = results.collect { case (k, _, _, Some(e), _, _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"sf":"$sfDir"}"""
+    // Per-query attribution (BENCH_FULL only — the stdout line must stay
+    // under the harness's ~2000-char capture): executor task/CPU seconds,
+    // shuffle/spill/input MB, task count, plus whole-process CPU seconds
+    // over the query's wall window. wall ≫ pcpu → the query WAITED
+    // (contention/scheduling); pcpu ≫ task_sec → driver-side cost;
+    // task_gc/spill name the executor-side mechanisms.
+    val fullMetrics = results.map { case (k, _, _, _, m, pc) =>
+        "\"" + k + "\":" + m.json.dropRight(1) + f""","process_cpu_sec":$pc%.3f}"""
+      }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"metrics":$fullMetrics,"sf":"$sfDir"}"""
     // Only a FULL run may replace the full-session record: a standalone
     // SPARK_GRAFT_QUERIES subset re-measure must not clobber the 91-query
     // artifact with a 1-query file (that exact loss happened once).
@@ -98,6 +128,10 @@ object Bench {
           (full + "\n").getBytes("UTF-8"))
       } catch { case e: Throwable =>
         System.err.println(s"BENCH_FULL.json write failed: $e") }
+    } else {
+      // Subset re-measure: surface the full record (incl. attribution
+      // metrics) on stderr without touching the full-session artifact.
+      System.err.println(s"BENCH_SUBSET $full")
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

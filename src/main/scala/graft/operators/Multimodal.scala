@@ -176,11 +176,140 @@ object Multimodal {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_png
       |FROM h ORDER BY media_id""".stripMargin
 
+  // ── q107: REAL image decode — the r5 gap ("decoder seam is a
+  //        deterministic fake"). The container has no external codecs, but
+  //        the JDK ships javax.imageio: the fixture below is a genuine
+  //        8-bit grayscale PNG per document (pixels = the 32 bytes of
+  //        sha256(text), dims vary by doc_id%6), materialized to parquet
+  //        and READ BACK, and the decoder runs ImageIO.read on the scanned
+  //        BinaryType column — header parse for dims, IDAT inflate for
+  //        pixels, nothing replayed. The DuckDB oracle recomputes what the
+  //        decoder must OBSERVE (dims, pixel sum/min/max/mean) from the
+  //        same sha256 WITHOUT a codec, via a 256-row hex-pair→value
+  //        lookup join — so a decoder that doesn't truly parse the PNG
+  //        cannot pass.
+  //        Scale shape: encode and decode are narrow mapPartitions (media
+  //        bytes never shuffle); only (id, dims, 4 scalars) leave the scan.
+  private[graft] val DimsByMod: Array[(Int, Int)] =
+    Array((8, 4), (4, 8), (16, 2), (2, 16), (32, 1), (1, 32))
+
+  /** Encode 32 digest bytes as a real w×h 8-bit grayscale PNG. */
+  private[graft] def grayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, pixels(i) & 0xFF)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(128)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real-PNG payloads from `documents` (deterministic: sha256 pixels). */
+  def pngFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val dgst = md.digest(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (w, h) = DimsByMod(((id % 6) + 6).toInt % 6)
+          (id, grayPng(dgst, w, h))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Writes the PNG fixture to a stable temp path and returns the
+    * read-back DataFrame (true BinaryType parquet scan, like q63). */
+  def pngMediaTable(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_png_fixture_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    pngFixture(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Real decoder behind the FrameDecoder seam: javax.imageio (JDK-only,
+    * zero new deps). features = (pixel sum, min, max, mean) over band 0.
+    */
+  object PngImageIODecoder extends FrameDecoder {
+    override def openPartition(): Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+    def decodeFrame(id: Long, payload: Array[Byte], f: Int): DecodedFrame = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"media_id=$id: not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L; var min = 255; var max = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v; if (v < min) min = v; if (v > max) max = v
+          x += 1
+        }
+        y += 1
+      }
+      DecodedFrame(id, f, w, h,
+        Array(sum.toDouble, min.toDouble, max.toDouble,
+          sum.toDouble / (w.toLong * h)))
+    }
+  }
+
+  def q107(s: SparkSession, dir: String): DataFrame =
+    decode(pngMediaTable(s, dir).withColumnRenamed("doc_id", "media_id"),
+        1, PngImageIODecoder)
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (col("width") * col("height")).cast("long").as("n_pixels"),
+        col("features")(0).cast("long").as("px_sum"),
+        col("features")(1).cast("long").as("px_min"),
+        col("features")(2).cast("long").as("px_max"),
+        col("features")(3).as("px_mean"))
+      .orderBy(col("media_id"))
+
+  // Oracle recomputes the decoder's observations codec-free: pixel i is
+  // hex pair i of sha256(text), mapped to its value by a 256-row LUT
+  // join; dims are the doc_id%6 table above; mean = sum/32 (n_pixels is
+  // always 32 — every dim pair multiplies to 32 — and /32 is a
+  // power-of-two division, exact in both engines' doubles).
+  val q107Sql: String =
+    """WITH b AS (
+      |  SELECT d.doc_id, upper(substring(sha256(d.text), g.i*2+1, 2)) AS hp
+      |  FROM documents d CROSS JOIN generate_series(0,31) g(i)),
+      |lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |px AS (
+      |  SELECT b.doc_id, CAST(sum(lut.v) AS BIGINT) AS px_sum,
+      |    CAST(min(lut.v) AS BIGINT) AS px_min,
+      |    CAST(max(lut.v) AS BIGINT) AS px_max
+      |  FROM b JOIN lut USING (hp) GROUP BY 1)
+      |SELECT doc_id AS media_id,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
+      |       WHEN 3 THEN 2 WHEN 4 THEN 32 ELSE 1 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
+      |       WHEN 3 THEN 16 WHEN 4 THEN 1 ELSE 32 END AS BIGINT) AS height,
+      |  CAST(32 AS BIGINT) AS n_pixels,
+      |  px_sum, px_min, px_max,
+      |  CAST(px_sum AS DOUBLE) / 32 AS px_mean
+      |FROM px ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> q40,
-    "q63_media_binary" -> q63)
+    "q63_media_binary" -> q63,
+    "q107_png_decode" -> q107)
 
   val oracle: Map[String, String] = Map(
     "q40_multimodal_meta" -> q40Sql,
-    "q63_media_binary" -> q63Sql)
+    "q63_media_binary" -> q63Sql,
+    "q107_png_decode" -> q107Sql)
 }

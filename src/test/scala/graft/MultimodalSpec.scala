@@ -85,4 +85,41 @@ class MultimodalSpec extends SparkTestBase {
         .sameElements(b.getAs[Array[Byte]]("payload")))
     }
   }
+
+  test("grayPng: ImageIO encode→decode round-trips exact pixel bytes") {
+    // PNG 8-bit grayscale is lossless; the decoder must read back exactly
+    // the digest bytes the fixture wrote, for every dim shape.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("round-trip probe".getBytes("UTF-8"))
+    Multimodal.DimsByMod.foreach { case (w, h) =>
+      val png = Multimodal.grayPng(digest, w, h)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      val got = Array.tabulate(w * h)(i =>
+        img.getRaster.getSample(i % w, i / w, 0).toByte)
+      assert(got.sameElements(digest))
+    }
+  }
+
+  test("q107: real ImageIO decode over BinaryType parquet matches sha256 pixels") {
+    val out = graft.operators.Multimodal.q107(spark, sfDir)
+      .orderBy("media_id").collect()
+    assert(out.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val bytes = md.digest(docs(id).getBytes("UTF-8")).map(_ & 0xFF)
+      val (w, h) = Multimodal.DimsByMod((id % 6).toInt)
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      assert(r.getAs[Long]("n_pixels") == 32L)
+      assert(r.getAs[Long]("px_sum") == bytes.map(_.toLong).sum)
+      assert(r.getAs[Long]("px_min") == bytes.min.toLong)
+      assert(r.getAs[Long]("px_max") == bytes.max.toLong)
+      assert(r.getAs[Double]("px_mean") == bytes.map(_.toLong).sum / 32.0)
+    }
+  }
 }

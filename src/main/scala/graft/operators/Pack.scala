@@ -288,10 +288,46 @@ object Pack {
       |  source, doc_id, weight, vt
       |FROM v ORDER BY vt, source, doc_id LIMIT 200""".stripMargin
 
+  // ── q108: the corpus→shards CAPSTONE as a registered query — runs
+  //        trainingBuild end-to-end (quality filter → exact dedup →
+  //        near-dup drop → deterministic split → leakage screen → greedy
+  //        pack → size-targeted shard write), then reads the written
+  //        shards BACK and reports the per-split reconciliation: the
+  //        builder's returned counts next to what is actually on disk.
+  //        Rows-only by nature (the near-dup screens are MinHash-banded,
+  //        not SQL-expressible); the checked properties are determinism
+  //        (the driver diffs two Verify runs) and docs/seqs equality
+  //        between the returned counts and the read-back shards.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tbuild_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // leakThreshold 0.9: the synthetic corpus is deliberately clone-heavy
+    // (most docs share a 0.5-0.8-jaccard template twin), so the default
+    // 0.5 screen empties val/test outright; 0.9 keeps the screen real
+    // (verbatim/near-verbatim leaks still drop) while the capstone
+    // artifact exercises every path with data.
+    val out = trainingBuild(graft.Tables.documents(s, dir), path,
+      capacity = 512, targetFileBytes = 8L * 1024 * 1024,
+      leakThreshold = 0.9)
+    val rows = out.toSeq.sortBy(_._1).map {
+      case (split, (nDocs, nSeqs, nFiles)) =>
+        val back = s.read.parquet(s"$path/$split")
+        val agg = back.agg(
+          coalesce(sum(col("n_docs")), lit(0L)).as("docs"),
+          count(lit(1)).as("seqs")).collect()(0)
+        (split, nDocs, nSeqs, nFiles, agg.getLong(0), agg.getLong(1))
+    }
+    import s.implicits._
+    rows.toDF("split", "n_docs", "n_seqs", "n_files",
+      "docs_in_shards", "seqs_in_shards").orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_pack_sequences" -> q92,
     "q93_snapshot_diff" -> q93,
-    "q99_mix_schedule" -> q99)
+    "q99_mix_schedule" -> q99,
+    "q108_training_build" -> q108)
 
   val oracle: Map[String, String] = Map(
     "q92_pack_sequences" -> q92Sql,

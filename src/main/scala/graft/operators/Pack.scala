@@ -155,21 +155,39 @@ object Pack {
       .trackedPersist()
     try {
       val train = prepped.filter(col("split") === "train")
-      def screened(name: String): DataFrame = {
-        val shard = prepped.filter(col("split") === name)
-        val leaked = Dedup
-          .crossLeakReport(train, shard, "text", "doc_id", leakThreshold)
-          .select(col("val_id").as("doc_id"))
-        shard.join(leaked, Seq("doc_id"), "left_anti")
+      // ONE band join screens both eval splits: a doc's verdict depends
+      // only on (train, its signature), so screening val∪test together
+      // and splitting the verdict by id is result-identical — and the
+      // train-side signature/banding work is paid once, not per split.
+      val leaked = Dedup
+        .crossLeakReport(train, prepped.filter(col("split") =!= "train"),
+          "text", "doc_id", leakThreshold)
+        .select(col("val_id").as("doc_id"))
+        .trackedPersist()
+      val shards = Seq("train" -> train) ++ Seq("val", "test").map { n =>
+        n -> prepped.filter(col("split") === n)
+          .join(leaked, Seq("doc_id"), "left_anti")
       }
-      (Seq("train" -> train) ++ Seq("val", "test").map(n => n -> screened(n)))
-        .map { case (name, shard) =>
+      // The three per-split builds are independent DAGs over the shared
+      // persisted prep, each a chain of small sequential stages that
+      // leaves most cores idle — submit them concurrently (Spark actions
+      // are thread-safe; cached-block computation takes per-block locks,
+      // so racing first materializations deduplicate, not duplicate).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = shards.map { case (name, shard) => Future {
           val s = shard.trackedPersist()
           val nDocs = s.count()
           val (nSeqs, nFiles) =
             packAndWrite(s, s"$outPath/$name", capacity, targetFileBytes)
           name -> ((nDocs, nSeqs, nFiles))
-        }.toMap
+        } }
+        Await.result(Future.sequence(futs), Duration.Inf).toMap
+      } finally pool.shutdown()
     } finally graft.OperatorCaches.release()
   }
 

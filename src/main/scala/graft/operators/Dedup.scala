@@ -803,7 +803,8 @@ object Dedup {
   // q35: per-doc SimHash (deterministic; rows-only — xxhash64 has no
   //      DuckDB equivalent).
   def q35(s: SparkSession, dir: String): DataFrame =
-    simhash(documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))
+    simhash(fanout(documents(s, dir), "doc_id"), "text", "doc_id")
+      .orderBy(col("doc_id"))
 
   /** SimHash on SHA-256 — the oracle-able twin of `simhash` (same 64
     * sum-aggregate shape): token bit j comes from hex nibble j/4 of the
@@ -831,7 +832,8 @@ object Dedup {
 
   // q56: sha256-SimHash per doc — oracle-green where q35 is rows-only.
   def q56(s: SparkSession, dir: String): DataFrame =
-    simhashSha(documents(s, dir), "text", "doc_id").orderBy(col("doc_id"))
+    simhashSha(fanout(documents(s, dir), "doc_id"), "text", "doc_id")
+      .orderBy(col("doc_id"))
 
   val q56Sql: String = {
     def hexv(pos: Int): String =
@@ -910,12 +912,29 @@ object Dedup {
       .filter(col("shared_fp") >= minShared)
   }
 
+  /** Spread a compute-bound narrow stage over all cores when the scan
+    * alone can't. Two traps this escapes (both measured on q53 at sf0.1:
+    * 3.0s single-core execute → 0.6s):
+    *  1. a small corpus arrives as ONE parquet split, so the expensive
+    *     per-row transform chain runs on one task;
+    *  2. `repartition(col)` WITHOUT a count doesn't fix it — that is a
+    *     coalescible shuffle origin and AQE folds the few-MB exchange
+    *     back into one partition. A user-NUMBERED repartition is exempt
+    *     from AQE coalescing by contract.
+    * Conditional on the split count: at 100 TB the scan already has
+    * thousands of splits and the extra full-text shuffle would be pure
+    * waste — this is a small-input fixup, not a standing stage. */
+  private def fanout(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= p) df else df.repartition(p, col(key))
+  }
+
   // q42: winnowed fingerprint count + sample per doc (rows-only —
   //      xxhash64-based). The corpus arrives as one parquet split;
   //      repartition first so the hash-heavy map runs on all cores (the
   //      general rule for compute-bound narrow stages over few splits).
   def q42(s: SparkSession, dir: String): DataFrame =
-    winnowingFingerprints(documents(s, dir).repartition(col("doc_id")),
+    winnowingFingerprints(fanout(documents(s, dir), "doc_id"),
         "text", "doc_id")
       .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
         array_min(col("fingerprints")).as("min_fp"))
@@ -953,7 +972,7 @@ object Dedup {
   // pipeline (measured 3.4s vs 4.9s at sf0.1). The row form exists for
   // consumers that must explode (q60).
   def q53(s: SparkSession, dir: String): DataFrame =
-    winnowingFingerprintsSha(documents(s, dir).repartition(col("doc_id")),
+    winnowingFingerprintsSha(fanout(documents(s, dir), "doc_id"),
         "text", "doc_id")
       .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
         array_min(col("fingerprints")).as("min_fp"))

@@ -23,7 +23,8 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     spark.range(1000000).selectExpr("sum(id)").collect()
     (1 to n).foreach { run =>
       val t0 = System.nanoTime()

@@ -149,10 +149,19 @@ object Pack {
       targetFileBytes: Long = 128L * 1024 * 1024,
       leakThreshold: Double = 0.5): Map[String, (Long, Long, Long)] = {
     import graft.OperatorCaches.TrackedDataset
+    // localCheckpoint, not persist: a persist caches DATA but every one
+    // of the ~35 downstream actions still re-analyzes the full
+    // trainingPrep lineage (jaccard self-join subtree included) —
+    // measured 28s of driver-side planning vs 6s of actual jobs for the
+    // whole build at sf0.1. Truncating the lineage at this stage
+    // boundary makes every downstream plan a scan of a materialized
+    // relation. Same determinism (the stage is computed once either
+    // way); blocks are freed by the ContextCleaner when the build's
+    // references go out of scope.
     val prepped = Dedup.trainingPrep(docs)
       .withColumn("split",
         graft.ops.Scale.splitOf(col("doc_id").cast("string")))
-      .trackedPersist()
+      .localCheckpoint(true)
     try {
       val train = prepped.filter(col("split") === "train")
       // ONE band join screens both eval splits: a doc's verdict depends
@@ -163,7 +172,7 @@ object Pack {
         .crossLeakReport(train, prepped.filter(col("split") =!= "train"),
           "text", "doc_id", leakThreshold)
         .select(col("val_id").as("doc_id"))
-        .trackedPersist()
+        .localCheckpoint(true) // same rationale: 2 anti-join consumers
       val shards = Seq("train" -> train) ++ Seq("val", "test").map { n =>
         n -> prepped.filter(col("split") === n)
           .join(leaked, Seq("doc_id"), "left_anti")
@@ -180,7 +189,7 @@ object Pack {
         ExecutionContext.fromExecutorService(pool)
       try {
         val futs = shards.map { case (name, shard) => Future {
-          val s = shard.trackedPersist()
+          val s = shard.localCheckpoint(true) // 5+ actions per split
           val nDocs = s.count()
           val (nSeqs, nFiles) =
             packAndWrite(s, s"$outPath/$name", capacity, targetFileBytes)

@@ -86,7 +86,8 @@ object ScaleRehearsal {
       "q88_funnel", "q89_cohort_retention", "q92_pack_sequences",
       "q93_snapshot_diff", "q98_ann_pq", "q100_scd2_history",
       "q101_grouping_sets", "q102_length_histogram",
-      "q103_incremental_neardup", "q105_split_leakage")
+      "q103_incremental_neardup", "q105_split_leakage",
+      "q108_training_build")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics. q61 (the

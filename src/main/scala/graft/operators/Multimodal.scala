@@ -303,13 +303,109 @@ object Multimodal {
       |  CAST(px_sum AS DOUBLE) / 32 AS px_mean
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ── q109: REAL raster resize — the last fake in the multimodal quartet
+  //        (decode ✓ q107 / feature-extract ✓ / resize / frame-sample ✓).
+  //        Nearest-neighbor downscale by 2 on the DECODED raster:
+  //        resized (x2,y2) takes source pixel (2·x2, 2·y2), so the oracle
+  //        can name every surviving pixel's index in the sha256 digest
+  //        and recompute the resized stats codec-free (same hex-pair LUT
+  //        as q107). Bilinear would average pixels — real too, but its
+  //        result is not SQL-nameable; nearest keeps the transform
+  //        honest AND oracle-checkable. Narrow mapPartitions; payloads
+  //        never shuffle.
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    pngMediaTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+          val src = img.getRaster
+          // materialize the resized raster, then read stats back from it
+          // (a real transform, not index arithmetic on the source)
+          val out = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val dst = out.getRaster
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              dst.setSample(x, y, 0, src.getSample(2 * x, 2 * y, 0))
+              x += 1
+            }
+            y += 1
+          }
+          var sum = 0L; var min = 255; var max = 0
+          y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              val v = dst.getSample(x, y, 0)
+              sum += v; if (v < min) min = v; if (v > max) max = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, w2.toLong, h2.toLong, (w2.toLong * h2), sum,
+            min.toLong, max.toLong)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_pixels", "px_sum",
+        "px_min", "px_max")
+      .orderBy(col("media_id"))
+  }
+
+  // Oracle: resized pixel (x2,y2) = source index 2·y2·w + 2·x2 = hex
+  // pair at that index in sha256(text). Source dims from doc_id%6 (the
+  // q107 table); resized dims are ceil-half. generate_series enumerates
+  // the resized grid; the 256-row LUT maps hex pairs to values.
+  val q109Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, text,
+      |    CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
+      |         WHEN 3 THEN 2 WHEN 4 THEN 32 ELSE 1 END AS w,
+      |    CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
+      |         WHEN 3 THEN 16 WHEN 4 THEN 1 ELSE 32 END AS h
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT doc_id, text, w, h,
+      |    (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM dims),
+      |grid AS (
+      |  SELECT d2.doc_id, d2.w2, d2.h2,
+      |    upper(substring(sha256(d2.text),
+      |      (2*(g.i // d2.w2)*d2.w + 2*(g.i % d2.w2))*2 + 1, 2)) AS hp
+      |  FROM d2 CROSS JOIN generate_series(0,255) g(i)
+      |  WHERE g.i < d2.w2 * d2.h2),
+      |lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |px AS (
+      |  SELECT grid.doc_id, CAST(sum(lut.v) AS BIGINT) AS px_sum,
+      |    CAST(min(lut.v) AS BIGINT) AS px_min,
+      |    CAST(max(lut.v) AS BIGINT) AS px_max
+      |  FROM grid JOIN lut USING (hp) GROUP BY 1)
+      |SELECT d2.doc_id AS media_id,
+      |  CAST(d2.w2 AS BIGINT) AS width, CAST(d2.h2 AS BIGINT) AS height,
+      |  CAST(d2.w2 * d2.h2 AS BIGINT) AS n_pixels,
+      |  px.px_sum, px.px_min, px.px_max
+      |FROM d2 JOIN px ON d2.doc_id = px.doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> q40,
     "q63_media_binary" -> q63,
-    "q107_png_decode" -> q107)
+    "q107_png_decode" -> q107,
+    "q109_png_resize" -> q109)
 
   val oracle: Map[String, String] = Map(
     "q40_multimodal_meta" -> q40Sql,
     "q63_media_binary" -> q63Sql,
-    "q107_png_decode" -> q107Sql)
+    "q107_png_decode" -> q107Sql,
+    "q109_png_resize" -> q109Sql)
 }

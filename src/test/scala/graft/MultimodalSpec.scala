@@ -122,4 +122,28 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Double]("px_mean") == bytes.map(_.toLong).sum / 32.0)
     }
   }
+
+  test("q109: nearest-neighbor resize stats match strided digest bytes") {
+    val out = graft.operators.Multimodal.q109(spark, sfDir)
+      .orderBy("media_id").collect()
+    assert(out.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val bytes = md.digest(docs(id).getBytes("UTF-8")).map(_ & 0xFF)
+      val (w, h) = Multimodal.DimsByMod((id % 6).toInt)
+      val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+      // the surviving pixels, named independently of the raster code
+      val kept = for (y <- 0 until h2; x <- 0 until w2)
+        yield bytes(2 * y * w + 2 * x)
+      assert(r.getAs[Long]("width") == w2 && r.getAs[Long]("height") == h2)
+      assert(r.getAs[Long]("n_pixels") == w2.toLong * h2)
+      assert(r.getAs[Long]("px_sum") == kept.map(_.toLong).sum)
+      assert(r.getAs[Long]("px_min") == kept.min.toLong)
+      assert(r.getAs[Long]("px_max") == kept.max.toLong)
+    }
+  }
 }

@@ -397,15 +397,119 @@ object Multimodal {
       |FROM d2 JOIN px ON d2.doc_id = px.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ── q110: REAL audio decode — second modality, same pattern as q107.
+  //        The JDK ships a WAV codec (javax.sound.sampled): the fixture
+  //        writes a genuine RIFF/WAVE file per document (8-bit unsigned
+  //        PCM mono, sample rate varying by doc_id%4, samples = the 32
+  //        sha256(text) bytes), materialized to BinaryType parquet and
+  //        read back; the decoder AudioSystem-parses the container
+  //        (format chunk for rate/channels/width, data chunk for
+  //        samples). Oracle recomputes what the decoder must observe
+  //        (rate, channels, n_samples, sample sum/min/max) codec-free
+  //        via the same hex-pair LUT. Video remains the one stubbed
+  //        modality — the JDK has no video codec; the seam is documented.
+  private[graft] val RatesByMod: Array[Int] = Array(8000, 16000, 22050, 44100)
+
+  /** Encode 32 digest bytes as a real 8-bit unsigned PCM mono WAV. */
+  private[graft] def wavBytes(samples: Array[Byte], rate: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, rate.toFloat, 8, 1, 1,
+      rate.toFloat, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream(128)
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real-WAV payloads from `documents` (deterministic: sha256 samples). */
+  def wavFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val dgst = md.digest(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, wavBytes(dgst, RatesByMod(((id % 4) + 4).toInt % 4)))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  def wavMediaTable(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_wav_fixture_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    wavFixture(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    wavMediaTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        it.map { case (id, payload) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength.toInt * fmt.getFrameSize
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = ais.read(buf, off, n - off)
+            require(r > 0, s"media_id=$id: truncated WAV data chunk")
+            off += r
+          }
+          ais.close()
+          var sum = 0L; var min = 255; var max = 0
+          buf.foreach { b =>
+            val v = b & 0xFF // 8-bit PCM is unsigned
+            sum += v; if (v < min) min = v; if (v > max) max = v
+          }
+          (id, fmt.getSampleRate.toLong, fmt.getChannels.toLong, n.toLong,
+            sum, min.toLong, max.toLong)
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_samples",
+        "s_sum", "s_min", "s_max")
+      .orderBy(col("media_id"))
+  }
+
+  val q110Sql: String =
+    """WITH b AS (
+      |  SELECT d.doc_id, upper(substring(sha256(d.text), g.i*2+1, 2)) AS hp
+      |  FROM documents d CROSS JOIN generate_series(0,31) g(i)),
+      |lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |px AS (
+      |  SELECT b.doc_id, CAST(sum(lut.v) AS BIGINT) AS s_sum,
+      |    CAST(min(lut.v) AS BIGINT) AS s_min,
+      |    CAST(max(lut.v) AS BIGINT) AS s_max
+      |  FROM b JOIN lut USING (hp) GROUP BY 1)
+      |SELECT doc_id AS media_id,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(32 AS BIGINT) AS n_samples,
+      |  s_sum, s_min, s_max
+      |FROM px ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> q40,
     "q63_media_binary" -> q63,
     "q107_png_decode" -> q107,
-    "q109_png_resize" -> q109)
+    "q109_png_resize" -> q109,
+    "q110_wav_decode" -> q110)
 
   val oracle: Map[String, String] = Map(
     "q40_multimodal_meta" -> q40Sql,
     "q63_media_binary" -> q63Sql,
     "q107_png_decode" -> q107Sql,
-    "q109_png_resize" -> q109Sql)
+    "q109_png_resize" -> q109Sql,
+    "q110_wav_decode" -> q110Sql)
 }

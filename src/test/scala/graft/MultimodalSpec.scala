@@ -146,4 +146,41 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Long]("px_max") == kept.max.toLong)
     }
   }
+
+  test("wavBytes: AudioSystem encode→decode round-trips exact samples per rate") {
+    import javax.sound.sampled._
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("wav round-trip probe".getBytes("UTF-8"))
+    Multimodal.RatesByMod.foreach { rate =>
+      val wav = Multimodal.wavBytes(digest, rate)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(ais.getFormat.getSampleRate.toInt == rate)
+      assert(ais.getFormat.getChannels == 1)
+      val back = ais.readAllBytes()
+      assert(back.sameElements(digest))
+    }
+  }
+
+  test("q110: real WAV decode over BinaryType parquet matches sha256 samples") {
+    val out = graft.operators.Multimodal.q110(spark, sfDir)
+      .orderBy("media_id").collect()
+    assert(out.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val bytes = md.digest(docs(id).getBytes("UTF-8")).map(_ & 0xFF)
+      assert(r.getAs[Long]("sample_rate") ==
+        Multimodal.RatesByMod((id % 4).toInt).toLong)
+      assert(r.getAs[Long]("channels") == 1L)
+      assert(r.getAs[Long]("n_samples") == 32L)
+      assert(r.getAs[Long]("s_sum") == bytes.map(_.toLong).sum)
+      assert(r.getAs[Long]("s_min") == bytes.min.toLong)
+      assert(r.getAs[Long]("s_max") == bytes.max.toLong)
+    }
+  }
 }

@@ -499,17 +499,123 @@ object Multimodal {
       |  s_sum, s_min, s_max
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ── q111: multi-frame container demux + frame sampling over REAL
+  //        decoded frames. The JDK ships no video codec and its GIF
+  //        writer remaps gray palettes (probed: not byte-exact), so the
+  //        container is a minimal length-prefixed PNG frame stream —
+  //        [4-byte BE length][PNG]... — which keeps every stage real:
+  //        the demux genuinely parses lengths and slices frames, every
+  //        frame is a genuine ImageIO decode, and frame sampling
+  //        (keep even frame_idx) filters rows that exist only because
+  //        the demux found them. Frame f's pixels are
+  //        sha256(text ‖ ':' ‖ f), frame count = doc_id%3+1 — so the
+  //        oracle replays sampled-frame stats codec-free per (doc,f).
+  def frameStreamFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val k = (((id % 3) + 3) % 3 + 1).toInt
+          val bos = new java.io.ByteArrayOutputStream(256)
+          val out = new java.io.DataOutputStream(bos)
+          (0 until k).foreach { f =>
+            val png = grayPng(md.digest(
+              s"$text:$f".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              8, 4)
+            out.writeInt(png.length)
+            out.write(png)
+          }
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  def frameStreamTable(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fstream_fixture_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    frameStreamFixture(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    frameStreamTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val frames = Iterator.continually(in.available())
+            .takeWhile(_ >= 4).map { _ =>
+              val len = in.readInt()
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+            }.toVector
+          frames.zipWithIndex.map { case (img, f) =>
+            require(img != null, s"media_id=$id frame $f: not decodable")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L; var min = 255; var max = 0
+            var i = 0
+            while (i < w * h) {
+              val v = raster.getSample(i % w, i / w, 0)
+              sum += v; if (v < min) min = v; if (v > max) max = v
+              i += 1
+            }
+            (id, f.toLong, frames.length.toLong, w.toLong, h.toLong, sum,
+              min.toLong, max.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_frames", "width", "height",
+        "px_sum", "px_min", "px_max")
+      .filter(col("frame_idx") % 2 === 0) // frame sampling: keep even
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q111Sql: String =
+    """WITH fr AS (
+      |  SELECT d.doc_id, d.text, g.f, d.doc_id % 3 + 1 AS k
+      |  FROM documents d CROSS JOIN generate_series(0,2) g(f)
+      |  WHERE g.f < d.doc_id % 3 + 1 AND g.f % 2 = 0),
+      |b AS (
+      |  SELECT fr.doc_id, fr.f, fr.k,
+      |    upper(substring(sha256(fr.text || ':' || CAST(fr.f AS VARCHAR)),
+      |      g.i*2+1, 2)) AS hp
+      |  FROM fr CROSS JOIN generate_series(0,31) g(i)),
+      |lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |px AS (
+      |  SELECT b.doc_id, b.f, b.k, CAST(sum(lut.v) AS BIGINT) AS px_sum,
+      |    CAST(min(lut.v) AS BIGINT) AS px_min,
+      |    CAST(max(lut.v) AS BIGINT) AS px_max
+      |  FROM b JOIN lut USING (hp) GROUP BY 1, 2, 3)
+      |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(k AS BIGINT) AS n_frames,
+      |  CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+      |  px_sum, px_min, px_max
+      |FROM px ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> q40,
     "q63_media_binary" -> q63,
     "q107_png_decode" -> q107,
     "q109_png_resize" -> q109,
-    "q110_wav_decode" -> q110)
+    "q110_wav_decode" -> q110,
+    "q111_frame_stream" -> q111)
 
   val oracle: Map[String, String] = Map(
     "q40_multimodal_meta" -> q40Sql,
     "q63_media_binary" -> q63Sql,
     "q107_png_decode" -> q107Sql,
     "q109_png_resize" -> q109Sql,
-    "q110_wav_decode" -> q110Sql)
+    "q110_wav_decode" -> q110Sql,
+    "q111_frame_stream" -> q111Sql)
 }

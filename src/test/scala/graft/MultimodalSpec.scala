@@ -183,4 +183,28 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Long]("s_max") == bytes.max.toLong)
     }
   }
+
+  test("q111: frame-stream demux decodes every frame, samples even indices") {
+    val out = graft.operators.Multimodal.q111(spark, sfDir)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.nonEmpty)
+    // sampling contract: only even frame indices survive
+    assert(out.forall(_.getAs[Long]("frame_idx") % 2 == 0))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(20).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val f = r.getAs[Long]("frame_idx")
+      val k = (id % 3 + 1)
+      assert(r.getAs[Long]("n_frames") == k && f < k)
+      val bytes = md.digest(s"${docs(id)}:$f".getBytes("UTF-8")).map(_ & 0xFF)
+      assert(r.getAs[Long]("px_sum") == bytes.map(_.toLong).sum)
+      assert(r.getAs[Long]("px_min") == bytes.min.toLong)
+      assert(r.getAs[Long]("px_max") == bytes.max.toLong)
+    }
+    // every doc appears: frame 0 always survives sampling
+    assert(out.map(_.getAs[Long]("media_id")).distinct.length == docs.size)
+  }
 }

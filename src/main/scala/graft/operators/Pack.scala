@@ -94,15 +94,16 @@ object Pack {
     * shards. Returns (sequences written, files written).
     *
     * The prep subtree feeds three consumers (the assignment, the
-    * text-join, and writeSized's row count), so it is tracked-persisted
-    * here and released after the write — the OperatorCaches contract,
-    * applied inside the library itself. */
+    * text-join, and writeSized's row count) and the sequence table feeds
+    * four more actions, so both are eagerly localCheckpoint'd — the same
+    * lineage-truncation rationale as trainingBuild below: a persist
+    * caches DATA but every downstream action still re-analyzes the full
+    * prep lineage; the checkpoint makes each action start from a
+    * LogicalRDD. */
   /** Pack `prepped` docs into sequences and write size-targeted shards;
-    * returns (n_seqs, n_files). Persists via OperatorCaches — the PUBLIC
-    * entry points release in their finally. */
+    * returns (n_seqs, n_files). */
   private def packAndWrite(prepped: DataFrame, outPath: String,
       capacity: Long, targetFileBytes: Long): (Long, Long) = {
-    import graft.OperatorCaches.TrackedDataset
     val assign = packSequences(prepped, capacity)
     val seqs = assign
       .join(prepped.select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -115,7 +116,7 @@ object Pack {
         array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("text")))),
           x => x.getField("text")), "\n\n").as("text"))
-      .trackedPersist()
+      .localCheckpoint(true)
     val nSeqs = seqs.count()
     val nFiles = graft.sources.Sources.writeSized(seqs, outPath,
       targetFileBytes)
@@ -125,8 +126,7 @@ object Pack {
   def trainingExport(docs: DataFrame, outPath: String,
       capacity: Long = 2048,
       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
-    import graft.OperatorCaches.TrackedDataset
-    val prepped = Dedup.trainingPrep(docs).trackedPersist()
+    val prepped = Dedup.trainingPrep(docs).localCheckpoint(true)
     try packAndWrite(prepped, outPath, capacity, targetFileBytes)
     finally graft.OperatorCaches.release()
   }

@@ -375,7 +375,84 @@ object TextQueries {
       |    / nullif(count(*), 0) AS dup_permille
       |FROM documents""".stripMargin
 
+  // ── q112: BM25 top-k retrieval (Robertson idf, k1=1.2, b=0.75) for a
+  //        fixed query-term set — the sparse-retrieval scorer a training
+  //        pipeline uses to mine topical subsets from a corpus. Scale
+  //        shape: ONE groupBy(doc_id) with conditional per-term tf counts
+  //        (the token domain never shuffles, unlike a (doc,term) explode→
+  //        groupBy), a 1-row corpus-stats agg broadcast back, pure-
+  //        expression scoring, TakeOrderedAndProject top-10. The per-term
+  //        scores are summed in FIXED literal order (ts1+ts2+ts3) and the
+  //        expression text is shared verbatim with the oracle via
+  //        `bm25TermScore`, so float non-associativity cannot diverge.
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "vector")
+
+  /** One query-term's BM25 contribution as SQL text — used verbatim by
+    * BOTH the Spark selectExpr and the DuckDB oracle (the oracle-parity
+    * rule: identical token order for every float op). tf=0 contributes
+    * exactly 0.0 (numerator zeroes, denominator stays positive). */
+  private def bm25TermScore(i: Int): String =
+    s"(ln(1.0 + (cast(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5)) * " +
+      s"(tf$i * 2.2) / " +
+      s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (cast(sumdl AS DOUBLE) / n))))"
+
+  private val bm25Projection: Seq[String] = Seq(
+    "doc_id", "dl",
+    "cast(tf1 > 0 AS BIGINT) + cast(tf2 > 0 AS BIGINT) + " +
+      "cast(tf3 > 0 AS BIGINT) AS n_terms_hit",
+    s"round((${bm25TermScore(1)} + ${bm25TermScore(2)} + " +
+      s"${bm25TermScore(3)}) * 10000) / 10000 AS score")
+
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = Bm25Terms
+    val perDoc = documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        count(when(col("t") === t1, 1)).as("tf1"),
+        count(when(col("t") === t2, 1)).as("tf2"),
+        count(when(col("t") === t3, 1)).as("tf3"))
+      .trackedPersist()
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+      count(when(col("tf1") > 0, 1)).as("df1"),
+      count(when(col("tf2") > 0, 1)).as("df2"),
+      count(when(col("tf3") > 0, 1)).as("df3"))
+    perDoc.crossJoin(broadcast(stats))
+      .where("tf1 > 0 OR tf2 > 0 OR tf3 > 0")
+      .selectExpr(bm25Projection: _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q112Sql: String = {
+    val Seq(t1, t2, t3) = Bm25Terms
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS t
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, count(*) AS dl,
+       |    count(*) FILTER (WHERE t = '$t1') AS tf1,
+       |    count(*) FILTER (WHERE t = '$t2') AS tf2,
+       |    count(*) FILTER (WHERE t = '$t3') AS tf3
+       |  FROM tok GROUP BY 1),
+       |s AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |    count(*) FILTER (WHERE tf1 > 0) AS df1,
+       |    count(*) FILTER (WHERE tf2 > 0) AS df2,
+       |    count(*) FILTER (WHERE tf3 > 0) AS df3
+       |  FROM d)
+       |SELECT ${bm25Projection.mkString(",\n  ")}
+       |FROM d CROSS JOIN s
+       |WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_bm25_topk" -> q112,
     "q95_heavy_hitters" -> q95,
     "q102_length_histogram" -> q102,
     "q104_dataset_card" -> q104,
@@ -388,6 +465,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q112_bm25_topk" -> q112Sql,
     "q95_heavy_hitters" -> q95Sql,
     "q102_length_histogram" -> q102Sql,
     "q104_dataset_card" -> q104Sql,

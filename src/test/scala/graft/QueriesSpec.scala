@@ -55,4 +55,36 @@ class QueriesSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(supp.subsetOf(airports))
   }
+
+  test("q112 BM25: scores match a driver-side reimplementation") {
+    val out = graft.ops.TextQueries.q112(spark, sfDir).collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)),
+      "top-k must be sorted by score desc")
+    // independent reimplementation from raw text (plain Scala, no Spark)
+    val terms = graft.ops.TextQueries.Bm25Terms
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val expect = docs.map { case (id, toks) =>
+      val dl = toks.length
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t)
+        math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      (id, math.round(s * 10000) / 10000.0)
+    }.filter { case (id, _) =>
+      terms.exists(t => docs.find(_._1 == id).get._2.contains(t))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    out.zip(expect).foreach { case (row, (id, sc)) =>
+      assert(row.getAs[Long]("doc_id") == id)
+      assert(math.abs(row.getAs[Double]("score") - sc) < 1e-9,
+        s"doc $id: ${row.getAs[Double]("score")} vs $sc")
+    }
+  }
 }

@@ -212,18 +212,59 @@ object EventsStream {
       |WHERE e.event_type = 'error'
       |ORDER BY e_id, c_id""".stripMargin
 
+  // ── q113: streaming CONTENT dedup as a registered query — the ingestion
+  //        gate of a training-data pipeline run as a real file-stream.
+  //        Fixture: every third document is replayed 30 minutes later
+  //        under a fresh doc_id (a re-ingested shard); dedupDocsByContent
+  //        drops the replays from digest state inside the 1-hour
+  //        watermark horizon. The output projects the DIGEST of the
+  //        surviving text (identical across a dup group), so the result
+  //        set is deterministic whatever arrival order the file source
+  //        picks, and the batch oracle is DISTINCT sha256(text).
+  def q113(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("timestamp_micros(doc_id * 1000000)").as("ts"), col("text"))
+    val replays = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("ts"), col("text"))
+    val fixDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_docstream_fixture_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    base.unionByName(replays).write.mode("overwrite").parquet(fixDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val qn = "q113_dedup_stream_sink"
+    s.catalog.dropTempView(qn)
+    val deduped = dedupDocsByContent(
+      s.readStream.schema(schema).parquet(fixDir), "ts", "text")
+      .select(sha2(col("text"), 256).as("fp"))
+    val query = deduped.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("fp"))
+  }
+
+  val q113Sql: String =
+    "SELECT DISTINCT sha256(text) AS fp FROM documents ORDER BY fp"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_events_hourly_stream" -> q62,
     "q71_sessions_stream" -> q71,
     "q81_hopping_stream" -> q81,
-    "q91_interval_join_stream" -> q91)
+    "q91_interval_join_stream" -> q91,
+    "q113_dedup_stream" -> q113)
 
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,
     "q71_sessions_stream" -> graft.ops.Windows.q43Sql,
     "q81_hopping_stream" -> graft.ops.Events.q78Sql,
-    "q91_interval_join_stream" -> q91Sql)
+    "q91_interval_join_stream" -> q91Sql,
+    "q113_dedup_stream" -> q113Sql)
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output

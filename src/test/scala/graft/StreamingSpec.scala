@@ -143,4 +143,14 @@ class StreamingSpec extends SparkTestBase {
       s"dupes=${dupes.take(5).toList} missing=${missing.take(5).toList}"
     })
   }
+
+  test("q113: streaming content dedup collapses the replayed documents") {
+    val out = EventsStream.q113(spark, sfDir).collect().map(_.getString(0))
+    val nDistinct = graft.Tables.documents(spark, sfDir)
+      .select("text").distinct().count()
+    // complete (every distinct text survives) AND deduped (no digest twice
+    // even though every third doc was replayed into the stream)
+    assert(out.length == nDistinct)
+    assert(out.distinct.length == out.length)
+  }
 }

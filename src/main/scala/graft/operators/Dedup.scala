@@ -1674,7 +1674,85 @@ object Dedup {
       |  round(CAST(_s AS DOUBLE) / CAST(_z AS DOUBLE) * 1000000) / 1000000.0 AS weight
       |FROM s CROSS JOIN z ORDER BY source""".stripMargin
 
+  // ── q114: duplicated-SUBSTRING span detection — the span-level exact
+  //        dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+  //        Language Models Better"), re-expressed relationally instead of
+  //        via a suffix array: a span is duplicated iff every K-token
+  //        gram inside it occurs ≥2 times in the corpus, so (1) explode
+  //        token POSITIONS and materialize each positional K-gram after
+  //        the Generate (the winnowingRows lesson: grams computed before
+  //        the explode get re-evaluated inside optimizer-inferred
+  //        filters); (2) one groupBy(gram) keeps grams with count ≥ 2;
+  //        (3) a join marks the duplicated positions; (4) gaps-and-islands
+  //        (pos − row_number, partitioned BY DOC) merges adjacent
+  //        positions into maximal spans. Output is integer-only → bit-
+  //        exact oracle. Scale shape: the exchanges carry (gram hash-
+  //        partitioned) and (doc_id, pos) — never the text; the island
+  //        window is per-doc, so no single-partition WindowExec. At
+  //        100 TB the gram column would be sha2(gram) to cap key width —
+  //        kept as text here so the oracle groups on the identical key.
+  val SpanGramK = 8
+
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nG = size(col("_toks")) - (k - 1)
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+          .as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(when(nG < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nG))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("_toks"), col("pos"), lit(k)), " ").as("gram"))
+      .trackedPersist()
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("gram"))
+    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("bigint").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("n_tokens", col("span_end") - col("span_start") + 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_tokens"), col("n_grams"))
+  }
+
+  def q114(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(documents(s, dir), "text", "doc_id", SpanGramK)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  // generate_series(1, 4096) is an oracle-only position bound (docs are
+  // ≤ ~100 tokens at verify SF); the Spark side uses exact sequence().
+  val q114Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(toks[i:i+${SpanGramK - 1}], ' ') AS gram
+       |  FROM d CROSS JOIN generate_series(1, 4096) t(i)
+       |  WHERE i <= len(toks) - ${SpanGramK - 1}),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |p AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM p)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${SpanGramK - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + ${SpanGramK - 1} - min(pos) + 1 AS BIGINT)
+       |    AS n_tokens,
+       |  count(*) AS n_grams
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_dup_spans" -> q114,
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
     "q34_dedup_minhash" -> q34,
@@ -1700,6 +1778,7 @@ object Dedup {
     "q83_mix_weights" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q114_dup_spans" -> q114Sql,
     "q57_training_prep" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,
     "q59_norm_dedup" -> q59Sql,

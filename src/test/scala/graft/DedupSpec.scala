@@ -299,4 +299,36 @@ class DedupSpec extends SparkTestBase {
     assert(out(2)._3 == 1L)
     assert(out(2)._4 == Array.tabulate(16)(i => s"x$i").mkString(" "))
   }
+
+  test("q114: duplicated spans match a brute-force driver reimplementation") {
+    val k = graft.operators.Dedup.SpanGramK
+    val out = graft.operators.Dedup.q114(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // brute force: every positional k-gram, dup if seen ≥2 times, islands
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    val perDoc = docs.map { case (id, toks) =>
+      id -> (1 to toks.length - k + 1).map(p =>
+        p -> toks.slice(p - 1, p - 1 + k).mkString(" "))
+    }
+    perDoc.foreach(_._2.foreach { case (_, g) =>
+      gramCount(g) = gramCount.getOrElse(g, 0) + 1 })
+    val expect = perDoc.flatMap { case (id, gs) =>
+      val dupPos = gs.collect { case (p, g) if gramCount(g) >= 2 => p }
+      // islands over consecutive positions
+      dupPos.foldLeft(List.empty[(Int, Int, Int)]) {
+        case ((s0, e0, n0) :: rest, p) if p == e0 + 1 =>
+          (s0, p, n0 + 1) :: rest
+        case (acc, p) => (p, p, 1) :: acc
+      }.reverse.map { case (s0, e0, n0) =>
+        (id, s0.toLong, (e0 + k - 1).toLong, (e0 + k - 1 - s0 + 1).toLong,
+          n0.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect.toSeq)
+  }
 }

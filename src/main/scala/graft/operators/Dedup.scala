@@ -1723,7 +1723,8 @@ object Dedup {
   }
 
   def q114(s: SparkSession, dir: String): DataFrame =
-    duplicatedSpans(documents(s, dir), "text", "doc_id", SpanGramK)
+    duplicatedSpans(fanout(documents(s, dir), "doc_id"), "text", "doc_id",
+        SpanGramK)
       .orderBy(col("doc_id"), col("span_start"))
 
   // generate_series(1, 4096) is an oracle-only position bound (docs are

@@ -762,7 +762,56 @@ object Similarity {
       |    * 10000) / 10000.0 AS cos
       |FROM pairs ORDER BY label_a, label_b""".stripMargin
 
+  // ── q115: symmetric int8 vector quantization — per-vector absmax
+  //        scaling (the serving-side compression primitive: 4x smaller
+  //        vectors, ~1% recall loss; see FAISS SQ8 / llm.int8). Pure
+  //        narrow map over array columns (transform/aggregate — no
+  //        shuffle at all until the output sort), so it scales as a scan.
+  //        Parity discipline: every element is cast FLOAT→DOUBLE (exact)
+  //        before any arithmetic, the quantized codes are INTEGER (order-
+  //        insensitive exact sums), and only `scale` is a rounded double.
+  //        Zero vectors quantize to all-zero codes with scale 0 by an
+  //        identical CASE guard on both sides.
+  def q115(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .withColumn("absmax",
+        expr("array_max(transform(embedding, x -> abs(cast(x AS DOUBLE))))"))
+      .withColumn("q", expr(
+        """CASE WHEN absmax = 0.0
+          |THEN transform(embedding, x -> 0L)
+          |ELSE transform(embedding,
+          |  x -> cast(round(cast(x AS DOUBLE) / absmax * 127) AS BIGINT))
+          |END""".stripMargin))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("bigint").as("n_dims"),
+        expr("round(absmax / 127 * 1000000) / 1000000.0").as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"))
+      .orderBy(col("vec_id"))
+
+  val q115Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      |      AS absmax
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, len(embedding) AS n_dims, absmax,
+      |    CASE WHEN absmax = 0.0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) / absmax * 127) AS BIGINT))
+      |    END AS q
+      |  FROM a)
+      |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+      |  round(absmax / 127 * 1000000) / 1000000.0 AS scale,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  list_min(q) AS q_min, list_max(q) AS q_max
+      |FROM qz ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_int8_quant" -> q115,
     "q36_embedding_neardup" -> q36,
     "q77_centroid_cosine" -> q77,
     "q37_ann_bruteforce" -> q37,
@@ -775,6 +824,7 @@ object Similarity {
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
+    "q115_int8_quant" -> q115Sql,
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,
     "q77_centroid_cosine" -> q77Sql,

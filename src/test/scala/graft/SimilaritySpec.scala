@@ -295,4 +295,24 @@ class SimilaritySpec extends SparkTestBase {
       assert(buckets(r.getLong(0)) == buckets(r.getLong(1)))
     }
   }
+
+  test("q115: int8 quantization codes match a driver reimplementation") {
+    val out = Similarity.q115(spark, sfDir).collect()
+    val raw = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val v = raw(r.getAs[Long]("vec_id")).map(_.toDouble)
+      val absmax = v.map(math.abs).max
+      val q =
+        if (absmax == 0.0) v.map(_ => 0L)
+        else v.map(x => math.round(x / absmax * 127))
+      assert(r.getAs[Long]("n_dims") == v.length)
+      assert(r.getAs[Long]("q_sum") == q.sum)
+      assert(r.getAs[Long]("q_min") == q.min && r.getAs[Long]("q_max") == q.max)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      assert(math.abs(r.getAs[Double]("scale") -
+        math.round(absmax / 127 * 1000000) / 1000000.0) < 1e-12)
+    }
+  }
 }

@@ -451,7 +451,73 @@ object TextQueries {
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ── q116: per-source DISTINCTIVE tokens by add-1-smoothed log-odds
+  //        ratio vs the rest of the corpus — the "what characterizes this
+  //        domain" contrast a mixture designer reads before weighting
+  //        sources (Monroe et al.'s fightin'-words statistic, the
+  //        smoothed form). Integer count plumbing: one (source,token)
+  //        groupBy, per-source and per-token rollups derived FROM it
+  //        (never a second scan), grand total broadcast; the only float
+  //        math is the shared-text lor expression. Top-3 per source via
+  //        row_number — a per-source window, never single-partition.
+  private val lorExpr: String =
+    "round((ln((a + 1.0) / (src_total - a + 1.0)) - " +
+      "ln((c + 1.0) / (rest_total - c + 1.0))) * 10000) / 10000.0"
+
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = documents(s, dir)
+      .select(col("source"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("a"))
+      .trackedPersist()
+    val perSource = st.groupBy(col("source")).agg(sum(col("a")).as("src_total"))
+    val perToken = st.groupBy(col("t")).agg(sum(col("a")).as("tok_total"))
+    val grand = st.agg(sum(col("a")).as("grand_total"))
+    val scored = st
+      .join(broadcast(perSource), "source")
+      .join(perToken, "t")
+      .crossJoin(broadcast(grand))
+      .withColumn("c", col("tok_total") - col("a"))
+      .withColumn("rest_total", col("grand_total") - col("src_total"))
+      .selectExpr("source", "t AS token", "a AS n_in", "c AS n_out",
+        s"$lorExpr AS lor")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lor").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("source"), col("token"), col("n_in"), col("n_out"),
+        col("lor"))
+      .orderBy(col("source"), col("lor").desc, col("token"))
+  }
+
+  val q116Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS t
+       |  FROM documents),
+       |st AS (SELECT source, t, count(*) AS a FROM tok GROUP BY 1, 2),
+       |ps AS (SELECT source, CAST(sum(a) AS BIGINT) AS src_total
+       |  FROM st GROUP BY 1),
+       |pt AS (SELECT t, CAST(sum(a) AS BIGINT) AS tok_total FROM st GROUP BY 1),
+       |g AS (SELECT CAST(sum(a) AS BIGINT) AS grand_total FROM st),
+       |scored AS (
+       |  SELECT st.source, st.t AS token, st.a AS n_in,
+       |    pt.tok_total - st.a AS c, st.a AS a, ps.src_total,
+       |    g.grand_total - ps.src_total AS rest_total
+       |  FROM st JOIN ps USING (source) JOIN pt USING (t) CROSS JOIN g),
+       |lo AS (
+       |  SELECT source, token, n_in, c AS n_out, $lorExpr AS lor
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY lor DESC, token) AS rk
+       |  FROM lo)
+       |SELECT source, token, n_in, n_out, lor FROM ranked WHERE rk <= 3
+       |ORDER BY source, lor DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_domain_tokens" -> q116,
     "q112_bm25_topk" -> q112,
     "q95_heavy_hitters" -> q95,
     "q102_length_histogram" -> q102,
@@ -465,6 +531,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q116_domain_tokens" -> q116Sql,
     "q112_bm25_topk" -> q112Sql,
     "q95_heavy_hitters" -> q95Sql,
     "q102_length_histogram" -> q102Sql,

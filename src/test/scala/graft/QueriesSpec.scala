@@ -87,4 +87,32 @@ class QueriesSpec extends SparkTestBase {
         s"doc $id: ${row.getAs[Double]("score")} vs $sc")
     }
   }
+
+  test("q116 domain tokens: exactly top-3 per source, lor formula verified") {
+    val out = graft.ops.TextQueries.q116(spark, sfDir).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length == 3, s"$src has ${rows.length} rows")
+      val lors = rows.map(_.getAs[Double]("lor"))
+      assert(lors.sameElements(lors.sorted(Ordering[Double].reverse)))
+    }
+    // recompute one row's log-odds from its own integer counts + totals
+    val toks = Tables.documents(spark, sfDir).selectExpr("source", "text")
+      .collect().map(r => r.getString(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val srcTotal = toks.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.map(_._2.length.toLong).sum }
+    val grand = srcTotal.values.sum
+    val r0 = out.head
+    val (src, tokn) = (r0.getAs[String]("source"), r0.getAs[String]("token"))
+    val a = r0.getAs[Long]("n_in").toDouble
+    val c = r0.getAs[Long]("n_out").toDouble
+    val bigA = srcTotal(src).toDouble
+    val bigC = (grand - srcTotal(src)).toDouble
+    val lor = math.round((math.log((a + 1.0) / (bigA - a + 1.0)) -
+      math.log((c + 1.0) / (bigC - c + 1.0))) * 10000) / 10000.0
+    assert(math.abs(r0.getAs[Double]("lor") - lor) < 1e-9, s"$src/$tokn")
+    // n_in really is the (source, token) count
+    assert(a.toLong == toks.filter(_._1 == src).map(_._2.count(_ == tokn)).sum)
+  }
 }

@@ -87,7 +87,9 @@ object ScaleRehearsal {
       "q93_snapshot_diff", "q98_ann_pq", "q100_scd2_history",
       "q101_grouping_sets", "q102_length_histogram",
       "q103_incremental_neardup", "q105_split_leakage",
-      "q108_training_build")
+      "q108_training_build",
+      "q112_bm25_topk", "q114_dup_spans", "q115_int8_quant",
+      "q116_domain_tokens")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics. q61 (the

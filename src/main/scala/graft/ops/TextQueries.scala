@@ -516,7 +516,50 @@ object TextQueries {
        |SELECT source, token, n_in, n_out, lor FROM ranked WHERE rk <= 3
        |ORDER BY source, lor DESC, token""".stripMargin
 
+  // ── q117: BPE pair statistics — the inner step of byte-pair-encoding
+  //        vocabulary induction (Sennrich et al. 2016): count adjacent
+  //        character pairs over the corpus, weighted by word frequency,
+  //        and surface the top merge candidates. Scale shape: the corpus
+  //        collapses to the frequency-weighted VOCABULARY first (one
+  //        token-domain groupBy — identical cost to q30), and the pair
+  //        explode runs over distinct words only (vocab × avg-word-len
+  //        rows, corpus-size-independent); each further merge round in a
+  //        real trainer repeats this same vocabulary-sized job. Integer-
+  //        only output; top-20 via TakeOrderedAndProject.
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(s, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val nPairs = length(col("w")) - 1
+    vocab
+      .select(col("w"), col("freq"),
+        explode(when(nPairs < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nPairs))).as("i"))
+      .select(expr("substring(w, i, 1)").as("left"),
+        expr("substring(w, i + 1, 1)").as("right"), col("freq"))
+      .groupBy(col("left"), col("right"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("left"), col("right"))
+      .limit(20)
+  }
+
+  val q117Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(w, i, 1) AS "left",
+      |    substring(w, i + 1, 1) AS "right", freq
+      |  FROM vocab CROSS JOIN generate_series(1, 64) t(i)
+      |  WHERE i <= len(w) - 1)
+      |SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS n
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_bpe_pairs" -> q117,
     "q116_domain_tokens" -> q116,
     "q112_bm25_topk" -> q112,
     "q95_heavy_hitters" -> q95,
@@ -531,6 +574,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q117_bpe_pairs" -> q117Sql,
     "q116_domain_tokens" -> q116Sql,
     "q112_bm25_topk" -> q112Sql,
     "q95_heavy_hitters" -> q95Sql,

@@ -115,4 +115,22 @@ class QueriesSpec extends SparkTestBase {
     // n_in really is the (source, token) count
     assert(a.toLong == toks.filter(_._1 == src).map(_._2.count(_ == tokn)).sum)
   }
+
+  test("q117 BPE pairs: counts match a driver-side reimplementation") {
+    val out = graft.ops.TextQueries.q117(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 20)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    Tables.documents(spark, sfDir).select("text").collect().foreach { r =>
+      "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase).foreach { w =>
+        w.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = (p.substring(0, 1), p.substring(1, 2))
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val expect = counts.toSeq.map { case ((l, r), n) => (l, r, n) }
+      .sortBy { case (l, r, n) => (-n, l, r) }.take(20)
+    assert(out.toSeq == expect)
+  }
 }

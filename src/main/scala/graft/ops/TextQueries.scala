@@ -558,7 +558,128 @@ object TextQueries {
       |FROM pairs GROUP BY 1, 2
       |ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin
 
+  // ── q118: MULTI-ROUND BPE merge induction — the full iterative form of
+  //        q117 (its oracle-green mechanism twin; q118's round 1 must and
+  //        does equal q117's top row, asserted in spec). Corpus-scale
+  //        work is the one distributed token groupBy; the merge loop then
+  //        runs on the collected word→freq vocabulary, capped at 65,536
+  //        entries by (freq desc, word) — the same bounded-driver-state
+  //        contract as PQ's 65k training sample: real BPE trainers are
+  //        exactly this shape (distributed counting, vocab-local merges),
+  //        and the cap line is deterministic. Rows-only by nature (the
+  //        loop is stateful — not one SQL); determinism pinned by the
+  //        (−n, left, right) argmax tiebreak.
+  def bpeMergeRounds(vocab: Seq[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words = vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var go = true
+    while (go && r <= rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((l, rr), n) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              merged += (l + rr); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.result(), f)
+        }
+        out += ((r, l, rr, n))
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = documents(s, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(65536)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    bpeMergeRounds(vocab, rounds = 10)
+      .toDF("merge_rank", "left", "right", "n")
+      .select(col("merge_rank").cast("bigint").as("merge_rank"),
+        col("left"), col("right"), col("n"))
+      .orderBy(col("merge_rank"))
+  }
+
+  // ── q119: distribution DRIFT between the deterministic train and val
+  //        splits (q97's salted-sha split expression) — smoothed KL
+  //        contribution per token, top-10. The check a mixture designer
+  //        runs before trusting a val set: which tokens' train-vs-val
+  //        probabilities diverge most. One token-domain groupBy with
+  //        conditional per-split counts (q112's trick — the split never
+  //        widens the exchange), 1-row totals broadcast back, shared-
+  //        text float expression, TakeOrdered top-10.
+  private val klContribExpr: String =
+    "round(((a + 1.0) / (at + vs)) * " +
+      "ln(((a + 1.0) / (at + vs)) / ((b + 1.0) / (bt + vs))) * 10000000) " +
+      "/ 10000000.0"
+
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val st = documents(s, dir)
+      .select(graft.ops.Scale.splitOf(col("doc_id").cast("string"))
+          .as("split"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("t"))
+      .where(col("split").isin("train", "val"))
+      .groupBy(col("t"))
+      .agg(count(when(col("split") === "train", 1)).as("a"),
+        count(when(col("split") === "val", 1)).as("b"))
+      .trackedPersist()
+    val stats = st.agg(sum(col("a")).as("at"), sum(col("b")).as("bt"),
+      count(lit(1)).as("vs"))
+    st.crossJoin(broadcast(stats))
+      .selectExpr("t AS token", "a AS n_train", "b AS n_val",
+        s"$klContribExpr AS contrib")
+      .orderBy(col("contrib").desc, col("token"))
+      .limit(10)
+  }
+
+  val q119Sql: String =
+    s"""WITH tok AS (
+       |  SELECT CASE
+       |      WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |        < 'cc' THEN 'train'
+       |      WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |        < 'e6' THEN 'val'
+       |      ELSE 'test' END AS split,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |st AS (
+       |  SELECT t, count(*) FILTER (WHERE split = 'train') AS a,
+       |    count(*) FILTER (WHERE split = 'val') AS b
+       |  FROM tok WHERE split IN ('train', 'val') GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS at, CAST(sum(b) AS BIGINT) AS bt,
+       |    count(*) AS vs
+       |  FROM st)
+       |SELECT t AS token, a AS n_train, b AS n_val,
+       |  $klContribExpr AS contrib
+       |FROM st CROSS JOIN g
+       |ORDER BY contrib DESC, token LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bpe_merges" -> q118,
+    "q119_split_drift" -> q119,
     "q117_bpe_pairs" -> q117,
     "q116_domain_tokens" -> q116,
     "q112_bm25_topk" -> q112,
@@ -574,6 +695,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q119_split_drift" -> q119Sql,
     "q117_bpe_pairs" -> q117Sql,
     "q116_domain_tokens" -> q116Sql,
     "q112_bm25_topk" -> q112Sql,

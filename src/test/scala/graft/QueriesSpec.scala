@@ -133,4 +133,51 @@ class QueriesSpec extends SparkTestBase {
       .sortBy { case (l, r, n) => (-n, l, r) }.take(20)
     assert(out.toSeq == expect)
   }
+
+  test("q118 BPE merges: round 1 equals q117's top pair; later rounds merge merged symbols") {
+    val merges = graft.ops.TextQueries.q118(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 10 && merges.map(_._1).toSeq == (1L to 10L))
+    val top = graft.ops.TextQueries.q117(spark, sfDir).collect().head
+    assert((merges.head._2, merges.head._3, merges.head._4) ==
+      ((top.getString(0), top.getString(1), top.getLong(2))))
+    assert(merges.forall(_._4 > 0))
+    // determinism: a second run yields the identical merge table
+    val again = graft.ops.TextQueries.q118(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == again.toSeq)
+  }
+
+  test("q119 split drift: counts come from the q97 split, contrib formula holds") {
+    val out = graft.ops.TextQueries.q119(spark, sfDir).collect()
+    assert(out.length == 10)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def splitOf(id: Long): String = {
+      val h = md.digest(s"split:$id".getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+      .collect().map(r => splitOf(r.getLong(0)) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+      .filter(d => d._1 == "train" || d._1 == "val")
+    val a = scala.collection.mutable.Map.empty[String, Long]
+    val b = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (sp, toks) =>
+      val m = if (sp == "train") a else b
+      toks.foreach(t => m(t) = m.getOrElse(t, 0L) + 1L)
+    }
+    val vocab = (a.keySet ++ b.keySet)
+    val (at, bt, vs) = (a.values.sum.toDouble, b.values.sum.toDouble,
+      vocab.size.toDouble)
+    out.foreach { r =>
+      val t = r.getAs[String]("token")
+      assert(r.getAs[Long]("n_train") == a.getOrElse(t, 0L))
+      assert(r.getAs[Long]("n_val") == b.getOrElse(t, 0L))
+      val p = (a.getOrElse(t, 0L) + 1.0) / (at + vs)
+      val q = (b.getOrElse(t, 0L) + 1.0) / (bt + vs)
+      val contrib = math.round(p * math.log(p / q) * 10000000) / 10000000.0
+      assert(math.abs(r.getAs[Double]("contrib") - contrib) < 1e-9, t)
+    }
+  }
 }

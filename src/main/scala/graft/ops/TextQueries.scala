@@ -677,7 +677,211 @@ object TextQueries {
        |FROM st CROSS JOIN g
        |ORDER BY contrib DESC, token LIMIT 10""".stripMargin
 
+  // ── q120: bigram-LM cross-entropy scoring — the CCNet-style quality
+  //        filter (Wenzek et al. 2020): train an add-one-smoothed bigram
+  //        language model on the deterministic q97 `train` split, score
+  //        EVERY doc's mean negative log-likelihood under it, surface the
+  //        top-20 most-surprising docs (the filter's drop candidates).
+  //        Float discipline: each bigram's -ln(p) is rounded to a 1e-7
+  //        fixed-point BIGINT and summed as INTEGERS, so the per-doc sum is
+  //        order-independent and engine-exact (stronger than rounding the
+  //        final avg — no float accumulation anywhere); the final xent is
+  //        one exact-integer division. Scale shape: exchanges are keyed on
+  //        the bigram/token domain (LM groupBy, score join) or doc_id (the
+  //        per-doc sum) — all linear; vocab size is a 1-row broadcast; the
+  //        top-20 is TakeOrderedAndProject, never a global sort.
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"),
+        graft.ops.Scale.splitOf(col("doc_id").cast("string")).as("split"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("a"))
+    val nB = size(col("a")) - 1
+    val big = toks
+      .select(col("doc_id"), col("split"), col("a"),
+        explode(when(nB < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nB))).as("i"))
+      .select(col("doc_id"), col("split"),
+        element_at(col("a"), col("i")).as("w1"),
+        element_at(col("a"), col("i") + 1).as("w2"))
+      .trackedPersist()
+    val lm = big.where(col("split") === "train")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .trackedPersist()
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c")).as("ct"))
+    val v = toks.where(col("split") === "train")
+      .select(explode(col("a")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    big
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .selectExpr("doc_id", "split",
+        "CAST(round(-ln((coalesce(c, 0) + 1.0) / (coalesce(ct, 0) + v)) " +
+          "* 10000000) AS BIGINT) AS nll")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_e7"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"), col("nll_e7"),
+        (col("nll_e7").cast("double") / col("n_bigrams") / lit(1e7))
+          .as("xent"))
+      .orderBy(col("xent").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q120Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |        < 'cc' THEN 'train'
+      |      WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |        < 'e6' THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+      |  FROM documents),
+      |b0 AS (SELECT doc_id, split, a,
+      |  unnest(generate_series(1, len(a) - 1)) AS i FROM d),
+      |b AS (SELECT doc_id, split, a[i] AS w1, a[i + 1] AS w2 FROM b0),
+      |lm AS (SELECT w1, w2, count(*) AS c FROM b WHERE split = 'train'
+      |  GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ct FROM lm GROUP BY 1),
+      |vt AS (SELECT count(DISTINCT t) AS v FROM (
+      |  SELECT unnest(a) AS t FROM d WHERE split = 'train')),
+      |sc AS (
+      |  SELECT b.doc_id, b.split,
+      |    CAST(round(-ln((coalesce(lm.c, 0) + 1.0)
+      |      / (coalesce(ctx.ct, 0) + vt.v)) * 10000000) AS BIGINT) AS nll
+      |  FROM b LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |  CROSS JOIN vt),
+      |agg AS (
+      |  SELECT doc_id, split, count(*) AS n_bigrams,
+      |    CAST(sum(nll) AS BIGINT) AS nll_e7
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT doc_id, split, n_bigrams, nll_e7,
+      |  CAST(nll_e7 AS DOUBLE) / n_bigrams / 10000000.0 AS xent
+      |FROM agg ORDER BY xent DESC, doc_id LIMIT 20""".stripMargin
+
+  // ── q121: SINGLE-merge BPE application — apply q117's top merge pair to
+  //        the corpus and report per-source compression. The mechanism
+  //        oracle twin of q122 (greedy left-to-right non-overlapping
+  //        `replace` IS the BPE per-pass merge semantic — 'aaa' under
+  //        (a,a) → [aa, a], 2 pieces); with one merge the piece count is
+  //        SQL-expressible: n_pieces(w) = len(w) − occurrences(w, l||r),
+  //        occurrences via length-delta of replace. Scale shape: the top
+  //        pair is a vocab-sized aggregate → 1-row broadcast; encoding is
+  //        a narrow per-token map; one per-source groupBy. Integer sums,
+  //        one shared-form rounded ratio.
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(s, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val nPairs = length(col("w")) - 1
+    val top = vocab
+      .select(col("w"), col("freq"),
+        explode(when(nPairs < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nPairs))).as("i"))
+      .select(expr("substring(w, i, 1)").as("l"),
+        expr("substring(w, i + 1, 1)").as("r"), col("freq"))
+      .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+      .select(concat(col("l"), col("r")).as("p"))
+    documents(s, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      .crossJoin(broadcast(top))
+      .selectExpr("source", "length(w) AS lw",
+        "length(w) - (length(w) - length(replace(w, p, ''))) div 2 AS ns")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("lw")).as("n_chars_tok"),
+        sum(col("ns")).as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_chars_tok"),
+        col("n_pieces"),
+        (round(col("n_chars_tok").cast("double") / col("n_pieces")
+          * 10000) / 10000.0).as("compression"))
+      .orderBy(col("source"))
+  }
+
+  val q121Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |    AS w
+      |  FROM documents),
+      |vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r, freq
+      |  FROM vocab CROSS JOIN generate_series(1, 64) t(i)
+      |  WHERE i <= len(w) - 1),
+      |top AS (SELECT l || r AS p FROM (
+      |  SELECT l, r, sum(freq) AS n FROM pairs GROUP BY 1, 2
+      |  ORDER BY n DESC, l, r LIMIT 1)),
+      |enc AS (SELECT source, len(w) AS lw,
+      |  len(w) - (len(w) - len(replace(w, p, ''))) // 2 AS ns
+      |  FROM tok CROSS JOIN top)
+      |SELECT source, count(*) AS n_words,
+      |  CAST(sum(lw) AS BIGINT) AS n_chars_tok,
+      |  CAST(sum(ns) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(lw) AS DOUBLE) / sum(ns) * 10000) / 10000.0
+      |    AS compression
+      |FROM enc GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q122: FULL BPE tokenizer application — encode the corpus under the
+  //        q118-induced merge table and report per-source piece counts /
+  //        compression: the "tokenize the dataset with the learned vocab"
+  //        step every training build runs after vocabulary induction.
+  //        Spark-first shape with NO UDFs: the merge loop is applied only
+  //        to the DISTINCT frequency-weighted vocabulary (the q117/q30
+  //        collapse — corpus-size-independent), where each word is wrapped
+  //        into a -delimited symbol string ('ab' → ␟a␟␟b␟) so that a
+  //        chain of plain codegen'd `replace` calls — one per merge, built
+  //        by a Scala fold — performs exact greedy BPE passes (full
+  //        marker wrapping means adjacent matches share no characters,
+  //        unlike space-separated forms); the piece count falls out as
+  //        (final_length − word_length) div 2 because every piece carries
+  //        exactly two markers. Encoded vocab then joins back to the
+  //        (source, word) count table on the word key. Rows-only by
+  //        nature (the merge table is corpus-derived driver state, q118's
+  //        bounded-65k contract); QueriesSpec pins rounds=1 ≡ q121 and
+  //        hand-computed encodings.
+  def bpeEncodeStats(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val wordsOf = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    val capped = documents(s, dir)
+      .select(explode(wordsOf).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(65536)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = bpeMergeRounds(capped, rounds).map { case (_, l, r, _) =>
+      (l, r)
+    }
+    val sw = documents(s, dir)
+      .select(col("source"), explode(wordsOf).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val M = "\u001f" // marker char, never inside [a-z0-9]+ tokens
+    val wrapped = regexp_replace(col("w"), "(.)", s"$M$$1$M")
+    val encoded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s"$M$l$M$M$r$M"), lit(s"$M${l + r}$M"))
+    }
+    sw
+      .select(col("source"), col("n"), length(col("w")).as("lw"),
+        ((length(encoded) - length(col("w"))) / 2).cast("long").as("ns"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("lw")).as("n_chars_tok"),
+        sum(col("n") * col("ns")).as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_chars_tok"),
+        col("n_pieces"),
+        (round(col("n_chars_tok").cast("double") / col("n_pieces")
+          * 10000) / 10000.0).as("compression"))
+      .orderBy(col("source"))
+  }
+
+  def q122(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeStats(s, dir, rounds = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_lm_perplexity" -> q120,
+    "q121_bpe_apply1" -> q121,
+    "q122_bpe_encode" -> q122,
     "q118_bpe_merges" -> q118,
     "q119_split_drift" -> q119,
     "q117_bpe_pairs" -> q117,
@@ -695,6 +899,8 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q120_lm_perplexity" -> q120Sql,
+    "q121_bpe_apply1" -> q121Sql,
     "q119_split_drift" -> q119Sql,
     "q117_bpe_pairs" -> q117Sql,
     "q116_domain_tokens" -> q116Sql,

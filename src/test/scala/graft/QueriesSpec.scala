@@ -180,4 +180,119 @@ class QueriesSpec extends SparkTestBase {
       assert(math.abs(r.getAs[Double]("contrib") - contrib) < 1e-9, t)
     }
   }
+
+  private def docTokens(): Array[(Long, String, Vector[String])] =
+    Tables.documents(spark, sfDir).selectExpr("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).toVector))
+
+  private def sha2split(id: Long): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"split:$id".getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+    if (h < "cc") "train" else if (h < "e6") "val" else "test"
+  }
+
+  test("q120 LM perplexity: xent matches a driver-side bigram LM exactly") {
+    val out = graft.ops.TextQueries.q120(spark, sfDir).collect()
+    assert(out.length == 20)
+    val docs = docTokens().map { case (id, _, toks) => (id, sha2split(id), toks) }
+    val lm = scala.collection.mutable.Map.empty[(String, String), Long]
+    val vocab = scala.collection.mutable.Set.empty[String]
+    docs.filter(_._2 == "train").foreach { case (_, _, toks) =>
+      toks.foreach(vocab += _)
+      toks.sliding(2).filter(_.length == 2)
+        .foreach(p => lm((p(0), p(1))) = lm.getOrElse((p(0), p(1)), 0L) + 1L)
+    }
+    val ctx = lm.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val v = vocab.size.toDouble
+    val expect = docs.flatMap { case (id, sp, toks) =>
+      val bs = toks.sliding(2).filter(_.length == 2).toSeq
+      if (bs.isEmpty) None
+      else {
+        val nll = bs.map { p =>
+          val c = lm.getOrElse((p(0), p(1)), 0L).toDouble
+          val ct = ctx.getOrElse(p(0), 0L).toDouble
+          math.round(-math.log((c + 1.0) / (ct + v)) * 10000000)
+        }.sum
+        Some((id, sp, bs.length.toLong, nll, nll.toDouble / bs.length / 1e7))
+      }
+    }.sortBy { case (id, _, _, _, x) => (-x, id) }.take(20)
+    out.zip(expect).foreach { case (r, (id, sp, nb, nll, x)) =>
+      assert(r.getAs[Long]("doc_id") == id, s"doc order: $r vs $id")
+      assert(r.getAs[String]("split") == sp)
+      assert(r.getAs[Long]("n_bigrams") == nb)
+      assert(r.getAs[Long]("nll_e7") == nll, s"doc $id fixed-point sum")
+      assert(r.getAs[Double]("xent") == x, s"doc $id xent must be bit-exact")
+    }
+  }
+
+  /** Reference greedy BPE: apply each merge left-to-right, return pieces. */
+  private def encodePieces(w: String, merges: Seq[(String, String)]): Int = {
+    var syms = w.map(_.toString).toVector
+    merges.foreach { case (l, r) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  test("q121 single-merge BPE: per-source stats match a driver reimplementation") {
+    val out = graft.ops.TextQueries.q121(spark, sfDir).collect()
+    val docs = docTokens()
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._3.foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    freq.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + f
+      }
+    }
+    val (l, r) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+    val bySource = docs.flatMap { case (_, src, toks) => toks.map(src -> _) }
+      .groupBy(_._1)
+    out.foreach { row =>
+      val ws = bySource(row.getAs[String]("source")).map(_._2)
+      assert(row.getAs[Long]("n_words") == ws.length)
+      assert(row.getAs[Long]("n_chars_tok") == ws.map(_.length.toLong).sum)
+      val pieces = ws.map(w => encodePieces(w, Seq((l, r))).toLong).sum
+      assert(row.getAs[Long]("n_pieces") == pieces,
+        s"${row.getAs[String]("source")}: single-merge piece count")
+    }
+  }
+
+  test("q122 BPE encode: marker-replace chain equals reference greedy BPE; rounds=1 ≡ q121; rounds=0 ≡ chars") {
+    val docs = docTokens()
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._3.foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    val capped = freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(65536)
+    val merges = graft.ops.TextQueries.bpeMergeRounds(capped, 10)
+      .map { case (_, l, r, _) => (l, r) }
+    val out = graft.ops.TextQueries.q122(spark, sfDir).collect()
+    val bySource = docs.flatMap { case (_, src, toks) => toks.map(src -> _) }
+      .groupBy(_._1)
+    out.foreach { row =>
+      val ws = bySource(row.getAs[String]("source")).map(_._2)
+      val pieces = ws.map(w => encodePieces(w, merges).toLong).sum
+      assert(row.getAs[Long]("n_pieces") == pieces,
+        s"${row.getAs[String]("source")}: 10-round piece count")
+      assert(row.getAs[Long]("n_pieces") >= row.getAs[Long]("n_words"))
+      assert(row.getAs[Long]("n_pieces") <= row.getAs[Long]("n_chars_tok"))
+    }
+    // rounds=1 must equal q121's SQL-expressible single-merge twin
+    val one = graft.ops.TextQueries.bpeEncodeStats(spark, sfDir, 1).collect()
+    val q121 = graft.ops.TextQueries.q121(spark, sfDir).collect()
+    assert(one.map(_.toSeq).toSeq == q121.map(_.toSeq).toSeq)
+    // rounds=0: the marker wrap alone must count exactly one piece per char
+    graft.ops.TextQueries.bpeEncodeStats(spark, sfDir, 0).collect().foreach {
+      row => assert(row.getAs[Long]("n_pieces") == row.getAs[Long]("n_chars_tok"))
+    }
+  }
 }

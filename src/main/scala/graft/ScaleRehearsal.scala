@@ -89,7 +89,8 @@ object ScaleRehearsal {
       "q103_incremental_neardup", "q105_split_leakage",
       "q108_training_build",
       "q112_bm25_topk", "q114_dup_spans", "q115_int8_quant",
-      "q116_domain_tokens", "q120_lm_perplexity", "q122_bpe_encode")
+      "q116_domain_tokens", "q120_lm_perplexity", "q122_bpe_encode",
+      "q123_contam_fraction", "q124_segment_dedup")
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics. q61 (the

@@ -1752,7 +1752,146 @@ object Dedup {
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // ── q123: gram-level decontamination metric — for every TRAIN doc, the
+  //         fraction of its distinct 5-token grams that appear anywhere in
+  //         the TEST split (the "n-gram overlap with eval" check of
+  //         GPT-3's appendix-C decontamination; q105's jaccard audit is
+  //         doc-level, this is the gram-containment view that catches
+  //         partial copies below the jaccard threshold). Scale shape: the
+  //         eval gram set is small relative to the corpus → the hit test
+  //         is an equi semi-join on the gram key (AQE broadcasts it when
+  //         it fits); grams are deduped per doc BEFORE the join so clone-
+  //         heavy docs don't multiply probe rows; top-20 is TakeOrdered.
+  val ContamGramK = 5
+
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val toks = fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"),
+        graft.ops.Scale.splitOf(col("doc_id").cast("string")).as("split"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("a"))
+      .where(col("split").isin("train", "test"))
+    val n = size(col("a")) - (ContamGramK - 1)
+    val grams = toks
+      .select(col("doc_id"), col("split"), col("a"),
+        explode(when(n < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), n))).as("i"))
+      .select(col("doc_id"), col("split"),
+        array_join(slice(col("a"), col("i"), lit(ContamGramK)), " ").as("g"))
+    val trainG = grams.where(col("split") === "train")
+      .select(col("doc_id"), col("g")).distinct().trackedPersist()
+    val evalG = grams.where(col("split") === "test").select(col("g")).distinct()
+    val hits = trainG.join(evalG, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
+    trainG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_cont"), lit(0L)).as("n_cont"))
+      .select(col("doc_id"), col("n_grams"), col("n_cont"),
+        (round(col("n_cont").cast("double") / col("n_grams") * 10000)
+          / 10000.0).as("contam_frac"))
+      .orderBy(col("contam_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q123Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)),
+       |        1, 2) < 'cc' THEN 'train'
+       |      WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)),
+       |        1, 2) < 'e6' THEN 'val'
+       |      ELSE 'test' END AS split,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, split, a,
+       |    unnest(generate_series(1, len(a) - ${ContamGramK - 1})) AS i
+       |  FROM d WHERE split IN ('train', 'test')),
+       |g AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    array_to_string(a[i:i+${ContamGramK - 1}], ' ') AS g
+       |  FROM g0),
+       |ev AS (SELECT DISTINCT g FROM g WHERE split = 'test'),
+       |tr AS (SELECT doc_id, g FROM g WHERE split = 'train'),
+       |hit AS (SELECT tr.doc_id, count(*) AS n_cont
+       |  FROM tr JOIN ev USING (g) GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1)
+       |SELECT tot.doc_id, n_grams, coalesce(n_cont, 0) AS n_cont,
+       |  round(CAST(coalesce(n_cont, 0) AS DOUBLE) / n_grams * 10000)
+       |    / 10000.0 AS contam_frac
+       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+       |ORDER BY contam_frac DESC, tot.doc_id LIMIT 20""".stripMargin
+
+  // ── q124: segment-level dedup stats — split every doc into consecutive
+  //         ${SegLen}-token segments and report, per source, how many
+  //         segment occurrences are duplicated across ≥2 distinct docs
+  //         (the RefinedWeb/C4 line-dedup primitive re-expressed over
+  //         token segments, since the synthetic corpus has no newlines;
+  //         the chars_dup column is exactly what a removal pass would
+  //         delete). Scale shape: one segment-digest-keyed groupBy builds
+  //         the dup set (partial agg absorbs clone skew), the flag-back is
+  //         an equi join on the segment key (AQE picks broadcast vs
+  //         shuffle), per-source rollup is a small agg.
+  val SegLen = 10
+
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val segs = fanout(documents(s, dir), "doc_id")
+      .select(col("source"), col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("a"))
+      .select(col("source"), col("doc_id"), col("a"),
+        explode(when(size(col("a")) < 1, array().cast("array<int>"))
+          .otherwise(expr(s"sequence(0, (size(a) - 1) div $SegLen)")))
+          .as("k"))
+      .select(col("source"), col("doc_id"),
+        array_join(slice(col("a"), col("k") * SegLen + 1, lit(SegLen)), " ")
+          .as("seg"))
+      .trackedPersist()
+    val dup = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("seg"), lit(1).as("_dup"))
+    segs.join(dup, Seq("seg"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"),
+        count(col("_dup")).as("n_dup_segments"),
+        sum(when(col("_dup").isNotNull, length(col("seg")))
+          .otherwise(0)).as("n_chars_dup"))
+      .select(col("source"), col("n_segments"), col("n_dup_segments"),
+        col("n_chars_dup").cast("long").as("n_chars_dup"),
+        (round(col("n_dup_segments").cast("double") / col("n_segments")
+          * 10000) / 10000.0).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  val q124Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+       |  FROM documents),
+       |s0 AS (
+       |  SELECT source, doc_id, a,
+       |    unnest(generate_series(0, (len(a) - 1) // $SegLen)) AS k
+       |  FROM d WHERE len(a) >= 1),
+       |seg AS (
+       |  SELECT source, doc_id,
+       |    array_to_string(a[k * $SegLen + 1 : k * $SegLen + $SegLen], ' ')
+       |      AS seg
+       |  FROM s0),
+       |dup AS (SELECT seg FROM (
+       |  SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+       |  WHERE nd >= 2)
+       |SELECT t.source, count(*) AS n_segments,
+       |  count(u.seg) AS n_dup_segments,
+       |  CAST(sum(CASE WHEN u.seg IS NOT NULL THEN len(t.seg) ELSE 0 END)
+       |    AS BIGINT) AS n_chars_dup,
+       |  round(CAST(count(u.seg) AS DOUBLE) / count(*) * 10000) / 10000.0
+       |    AS dup_frac
+       |FROM seg t LEFT JOIN dup u ON t.seg = u.seg
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_contam_fraction" -> q123,
+    "q124_segment_dedup" -> q124,
     "q114_dup_spans" -> q114,
     "q32_dedup_exact" -> q32,
     "q33_dedup_jaccard" -> q33,
@@ -1779,6 +1918,8 @@ object Dedup {
     "q83_mix_weights" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q123_contam_fraction" -> q123Sql,
+    "q124_segment_dedup" -> q124Sql,
     "q114_dup_spans" -> q114Sql,
     "q57_training_prep" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,

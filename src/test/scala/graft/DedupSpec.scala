@@ -331,4 +331,58 @@ class DedupSpec extends SparkTestBase {
     }.sortBy(t => (t._1, t._2))
     assert(out.toSeq == expect.toSeq)
   }
+
+  test("q123 contamination fraction matches a driver-side gram containment") {
+    val out = graft.operators.Dedup.q123(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty && out.length <= 20)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def splitOf(id: Long): String = {
+      val h = md.digest(s"split:$id".getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val k = graft.operators.Dedup.ContamGramK
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), splitOf(r.getLong(0)),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector))
+    def grams(toks: Vector[String]): Set[String] =
+      (1 to toks.length - k + 1)
+        .map(p => toks.slice(p - 1, p - 1 + k).mkString(" ")).toSet
+    val evalG = docs.filter(_._2 == "test").flatMap(d => grams(d._3)).toSet
+    val expect = docs.filter(_._2 == "train").flatMap { case (id, _, toks) =>
+      val g = grams(toks)
+      if (g.isEmpty) None
+      else {
+        val hits = g.count(evalG.contains).toLong
+        Some((id, g.size.toLong, hits,
+          math.round(hits.toDouble / g.size * 10000) / 10000.0))
+      }
+    }.sortBy { case (id, _, _, f) => (-f, id) }.take(20)
+    assert(out.toSeq == expect.toSeq)
+  }
+
+  test("q124 segment dedup stats match a driver-side reimplementation") {
+    val out = graft.operators.Dedup.q124(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val sl = graft.operators.Dedup.SegLen
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).toVector))
+    val segs = docs.flatMap { case (src, id, toks) =>
+      toks.grouped(sl).map(g => (src, id, g.mkString(" "))).toSeq
+    }
+    val dupSet = segs.groupBy(_._3)
+      .filter(_._2.map(_._2).distinct.length >= 2).keySet
+    val expect = segs.groupBy(_._1).toSeq.map { case (src, ss) =>
+      val dups = ss.filter(s => dupSet(s._3))
+      (src, ss.length.toLong, dups.length.toLong,
+        dups.map(_._3.length.toLong).sum,
+        math.round(dups.length.toDouble / ss.length * 10000) / 10000.0)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect)
+  }
 }

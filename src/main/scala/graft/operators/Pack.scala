@@ -350,13 +350,78 @@ object Pack {
       "docs_in_shards", "seqs_in_shards").orderBy(col("split"))
   }
 
+  // ── q125: contiguous fixed-window packing accounting — the GPT-style
+  //         concat-then-chunk alternative to q92's greedy bin packing:
+  //         docs are concatenated in a deterministic shuffle order (the
+  //         q58 sha256-of-id key) per source and split at exact
+  //         PackWindow-token boundaries; report, per source, how many
+  //         windows the stream fills, how many docs straddle a boundary
+  //         (and so would be split across training sequences), and the
+  //         final window's padding waste. The prefix sum is a window
+  //         PARTITIONED BY source — never a global single-partition
+  //         window; at real scale each source stream range-partitions and
+  //         this becomes the textbook two-phase scan.
+  val PackWindow = 512
+
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        sha2(col("doc_id").cast("string"), 256).as("k"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("long").as("n"))
+      .withColumn("endc", sum(col("n")).over(w))
+      .withColumn("start", col("endc") - col("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        count(when(col("n") > 0 &&
+          expr(s"start div $PackWindow != (endc - 1) div $PackWindow"), 1))
+          .as("n_straddlers"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${PackWindow - 1}) div $PackWindow")
+          .as("n_windows"),
+        col("n_straddlers"),
+        expr(s"(n_tokens + ${PackWindow - 1}) div $PackWindow" +
+          s" * $PackWindow - n_tokens").as("tail_waste"))
+      .orderBy(col("source"))
+  }
+
+  val q125Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, sha256(CAST(doc_id AS VARCHAR)) AS k,
+       |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n,
+       |    CAST(sum(n) OVER (PARTITION BY source ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS endc
+       |  FROM d),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT)
+       |      AS n_tokens,
+       |    count(CASE WHEN n > 0 AND (endc - n) // $PackWindow
+       |      != (endc - 1) // $PackWindow THEN 1 END) AS n_straddlers
+       |  FROM c GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  (n_tokens + ${PackWindow - 1}) // $PackWindow AS n_windows,
+       |  n_straddlers,
+       |  (n_tokens + ${PackWindow - 1}) // $PackWindow * $PackWindow
+       |    - n_tokens AS tail_waste
+       |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_pack_windows" -> q125,
     "q92_pack_sequences" -> q92,
     "q93_snapshot_diff" -> q93,
     "q99_mix_schedule" -> q99,
     "q108_training_build" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q125_pack_windows" -> q125Sql,
     "q92_pack_sequences" -> q92Sql,
     "q93_snapshot_diff" -> q93Sql,
     "q99_mix_schedule" -> q99Sql)

@@ -141,4 +141,30 @@ class PackSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
     assert(sched.toSeq == again.toSeq)
   }
+
+  test("q125 window packing stats match a driver-side prefix-sum reimplementation") {
+    val out = Pack.q125(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val W = Pack.PackWindow
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(s0: String): String =
+      md.digest(s0.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .selectExpr("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), sha(r.getLong(1).toString),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).length.toLong))
+    val expect = docs.groupBy(_._1).toSeq.map { case (src0, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._2))
+      var cum = 0L
+      var straddle = 0L
+      ordered.foreach { case (_, _, _, n) =>
+        val start = cum; cum += n
+        if (n > 0 && start / W != (cum - 1) / W) straddle += 1
+      }
+      val nw = (cum + W - 1) / W
+      (src0, ds.length.toLong, cum, nw, straddle, nw * W - cum)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect)
+  }
 }

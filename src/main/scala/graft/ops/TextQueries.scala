@@ -24,6 +24,15 @@ object TextQueries {
     * count (same regex in Java and RE2, so DuckDB oracles it). */
   val SubtokenPattern = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"
 
+  /** Numbered fanout for compute-bound narrow stages over few parquet
+    * splits (the q42 rule): a 50 MB corpus file is ONE input partition, so
+    * a regexp+explode pipeline over it would serialize on one core unless
+    * repartitioned first. No-op when the scan already has enough splits. */
+  private def fanout(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= p) df else df.repartition(p, col(key))
+  }
+
   // ── q28: per-language corpus quality stats — doc count, exact avg chars /
   //        tokens / BPE-ish subtokens, punctuation + stopword ratios from
   //        integer count sums.
@@ -691,19 +700,22 @@ object TextQueries {
   //        per-doc sum) — all linear; vocab size is a 1-row broadcast; the
   //        top-20 is TakeOrderedAndProject, never a global sort.
   def q120(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
+    // persist the TOKEN-ARRAY stage (250k small rows at 50×), not the
+    // exploded bigram stream (15M rows) — the regexp is the expensive
+    // part worth caching; bigrams re-derive from it with a codegen'd
+    // zip_with that never carries the whole array per exploded row
+    val toks = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"),
         graft.ops.Scale.splitOf(col("doc_id").cast("string")).as("split"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("a"))
-    val nB = size(col("a")) - 1
-    val big = toks
-      .select(col("doc_id"), col("split"), col("a"),
-        explode(when(nB < 1, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), nB))).as("i"))
-      .select(col("doc_id"), col("split"),
-        element_at(col("a"), col("i")).as("w1"),
-        element_at(col("a"), col("i") + 1).as("w2"))
       .trackedPersist()
+    val big = toks
+      .select(col("doc_id"), col("split"),
+        explode(expr("zip_with(slice(a, 1, greatest(size(a) - 1, 0)), " +
+          "slice(a, 2, greatest(size(a) - 1, 0)), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
+      .select(col("doc_id"), col("split"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
     val lm = big.where(col("split") === "train")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .trackedPersist()
@@ -770,7 +782,7 @@ object TextQueries {
   //        a narrow per-token map; one per-source groupBy. Integer sums,
   //        one shared-form rounded ratio.
   def q121(s: SparkSession, dir: String): DataFrame = {
-    val vocab = documents(s, dir)
+    val vocab = fanout(documents(s, dir), "doc_id")
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -784,7 +796,7 @@ object TextQueries {
       .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("l"), col("r")).limit(1)
       .select(concat(col("l"), col("r")).as("p"))
-    documents(s, dir)
+    fanout(documents(s, dir), "doc_id")
       .select(col("source"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
           .as("w"))
@@ -844,7 +856,7 @@ object TextQueries {
   //        hand-computed encodings.
   def bpeEncodeStats(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val wordsOf = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    val capped = documents(s, dir)
+    val capped = fanout(documents(s, dir), "doc_id")
       .select(explode(wordsOf).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(65536)
@@ -852,7 +864,7 @@ object TextQueries {
     val merges = bpeMergeRounds(capped, rounds).map { case (_, l, r, _) =>
       (l, r)
     }
-    val sw = documents(s, dir)
+    val sw = fanout(documents(s, dir), "doc_id")
       .select(col("source"), explode(wordsOf).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
     val M = "\u001f" // marker char, never inside [a-z0-9]+ tokens

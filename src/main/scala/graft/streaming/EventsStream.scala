@@ -251,7 +251,44 @@ object EventsStream {
   val q113Sql: String =
     "SELECT DISTINCT sha256(text) AS fp FROM documents ORDER BY fp"
 
+  // ── q126: STREAM-STATIC enrichment join — the standard "enrich a live
+  //         event stream against a slowly-changing dimension" pattern:
+  //         the events file-stream joins the static customer table
+  //         (broadcast — the static side is planned per micro-batch, no
+  //         stream state at all, unlike q91's stream-stream join), then
+  //         rolls up 1-hour windows per market segment with the exact-
+  //         cents q24 money discipline. Complete mode + AvailableNow for
+  //         the same end-of-input reasons as q62; the same join+rollup in
+  //         batch SQL oracles it exactly.
+  def q126(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q126_stream_enrich_sink"
+    s.catalog.dropTempView(qn)
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.Fns.cents(col("value"))) / 100.0).as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("c_mktsegment").as("segment"), col("n_events"),
+        col("sum_value"))
+    val query = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("hour_start"), col("segment"))
+  }
+
+  val q126Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start,
+      |  c_mktsegment AS segment, count(*) AS n_events,
+      |  sum(round("value" * 100)) / 100.0 AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY hour_start, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_stream_enrich" -> q126,
     "q62_events_hourly_stream" -> q62,
     "q71_sessions_stream" -> q71,
     "q81_hopping_stream" -> q81,
@@ -260,6 +297,7 @@ object EventsStream {
 
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "q126_stream_enrich" -> q126Sql,
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,
     "q71_sessions_stream" -> graft.ops.Windows.q43Sql,
     "q81_hopping_stream" -> graft.ops.Events.q78Sql,

@@ -153,4 +153,20 @@ class StreamingSpec extends SparkTestBase {
     assert(out.length == nDistinct)
     assert(out.distinct.length == out.length)
   }
+
+  test("q126: stream-static enrichment equals the same join+rollup in batch") {
+    val streamed = EventsStream.q126(spark, sfDir).collect().map(_.toSeq)
+    val batch = graft.Tables.events(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.Fns.cents(col("value"))) / 100.0).as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("c_mktsegment").as("segment"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_start"), col("segment"))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }

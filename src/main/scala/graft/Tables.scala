@@ -70,3 +70,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
+
+/** Derived-fixture publisher for queries that exercise a REAL parquet scan
+  * over generated payloads (PNG/WAV/frame-stream media, stream replay
+  * inputs). One stable tmp path per (name, fixture dir); the build+write
+  * runs only the FIRST time a pair is requested in this JVM — the builds
+  * are deterministic functions of the fixture tables, so every later
+  * invocation (bench runs each query at least twice, the rehearsal more)
+  * skips a full corpus scan + encode + parquet overwrite and goes straight
+  * to the scan. */
+object Fixtures {
+  private val written = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Path to the written fixture; `build` evaluated at most once per JVM
+    * per (name, dir). */
+  def path(name: String, dir: String)(build: => DataFrame): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_fixture_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val key = s"$name|$dir"
+    written.synchronized {
+      if (!written.contains(key)) {
+        build.write.mode("overwrite").parquet(p)
+        written.add(key)
+      }
+    }
+    p
+  }
+}

@@ -912,22 +912,9 @@ object Dedup {
       .filter(col("shared_fp") >= minShared)
   }
 
-  /** Spread a compute-bound narrow stage over all cores when the scan
-    * alone can't. Two traps this escapes (both measured on q53 at sf0.1:
-    * 3.0s single-core execute → 0.6s):
-    *  1. a small corpus arrives as ONE parquet split, so the expensive
-    *     per-row transform chain runs on one task;
-    *  2. `repartition(col)` WITHOUT a count doesn't fix it — that is a
-    *     coalescible shuffle origin and AQE folds the few-MB exchange
-    *     back into one partition. A user-NUMBERED repartition is exempt
-    *     from AQE coalescing by contract.
-    * Conditional on the split count: at 100 TB the scan already has
-    * thousands of splits and the extra full-text shuffle would be pure
-    * waste — this is a small-input fixup, not a standing stage. */
-  private def fanout(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= p) df else df.repartition(p, col(key))
-  }
+  /** See graft.ops.Scale.fanout (shared numbered-fanout helper). */
+  private def fanout(df: DataFrame, key: String): DataFrame =
+    graft.ops.Scale.fanout(df, key)
 
   // q42: winnowed fingerprint count + sample per doc (rows-only —
   //      xxhash64-based). The corpus arrives as one parquet split;

@@ -224,15 +224,10 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
-  /** Writes the PNG fixture to a stable temp path and returns the
-    * read-back DataFrame (true BinaryType parquet scan, like q63). */
-  def pngMediaTable(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_png_fixture_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-    pngFixture(s, dir).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  /** Read-back of the PNG fixture (true BinaryType parquet scan, like
+    * q63); built+written once per JVM via graft.Fixtures. */
+  def pngMediaTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(graft.Fixtures.path("png", dir)(pngFixture(s, dir)))
 
   /** Real decoder behind the FrameDecoder seam: javax.imageio (JDK-only,
     * zero new deps). features = (pixel sum, min, max, mean) over band 0.
@@ -294,9 +289,9 @@ object Multimodal {
       |    CAST(max(lut.v) AS BIGINT) AS px_max
       |  FROM b JOIN lut USING (hp) GROUP BY 1)
       |SELECT doc_id AS media_id,
-      |  CAST(CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
+      |  CAST(CASE ((doc_id % 6) + 6) % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
       |       WHEN 3 THEN 2 WHEN 4 THEN 32 ELSE 1 END AS BIGINT) AS width,
-      |  CAST(CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
+      |  CAST(CASE ((doc_id % 6) + 6) % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
       |       WHEN 3 THEN 16 WHEN 4 THEN 1 ELSE 32 END AS BIGINT) AS height,
       |  CAST(32 AS BIGINT) AS n_pixels,
       |  px_sum, px_min, px_max,
@@ -368,9 +363,9 @@ object Multimodal {
   val q109Sql: String =
     """WITH dims AS (
       |  SELECT doc_id, text,
-      |    CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
+      |    CASE ((doc_id % 6) + 6) % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
       |         WHEN 3 THEN 2 WHEN 4 THEN 32 ELSE 1 END AS w,
-      |    CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
+      |    CASE ((doc_id % 6) + 6) % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
       |         WHEN 3 THEN 16 WHEN 4 THEN 1 ELSE 32 END AS h
       |  FROM documents),
       |d2 AS (
@@ -437,13 +432,8 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
-  def wavMediaTable(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_wav_fixture_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-    wavFixture(s, dir).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  def wavMediaTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(graft.Fixtures.path("wav", dir)(wavFixture(s, dir)))
 
   def q110(s: SparkSession, dir: String): DataFrame = {
     val spark = s
@@ -492,7 +482,7 @@ object Multimodal {
       |    CAST(max(lut.v) AS BIGINT) AS s_max
       |  FROM b JOIN lut USING (hp) GROUP BY 1)
       |SELECT doc_id AS media_id,
-      |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |  CAST(CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |       WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
       |  CAST(1 AS BIGINT) AS channels,
       |  CAST(32 AS BIGINT) AS n_samples,
@@ -532,13 +522,9 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
-  def frameStreamTable(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_fstream_fixture_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-    frameStreamFixture(s, dir).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  def frameStreamTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(
+      graft.Fixtures.path("fstream", dir)(frameStreamFixture(s, dir)))
 
   def q111(s: SparkSession, dir: String): DataFrame = {
     val spark = s
@@ -581,9 +567,9 @@ object Multimodal {
 
   val q111Sql: String =
     """WITH fr AS (
-      |  SELECT d.doc_id, d.text, g.f, d.doc_id % 3 + 1 AS k
+      |  SELECT d.doc_id, d.text, g.f, ((d.doc_id % 3) + 3) % 3 + 1 AS k
       |  FROM documents d CROSS JOIN generate_series(0,2) g(f)
-      |  WHERE g.f < d.doc_id % 3 + 1 AND g.f % 2 = 0),
+      |  WHERE g.f < ((d.doc_id % 3) + 3) % 3 + 1 AND g.f % 2 = 0),
       |b AS (
       |  SELECT fr.doc_id, fr.f, fr.k,
       |    upper(substring(sha256(fr.text || ':' || CAST(fr.f AS VARCHAR)),

@@ -99,7 +99,19 @@ object Pack {
     * lineage-truncation rationale as trainingBuild below: a persist
     * caches DATA but every downstream action still re-analyzes the full
     * prep lineage; the checkpoint makes each action start from a
-    * LogicalRDD. */
+    * LogicalRDD.
+    *
+    * Two costs of that choice, accepted deliberately: (1) checkpoint
+    * blocks are NOT registered with OperatorCaches, so the per-query
+    * `release()` hygiene doesn't free them — they are reclaimed by the
+    * ContextCleaner once the DataFrame references drop (bounded here:
+    * the build is a terminal write, not a reused subtree); (2)
+    * localCheckpoint trades fault tolerance for speed — on a real
+    * cluster an executor loss after the checkpoint fails the build
+    * (Spark's documented localCheckpoint contract), which is the right
+    * trade for a job whose natural recovery is a rerun, but a
+    * long-lived shared pipeline should use reliable checkpoint(dir)
+    * instead. */
   /** Pack `prepped` docs into sequences and write size-targeted shards;
     * returns (n_seqs, n_files). */
   private def packAndWrite(prepped: DataFrame, outPath: String,

@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread a compute-bound narrow stage over all cores when the scan
+    * alone can't (shared by the Dedup and TextQueries corpus queries).
+    * Two traps this escapes (both measured on q53 at sf0.1: 3.0s
+    * single-core execute → 0.6s):
+    *  1. a small corpus arrives as ONE scan partition, so the expensive
+    *     per-row transform chain runs on one task;
+    *  2. `repartition(col)` WITHOUT a count doesn't fix it — that is a
+    *     coalescible shuffle origin and AQE folds the few-MB exchange
+    *     back into one partition. A user-NUMBERED repartition is exempt
+    *     from AQE coalescing by contract.
+    * Gated on the SCAN'S PARTITION COUNT, not the file count: one 10 GB
+    * parquet file already splits into ~80 partitions via
+    * files.maxPartitionBytes (needs no fanout), while many tiny files can
+    * coalesce into one partition (does). At 100 TB the scan has thousands
+    * of partitions and this is a no-op — a small-input fixup, not a
+    * standing stage. */
+  def fanout(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
+  }
+
   /** Two-stage salted aggregation: count/sum-like aggregates over a
     * heavily skewed key. Stage 1 aggregates on (key, salt) — the hot key's
     * rows spread over `buckets` reducers — stage 2 merges the partials.

@@ -24,14 +24,9 @@ object TextQueries {
     * count (same regex in Java and RE2, so DuckDB oracles it). */
   val SubtokenPattern = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"
 
-  /** Numbered fanout for compute-bound narrow stages over few parquet
-    * splits (the q42 rule): a 50 MB corpus file is ONE input partition, so
-    * a regexp+explode pipeline over it would serialize on one core unless
-    * repartitioned first. No-op when the scan already has enough splits. */
-  private def fanout(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= p) df else df.repartition(p, col(key))
-  }
+  /** See graft.ops.Scale.fanout (shared numbered-fanout helper). */
+  private def fanout(df: DataFrame, key: String): DataFrame =
+    Scale.fanout(df, key)
 
   // ── q28: per-language corpus quality stats — doc count, exact avg chars /
   //        tokens / BPE-ish subtokens, punctuation + stopword ratios from
@@ -553,6 +548,9 @@ object TextQueries {
       .limit(20)
   }
 
+  // generate_series(1, 4096) is an oracle-only position bound (the q114
+  // convention; fixture tokens are <100 chars — a >4096-char token would
+  // silently under-count pairs oracle-side, never Spark-side)
   val q117Sql: String =
     """WITH tok AS (
       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -561,7 +559,7 @@ object TextQueries {
       |pairs AS (
       |  SELECT substring(w, i, 1) AS "left",
       |    substring(w, i + 1, 1) AS "right", freq
-      |  FROM vocab CROSS JOIN generate_series(1, 64) t(i)
+      |  FROM vocab CROSS JOIN generate_series(1, 4096) t(i)
       |  WHERE i <= len(w) - 1)
       |SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS n
       |FROM pairs GROUP BY 1, 2
@@ -813,6 +811,7 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // same oracle-only 4096 position bound as q117
   val q121Sql: String =
     """WITH tok AS (
       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
@@ -821,7 +820,7 @@ object TextQueries {
       |vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
       |pairs AS (
       |  SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r, freq
-      |  FROM vocab CROSS JOIN generate_series(1, 64) t(i)
+      |  FROM vocab CROSS JOIN generate_series(1, 4096) t(i)
       |  WHERE i <= len(w) - 1),
       |top AS (SELECT l || r AS p FROM (
       |  SELECT l, r, sum(freq) AS n FROM pairs GROUP BY 1, 2

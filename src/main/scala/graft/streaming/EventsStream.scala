@@ -229,18 +229,24 @@ object EventsStream {
     val replays = base.where(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         (col("ts") + expr("INTERVAL 30 MINUTES")).as("ts"), col("text"))
-    val fixDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_docstream_fixture_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-    base.unionByName(replays).write.mode("overwrite").parquet(fixDir)
+    val fixDir =
+      graft.Fixtures.path("docstream", dir)(base.unionByName(replays))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("ts", TimestampType),
       StructField("text", StringType)))
     val qn = "q113_dedup_stream_sink"
     s.catalog.dropTempView(qn)
+    // watermark horizon must cover the WHOLE fixture ts span (doc_id
+    // seconds → days at bench SF): the global-DISTINCT oracle is only
+    // equivalent while no duplicate pair straddles an evicted horizon,
+    // and AvailableNow is free to split the input into several
+    // micro-batches (maxFilesPerTrigger, future read-limit defaults) —
+    // with the production 1h default, clone texts >1h apart would then
+    // emit twice. Digest-only state keeps the wide horizon cheap.
     val deduped = dedupDocsByContent(
-      s.readStream.schema(schema).parquet(fixDir), "ts", "text")
+      s.readStream.schema(schema).parquet(fixDir), "ts", "text",
+      watermarkDelay = "30 days")
       .select(sha2(col("text"), 256).as("fp"))
     val query = deduped.writeStream.format("memory").queryName(qn)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
 class DeterminismSpec extends SparkTestBase {
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.mkString("")).sorted.toSeq
+    // \u0001 separator: bare mkString would let ("ab","c") == ("a","bc")
+    // collide into the same canon string and mask a real difference
+    df.collect().map(_.mkString("\u0001")).sorted.toSeq
 
   test("every rows-only query is run-to-run deterministic") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

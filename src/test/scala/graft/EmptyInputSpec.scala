@@ -36,7 +36,7 @@ class EmptyInputSpec extends SparkTestBase {
   private val streaming = Set(
     "q62_events_hourly_stream", "q71_sessions_stream",
     "q81_hopping_stream", "q91_interval_join_stream",
-    "q113_dedup_stream")
+    "q113_dedup_stream", "q126_stream_enrich")
 
   test("every batch query survives an all-empty fixture set") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -58,9 +58,67 @@ object Stats {
       .agg(percentile_approx(col(valueCol),
         array(ps.map(lit): _*), lit(accuracy)).as("qs"))
 
+  // ── q127: incremental statistics maintenance — the pattern that keeps a
+  //         corpus dashboard current at 100 TB without rescanning history:
+  //         count/sum/min/max (and any algebraic aggregate) are MERGEABLE,
+  //         so the stats of (history ∪ batch) are a pure combination of
+  //         each side's partial aggregates. Here the "history" partials
+  //         (doc_id % 7 != 0) and the "new batch" partials (% 7 == 0) are
+  //         aggregated independently — in production the history side is a
+  //         tiny stored stats table, never re-scanned — and merged with a
+  //         full-outer join + componentwise combine. THE ORACLE IS THE
+  //         DIRECT FULL-TABLE AGGREGATION: the driver's hash compare
+  //         proves merge(partials) ≡ aggregate(whole), the property that
+  //         makes the incremental path safe to trust.
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val docs = documents(s, dir).select(col("source"), col("doc_id"),
+      col("n_chars"))
+    val hist = partial(docs.where(col("doc_id") % 7 =!= 0))
+      .select(col("source"), col("n_docs").as("hn"),
+        col("sum_chars").as("hs"), col("min_chars").as("hmin"),
+        col("max_chars").as("hmax"))
+    val batch = partial(docs.where(col("doc_id") % 7 === 0))
+      .select(col("source"), col("n_docs").as("bn"),
+        col("sum_chars").as("bs"), col("min_chars").as("bmin"),
+        col("max_chars").as("bmax"))
+    hist.join(batch, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("hn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("hs"), lit(0L)) + coalesce(col("bs"), lit(0L)))
+          .as("sum_chars"),
+        // null-safe min/max merge: at least one side exists per row
+        least(coalesce(col("hmin"), col("bmin")),
+          coalesce(col("bmin"), col("hmin"))).as("min_chars"),
+        greatest(coalesce(col("hmax"), col("bmax")),
+          coalesce(col("bmax"), col("hmax"))).as("max_chars"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        col("min_chars"), col("max_chars"),
+        (round(col("sum_chars").cast("double") / col("n_docs") * 10000)
+          / 10000.0).as("avg_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Deliberately the DIRECT aggregation — equality with the merged
+    * partials is exactly the property under test. */
+  val q127Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000) / 10000.0
+      |    AS avg_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q75_exact_quantiles" -> q75)
+    "q75_exact_quantiles" -> q75,
+    "q127_incremental_stats" -> q127)
 
   val oracle: Map[String, String] = Map(
-    "q75_exact_quantiles" -> q75Sql)
+    "q75_exact_quantiles" -> q75Sql,
+    "q127_incremental_stats" -> q127Sql)
 }

@@ -173,6 +173,18 @@ object Sources {
     writeSized(spark.read.parquet(inPath), outPath, targetFileBytes)
   }
 
+  // ── S16: schema-evolution read — a 100 TB table is written over months
+  //        by pipeline versions whose schemas drift (new columns appear;
+  //        old files lack them). `mergeSchema` unions the footer schemas
+  //        across all files; rows from files missing a column surface it
+  //        as NULL, so downstream queries see ONE stable wide schema. Off
+  //        by default in Spark because footer-merging costs a pass over
+  //        file metadata — turn it on per-read here, not globally.
+  //        Incompatible type changes (int → string) still fail loudly,
+  //        which is correct: silent coercion would corrupt aggregates.
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   // ── S13: bucketed parquet table — the join/agg keys are pre-shuffled ON
   //        DISK: every file belongs to hash(key) % n, so an equi-join of
   //        two tables bucketed the same way (or a groupBy on the bucket

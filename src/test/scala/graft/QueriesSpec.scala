@@ -295,4 +295,24 @@ class QueriesSpec extends SparkTestBase {
       row => assert(row.getAs[Long]("n_pieces") == row.getAs[Long]("n_chars_tok"))
     }
   }
+
+  test("q127 incremental stats: merged partials equal the direct full aggregation") {
+    val merged = graft.ops.Stats.q127(spark, sfDir).collect().map(_.toSeq)
+    val direct = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        col("min_chars"), col("max_chars"),
+        (round(col("sum_chars").cast("double") / col("n_docs") * 10000)
+          / 10000.0).as("avg_chars"))
+      .orderBy(col("source")).collect().map(_.toSeq)
+    assert(merged.nonEmpty)
+    assert(merged.toSeq == direct.toSeq)
+    // the batch split is non-trivial: both sides contribute rows
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.where(col("doc_id") % 7 === 0).count() > 0)
+    assert(docs.where(col("doc_id") % 7 =!= 0).count() > 0)
+  }
 }

@@ -231,4 +231,22 @@ class SourcesSpec extends SparkTestBase {
       Sources.compactParquet(spark, s"$dir/t", s"$dir/t")
     }
   }
+
+  test("S16: schema-evolution read unions drifted file schemas, nulls the gaps") {
+    val dir = Files.createTempDirectory("evolve").toString
+    // v1 files: (id, a); v2 adds column b
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a")
+      .write.parquet(s"$dir/t/v1")
+    spark.range(5, 10).selectExpr("id", "id * 2 AS a", "id * 3 AS b")
+      .write.parquet(s"$dir/t/v2")
+    val merged = Sources.readParquetEvolved(spark, s"$dir/t/*")
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    assert(merged.count() == 10)
+    // v1 rows surface the new column as NULL; v2 rows carry real values
+    assert(merged.filter(col("b").isNull).count() == 5)
+    assert(merged.filter(col("b") === col("id") * 3).count() == 5)
+    // plain read of the same glob sees only ONE footer's schema — the
+    // evolution read is what provides the stable wide view
+    assert(spark.read.parquet(s"$dir/t/*").columns.length <= 2)
+  }
 }

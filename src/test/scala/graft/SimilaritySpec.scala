@@ -315,4 +315,26 @@ class SimilaritySpec extends SparkTestBase {
         math.round(absmax / 127 * 1000000) / 1000000.0) < 1e-12)
     }
   }
+
+  test("persisted-index ANN: nprobe=all over the artifact equals brute force; build is deterministic") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val index = Similarity.ivfIndexTable(spark, sfDir)
+    // the artifact holds every corpus vector exactly once
+    assert(index.count() == e.count())
+    assert(index.select("vec_id").distinct().count() == e.count())
+    val all = Similarity.annWithIndex(index, q, k = 3, nprobe = 8)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.toSeq == brute.toSeq,
+      "probing every persisted list must reduce to exact kNN")
+    // repeated calls read the SAME artifact (memoized build, fixed seed)
+    val again = Similarity.q128(spark, sfDir).collect().map(_.toSeq)
+    val first = Similarity.q128(spark, sfDir).collect().map(_.toSeq)
+    assert(again.toSeq == first.toSeq)
+  }
 }

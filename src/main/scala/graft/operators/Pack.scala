@@ -425,7 +425,56 @@ object Pack {
        |    - n_tokens AS tail_waste
        |FROM g ORDER BY source""".stripMargin
 
+  // ── q131: length-bucket batching audit: every doc lands in the
+  //         power-of-two token bucket it would be padded to (32 … 2048,
+  //         longer docs truncate into the 2048 bucket), and the padding /
+  //         truncation waste per bucket quantifies batch-assembly
+  //         efficiency. Pure map + one 7-group aggregate — the 100 TB plan
+  //         is a single scan with a partial agg on each executor.
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    val n = org.apache.spark.sql.functions.regexp_count(col("text"), lit("\\S+")).cast("long")
+    graft.ops.Scale.fanout(documents(s, dir), "doc_id")
+      .select(
+        when(n <= 32, 32L).when(n <= 64, 64L).when(n <= 128, 128L)
+          .when(n <= 256, 256L).when(n <= 512, 512L).when(n <= 1024, 1024L)
+          .otherwise(2048L).as("bucket"),
+        least(n, lit(2048L)).as("eff_tokens"),
+        greatest(n - 2048L, lit(0L)).as("trunc_tokens"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("eff_tokens")).as("sum_tokens"),
+        sum(col("bucket") - col("eff_tokens")).as("sum_padding"),
+        sum(col("trunc_tokens")).as("sum_truncated"),
+        (sum(col("bucket") - col("eff_tokens")) /
+          (sum(col("bucket") - col("eff_tokens")) + sum(col("eff_tokens"))))
+          .as("pad_fraction"))
+      .orderBy(col("bucket"))
+  }
+
+  val q131Sql: String =
+    """WITH d AS (
+      |  SELECT len(regexp_extract_all(text, '\S+')) AS n FROM documents),
+      |b AS (
+      |  SELECT CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+      |              WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+      |              WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+      |              ELSE 2048 END AS bucket,
+      |         least(n, 2048) AS eff_tokens,
+      |         greatest(n - 2048, 0) AS trunc_tokens
+      |  FROM d)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(eff_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(bucket - eff_tokens) AS BIGINT) AS sum_padding,
+      |  CAST(sum(trunc_tokens) AS BIGINT) AS sum_truncated,
+      |  CAST(sum(bucket - eff_tokens) AS BIGINT) /
+      |    (CAST(sum(bucket - eff_tokens) AS BIGINT) + CAST(sum(eff_tokens) AS BIGINT))
+      |    AS pad_fraction
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_length_buckets" -> q131,
     "q125_pack_windows" -> q125,
     "q92_pack_sequences" -> q92,
     "q93_snapshot_diff" -> q93,
@@ -433,6 +482,7 @@ object Pack {
     "q108_training_build" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q131_length_buckets" -> q131Sql,
     "q125_pack_windows" -> q125Sql,
     "q92_pack_sequences" -> q92Sql,
     "q93_snapshot_diff" -> q93Sql,

@@ -874,8 +874,50 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ── q129: SemDeDup-style semantic dedup (cluster-then-prune, per Abbas
+  //         et al. 2023, arXiv:2303.09540): inside each cluster (`label`
+  //         stands in for the k-means assignment — q55/q128 carry the
+  //         learned path) drop every vector that has a LOWER-id neighbor
+  //         with cosine ≥ τ, keeping exactly one survivor per duplicate
+  //         chain head. Work is O(Σ cluster²), never O(n²) — at 100 TB the
+  //         cluster count grows with the corpus so cluster sizes stay
+  //         bounded, and the pair join shuffles only on the cluster key.
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dropped = e
+      .select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b")),
+        Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round4(cosine(col("v_a"), col("v_b"))) >= 0.5)
+      .select(col("label"), col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1))
+    e.select(col("label"), col("vec_id"))
+      .join(dropped, Seq("label", "vec_id"), "left")
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (count(lit(1)) - count(col("is_dup"))).as("n_kept"),
+        count(col("is_dup")).as("n_dropped"))
+      .orderBy(col("label"))
+  }
+
+  val q129Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |dropped AS (
+      |  SELECT DISTINCT b.label, b.vec_id
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v) * 10000) / 10000.0 >= 0.5)
+      |SELECT e.label::INT AS label, count(*) AS n_vecs,
+      |  count(*) - count(d.vec_id) AS n_kept,
+      |  count(d.vec_id) AS n_dropped
+      |FROM e LEFT JOIN dropped d ON e.label = d.label AND e.vec_id = d.vec_id
+      |GROUP BY e.label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_ann_persisted" -> q128,
+    "q129_semdedup" -> q129,
     "q115_int8_quant" -> q115,
     "q36_embedding_neardup" -> q36,
     "q77_centroid_cosine" -> q77,
@@ -889,6 +931,7 @@ object Similarity {
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
+    "q129_semdedup" -> q129Sql,
     "q115_int8_quant" -> q115Sql,
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,

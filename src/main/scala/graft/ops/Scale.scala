@@ -167,13 +167,68 @@ object Scale {
       |SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin
 
+  // ── q132: deterministic seeded corpus shuffle + sharding (training
+  //         export order): the shuffle key is md5(seed:doc_id) — stable
+  //         across runs and machines — the shard is the key's first hex
+  //         nibble (16 shards), and within a shard the write order is the
+  //         key itself. NO global sort anywhere: sharding is a map-side
+  //         expression and the per-shard order is a window PARTITIONED BY
+  //         shard, so at 100 TB each shard sorts independently (one
+  //         exchange on shard_id, 16-way parallel writes).
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    import org.apache.spark.sql.expressions.Window
+    val keyed = documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat_ws(":", lit("graft-shuffle-42"), col("doc_id"))).as("h"))
+      .withColumn("shard_id",
+        expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT)"))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("h")).as("first_key"),
+        max(col("h")).as("last_key"),
+        concat_ws(",",
+          max(when(col("rn") === 1, col("doc_id"))),
+          max(when(col("rn") === 2, col("doc_id"))),
+          max(when(col("rn") === 3, col("doc_id")))).as("head3"))
+      .orderBy(col("shard_id"))
+  }
+
+  val q132Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, n_chars, h,
+      |    CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) AS shard_id
+      |  FROM k),
+      |rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS rn
+      |  FROM sh)
+      |SELECT shard_id, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(h) AS first_key, max(h) AS last_key,
+      |  concat_ws(',',
+      |    max(CASE WHEN rn = 1 THEN doc_id END),
+      |    max(CASE WHEN rn = 2 THEN doc_id END),
+      |    max(CASE WHEN rn = 3 THEN doc_id END)) AS head3
+      |FROM rn GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_skew_distinct" -> q80,
     "q94_hash_reservoir" -> q94,
-    "q97_dataset_split" -> q97)
+    "q97_dataset_split" -> q97,
+    "q132_shuffle_shards" -> q132)
 
   val oracle: Map[String, String] = Map(
     "q80_skew_distinct" -> q80Sql,
     "q94_hash_reservoir" -> q94Sql,
-    "q97_dataset_split" -> q97Sql)
+    "q97_dataset_split" -> q97Sql,
+    "q132_shuffle_shards" -> q132Sql)
 }

@@ -889,7 +889,110 @@ object TextQueries {
   def q122(s: SparkSession, dir: String): DataFrame =
     bpeEncodeStats(s, dir, rounds = 10)
 
+  // ── q130: sliding-window chunker (RAG / embedding prep): 64-token
+  //         chunks at stride 48 (16-token overlap), one row per chunk with
+  //         its md5 content digest. Narrow per-doc work: the scan fans out
+  //         (numbered fanout — compute-bound regexp stage), the per-doc
+  //         chunk count is derived from the token count BEFORE the explode
+  //         (nothing wide is cached), and `slice` re-reads the one token
+  //         array per output row. No shuffle at all until the output sort.
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val size = 64; val stride = 48
+    fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_tokens + ${stride - 1}) DIV $stride - 1"))))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("start_tok"),
+        least(col("n_tokens") - col("chunk_idx") * stride, lit(size.toLong)).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q130Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n_tokens,
+      |         unnest(range(0, (n_tokens + 47) // 48)) AS chunk_idx
+      |  FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, chunk_idx, chunk_idx * 48 + 1 AS start_tok,
+      |  least(n_tokens - chunk_idx * 48, 64) AS n_chunk_tokens,
+      |  md5(array_to_string(toks[(chunk_idx*48 + 1)::INT:(chunk_idx*48 + 64)::INT], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ── q133: linear quality-classifier application (fastText-style scorer
+  //         with published integer weights): engineered count features per
+  //         doc → long-form explode → broadcast join against the weight
+  //         table → integer fixed-point logit (1e-4 units, BIGINT — no
+  //         float accumulation) → threshold labels. The weight table is
+  //         the "model artifact"; at 100 TB it broadcasts unchanged and
+  //         scoring stays a map-only pass over the corpus.
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(
+      ("bias", 20000L), ("tokens", 15L), ("stop", 400L),
+      ("punct", -250L), ("digit", -120L), ("upper", -600L))
+      .toDF("feature", "w")
+    val feats = fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("source"),
+        explode(map(
+          lit("bias"), lit(1L),
+          lit("tokens"), regexp_count(col("text"), lit("\\S+")).cast("long"),
+          lit("stop"), regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long"),
+          lit("punct"), regexp_count(col("text"), lit("[.,!?;:]")).cast("long"),
+          lit("digit"), regexp_count(col("text"), lit("[0-9]")).cast("long"),
+          lit("upper"), regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long"))))
+      .toDF("doc_id", "source", "feature", "value")
+    val scored = feats
+      .join(broadcast(weights), Seq("feature"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("value") * col("w")).as("logit_1e4"))
+      .withColumn("label",
+        when(col("logit_1e4") >= 40000L, "hi")
+          .when(col("logit_1e4") >= 20000L, "mid")
+          .otherwise("lo"))
+    scored.groupBy(col("source"), col("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("logit_1e4")).as("sum_logit_1e4"),
+        (sum(col("logit_1e4")) / count(lit(1))).as("mean_logit_1e4"))
+      .orderBy(col("source"), col("label"))
+  }
+
+  val q133Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '\S+')) AS f_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS f_stop,
+      |    len(regexp_extract_all(text, '[.,!?;:]')) AS f_punct,
+      |    len(regexp_extract_all(text, '[0-9]')) AS f_digit,
+      |    len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS f_upper
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    20000 + 15*f_tokens + 400*f_stop - 250*f_punct - 120*f_digit
+      |      - 600*f_upper AS logit_1e4,
+      |    CASE WHEN 20000 + 15*f_tokens + 400*f_stop - 250*f_punct
+      |              - 120*f_digit - 600*f_upper >= 40000 THEN 'hi'
+      |         WHEN 20000 + 15*f_tokens + 400*f_stop - 250*f_punct
+      |              - 120*f_digit - 600*f_upper >= 20000 THEN 'mid'
+      |         ELSE 'lo' END AS label
+      |  FROM f)
+      |SELECT source, label, count(*) AS n_docs,
+      |  CAST(sum(logit_1e4) AS BIGINT) AS sum_logit_1e4,
+      |  CAST(sum(logit_1e4) AS BIGINT) / count(*) AS mean_logit_1e4
+      |FROM scored GROUP BY source, label ORDER BY source, label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_chunk_overlap" -> q130,
+    "q133_quality_logit" -> q133,
     "q120_lm_perplexity" -> q120,
     "q121_bpe_apply1" -> q121,
     "q122_bpe_encode" -> q122,
@@ -910,6 +1013,8 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q130_chunk_overlap" -> q130Sql,
+    "q133_quality_logit" -> q133Sql,
     "q120_lm_perplexity" -> q120Sql,
     "q121_bpe_apply1" -> q121Sql,
     "q119_split_drift" -> q119Sql,

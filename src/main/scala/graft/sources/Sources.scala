@@ -185,6 +185,36 @@ object Sources {
   def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  // ── S17: raw-media file ingestion via Spark's built-in `binaryFile`
+  //        source — the front door for image/audio/video corpora that
+  //        arrive as FILES (one object per image), before they are packed
+  //        into the BinaryType parquet the multimodal operators consume
+  //        (operators/Multimodal.scala). Each row carries (path,
+  //        modificationTime, length, content); `pathGlobFilter` prunes by
+  //        extension AT LISTING TIME so non-matching objects are never
+  //        opened. At 100 TB the scan parallelizes per-file — pair it with
+  //        writeSized to compact millions of small originals into
+  //        scan-friendly parquet, after which every downstream decode is a
+  //        columnar read, not an object-store GET per image.
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** S17 packing step: file scan → the (media_id, payload) BinaryType
+    * parquet layout the decode operators expect; media_id is the file
+    * name's numeric stem so re-ingestion is idempotent. */
+  def packBinaryFiles(spark: SparkSession, dir: String, glob: String,
+      outPath: String): Unit =
+    writeParquet(
+      readBinaryFiles(spark, dir, glob)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+            .cast("long").as("media_id"),
+          col("length"), col("content").as("payload")),
+      outPath)
+
   // ── S13: bucketed parquet table — the join/agg keys are pre-shuffled ON
   //        DISK: every file belongs to hash(key) % n, so an equi-join of
   //        two tables bucketed the same way (or a groupBy on the bucket

@@ -315,4 +315,115 @@ class QueriesSpec extends SparkTestBase {
     assert(docs.where(col("doc_id") % 7 === 0).count() > 0)
     assert(docs.where(col("doc_id") % 7 =!= 0).count() > 0)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q129 semdedup: counts reconcile with a driver-side pairwise prune") {
+    val out = graft.operators.Similarity.q129(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = vecs.groupBy(_._2)
+    val expect = byLabel.map { case (lbl, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val dropped = sorted.count { case (id, _, v) =>
+        sorted.exists { case (id2, _, v2) =>
+          id2 < id && math.round(cos(v2, v) * 10000) / 10000.0 >= 0.5 }
+      }
+      lbl -> (vs.length.toLong, vs.length.toLong - dropped, dropped.toLong)
+    }
+    assert(out.length == byLabel.size)
+    out.foreach { r =>
+      val (nv, nk, nd) = expect(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") == nv)
+      assert(r.getAs[Long]("n_kept") == nk, s"label ${r.get(0)}")
+      assert(r.getAs[Long]("n_dropped") == nd)
+      assert(nk >= 1, "every non-empty cluster keeps at least its chain head")
+    }
+  }
+
+  test("q130 chunker: stride/size/digest match a driver-side re-chunk") {
+    val out = graft.ops.TextQueries.q130(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        "\\S+".r.findAllIn(r.getString(1)).toVector)
+    val expect = docs.filter(_._2.nonEmpty).flatMap { case (id, toks) =>
+      val n = toks.length
+      (0 until (n + 47) / 48).map { k =>
+        val chunk = toks.slice(k * 48, math.min(k * 48 + 64, n))
+        (id, k.toLong, k * 48L + 1, chunk.length.toLong,
+          md5hex(chunk.mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (row, (id, k, st, nc, h)) =>
+      assert(row.getAs[Long]("doc_id") == id)
+      assert(row.getAs[Long]("chunk_idx") == k)
+      assert(row.getAs[Long]("start_tok") == st)
+      assert(row.getAs[Long]("n_chunk_tokens") == nc)
+      assert(row.getAs[String]("chunk_md5") == h, s"doc $id chunk $k")
+    }
+  }
+
+  test("q131 length buckets: padding identity and full partition of docs") {
+    val out = graft.operators.Pack.q131(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    val valid = Set(32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(valid(b))
+      // every doc pads up to exactly its bucket size
+      assert(r.getAs[Long]("sum_padding") ==
+        b * r.getAs[Long]("n_docs") - r.getAs[Long]("sum_tokens"))
+      if (b < 2048L) assert(r.getAs[Long]("sum_truncated") == 0L)
+    }
+  }
+
+  test("q132 shuffle shards: md5 ordering verified driver-side for one shard") {
+    val rows = graft.ops.Scale.q132(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.forall(r => (0L to 15L).contains(r.getAs[Long]("shard_id"))))
+    val keyed = Tables.documents(spark, sfDir).selectExpr("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id, md5hex(s"graft-shuffle-42:$id")))
+    val shard0 = keyed.filter(_._2.startsWith("0")).sortBy(t => (t._2, t._1))
+    val r0 = rows.find(_.getAs[Long]("shard_id") == 0L).get
+    assert(r0.getAs[Long]("n_docs") == shard0.length)
+    assert(r0.getAs[String]("first_key") == shard0.head._2)
+    assert(r0.getAs[String]("last_key") == shard0.last._2)
+    assert(r0.getAs[String]("head3") ==
+      shard0.take(3).map(_._1).mkString(","))
+  }
+
+  test("q133 quality logit: integer fixed-point scores match a reimplementation") {
+    val out = graft.ops.TextQueries.q133(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).selectExpr("source", "text")
+      .collect().map { r =>
+        val t = r.getString(1)
+        def cnt(re: String) = re.r.findAllIn(t).length.toLong
+        val logit = 20000L + 15L * cnt("\\S+") +
+          400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
+          120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
+        val label = if (logit >= 40000L) "hi" else if (logit >= 20000L) "mid" else "lo"
+        ((r.getString(0), label), logit)
+      }
+    val expect = docs.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._2).sum) }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n, s) = expect((r.getAs[String]("source"), r.getAs[String]("label")))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("sum_logit_1e4") == s)
+      assert(math.abs(r.getAs[Double]("mean_logit_1e4") - s.toDouble / n) < 1e-9)
+    }
+  }
 }

@@ -249,4 +249,39 @@ class SourcesSpec extends SparkTestBase {
     // evolution read is what provides the stable wide view
     assert(spark.read.parquet(s"$dir/t/*").columns.length <= 2)
   }
+
+  test("S17: binaryFile ingestion lists by glob, decodes real PNGs, packs to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    // five real grayscale PNGs (4×8) + one decoy the glob must never open
+    val dims = (0 until 5).map { i =>
+      val px = Array.tabulate[Byte](32)(j => ((i * 37 + j * 11) % 251).toByte)
+      val bytes = graft.operators.Multimodal.grayPng(px, 4, 8)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$i.png"), bytes)
+      i.toLong -> bytes.length.toLong
+    }.toMap
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/readme.txt"),
+      "not an image".getBytes)
+    val scanned = graft.sources.Sources.readBinaryFiles(spark, dir, "*.png")
+    assert(scanned.count() == 5)
+    assert(scanned.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // length column matches the bytes actually written
+    scanned.select(col("path"), col("length")).collect().foreach { r =>
+      val id = "(\\d+)\\.png$".r.findFirstMatchIn(r.getString(0)).get.group(1).toLong
+      assert(r.getLong(1) == dims(id))
+    }
+    // pack to the BinaryType parquet layout and ImageIO-decode the payloads
+    graft.sources.Sources.packBinaryFiles(spark, dir, "*.png", s"$dir/packed")
+    val packed = spark.read.parquet(s"$dir/packed")
+    assert(packed.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val decoded = packed.collect().map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      (r.getAs[Long]("media_id"), img.getWidth, img.getHeight)
+    }
+    assert(decoded.length == 5)
+    assert(decoded.forall { case (_, w, h) => w == 4 && h == 8 })
+    assert(decoded.map(_._1).sorted.sameElements(0L until 5L))
+  }
 }

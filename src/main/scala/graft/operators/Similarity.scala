@@ -915,9 +915,50 @@ object Similarity {
       |FROM e LEFT JOIN dropped d ON e.label = d.label AND e.vec_id = d.vec_id
       |GROUP BY e.label ORDER BY label""".stripMargin
 
+  // ── q134: embedding-space decontamination — the semantic complement of
+  //         the gram-based screens (q64/q70/q123): labels 0-1 stand in for
+  //         the benchmark/eval embeddings, and any train vector whose
+  //         cosine to ANY eval vector reaches τ is flagged as contaminated.
+  //         The eval side is BROADCAST (benchmark suites are small and
+  //         bounded by construction — this holds at 100 TB, where train
+  //         grows but eval doesn't), so the screen is one map-side
+  //         broadcast-nested-loop semi-join over the train scan: no
+  //         shuffle of the corpus at all.
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ev = e.filter(col("label") < 2).select(col("v").as("ev"))
+    val train = e.filter(col("label") >= 2)
+    val contam = train
+      .join(broadcast(ev), round4(cosine(col("v"), col("ev"))) >= 0.5, "left_semi")
+      .select(col("vec_id"))
+      .withColumn("is_contam", lit(1))
+    train.select(col("label"), col("vec_id"))
+      .join(contam, Seq("vec_id"), "left")
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        count(col("is_contam")).as("n_contaminated"),
+        (count(lit(1)) - count(col("is_contam"))).as("n_clean"))
+      .orderBy(col("label"))
+  }
+
+  val q134Sql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |ev AS (SELECT v FROM e WHERE label < 2),
+      |tr AS (SELECT vec_id, label, v FROM e WHERE label >= 2),
+      |contam AS (
+      |  SELECT DISTINCT t.vec_id FROM tr t JOIN ev
+      |  ON round(list_cosine_similarity(t.v, ev.v) * 10000) / 10000.0 >= 0.5)
+      |SELECT t.label::INT AS label, count(*) AS n_train,
+      |  count(c.vec_id) AS n_contaminated,
+      |  count(*) - count(c.vec_id) AS n_clean
+      |FROM tr t LEFT JOIN contam c ON t.vec_id = c.vec_id
+      |GROUP BY t.label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_ann_persisted" -> q128,
     "q129_semdedup" -> q129,
+    "q134_embed_decontam" -> q134,
     "q115_int8_quant" -> q115,
     "q36_embedding_neardup" -> q36,
     "q77_centroid_cosine" -> q77,
@@ -932,6 +973,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q129_semdedup" -> q129Sql,
+    "q134_embed_decontam" -> q134Sql,
     "q115_int8_quant" -> q115Sql,
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,

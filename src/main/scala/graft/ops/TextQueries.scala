@@ -990,9 +990,76 @@ object TextQueries {
       |  CAST(sum(logit_1e4) AS BIGINT) / count(*) AS mean_logit_1e4
       |FROM scored GROUP BY source, label ORDER BY source, label""".stripMargin
 
+  // ── q135: token-budget data selection (quality-ranked top-p per
+  //         source): rank each source's docs by the q133 fixed-point
+  //         quality logit and keep the best docs until 30% of the
+  //         source's token mass is selected (a doc is kept while the
+  //         tokens BEFORE it are under budget, so the budget is always
+  //         reached, never silently undershot). All integer arithmetic;
+  //         the cumulative sum is a window PARTITIONED BY source — each
+  //         source ranks independently, no global sort at any scale.
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        (lit(20000L)
+          + regexp_count(col("text"), lit("\\S+")) * 15L
+          + regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")) * 400L
+          - regexp_count(col("text"), lit("[.,!?;:]")) * 250L
+          - regexp_count(col("text"), lit("[0-9]")) * 120L
+          - regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")) * 600L)
+          .cast("long").as("logit_1e4"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("logit_1e4").desc, col("doc_id"))
+    val all = Window.partitionBy(col("source"))
+    d.withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("budget", expr("(3 * total_tokens) DIV 10"))
+      .withColumn("selected", (col("cum_before") < col("budget")).cast("int"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("selected")).cast("long").as("n_selected"),
+        sum(when(col("selected") === 1, col("n_tokens")).otherwise(0L)).as("sel_tokens"),
+        max(col("budget")).as("budget_tokens"),
+        min(when(col("selected") === 1, col("logit_1e4"))).as("min_sel_logit"))
+      .orderBy(col("source"))
+  }
+
+  val q135Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |      + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |      - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |      - 120*len(regexp_extract_all(text, '[0-9]'))
+      |      - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS logit_1e4
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY logit_1e4 DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total_tokens
+      |  FROM d),
+      |sel AS (
+      |  SELECT *, (3 * total_tokens) // 10 AS budget,
+      |    CASE WHEN cum_before < (3 * total_tokens) // 10 THEN 1 ELSE 0 END AS selected
+      |  FROM r)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(selected) AS BIGINT) AS n_selected,
+      |  CAST(sum(CASE WHEN selected = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS sel_tokens,
+      |  max(budget) AS budget_tokens,
+      |  min(CASE WHEN selected = 1 THEN logit_1e4 END) AS min_sel_logit
+      |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_chunk_overlap" -> q130,
     "q133_quality_logit" -> q133,
+    "q135_token_budget" -> q135,
     "q120_lm_perplexity" -> q120,
     "q121_bpe_apply1" -> q121,
     "q122_bpe_encode" -> q122,
@@ -1015,6 +1082,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q130_chunk_overlap" -> q130Sql,
     "q133_quality_logit" -> q133Sql,
+    "q135_token_budget" -> q135Sql,
     "q120_lm_perplexity" -> q120Sql,
     "q121_bpe_apply1" -> q121Sql,
     "q119_split_drift" -> q119Sql,

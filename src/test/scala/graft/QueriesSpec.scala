@@ -404,6 +404,61 @@ class QueriesSpec extends SparkTestBase {
       shard0.take(3).map(_._1).mkString(","))
   }
 
+  test("q134 embed decontam: flags exactly the train vecs near any eval vec") {
+    val out = graft.operators.Similarity.q134(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ev = vecs.filter(_._2 < 2).map(_._3)
+    val tr = vecs.filter(_._2 >= 2)
+    val expect = tr.groupBy(_._2).map { case (lbl, vs) =>
+      val contam = vs.count { case (_, _, v) =>
+        ev.exists(e => math.round(cos(v, e) * 10000) / 10000.0 >= 0.5) }
+      lbl -> (vs.length.toLong, contam.toLong)
+    }
+    assert(out.length == expect.size)
+    assert(out.forall(r => r.getAs[Int]("label") >= 2), "eval labels excluded")
+    out.foreach { r =>
+      val (n, c) = expect(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_train") == n)
+      assert(r.getAs[Long]("n_contaminated") == c, s"label ${r.get(0)}")
+      assert(r.getAs[Long]("n_clean") == n - c)
+    }
+  }
+
+  test("q135 token budget: greedy quality-ranked selection reaches the budget") {
+    val out = graft.ops.TextQueries.q135(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "source", "text")
+      .collect().map { r =>
+        val t = r.getString(2)
+        def cnt(re: String) = re.r.findAllIn(t).length.toLong
+        val logit = 20000L + 15L * cnt("\\S+") +
+          400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
+          120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
+        (r.getLong(0), r.getString(1), cnt("\\S+"), logit)
+      }
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val total = ds.map(_._3).sum
+      val budget = 3 * total / 10
+      val ranked = ds.sortBy(d => (-d._4, d._1))
+      var cum = 0L
+      val sel = ranked.takeWhile { d => val keep = cum < budget; cum += d._3; keep }
+      val row = out.find(_.getAs[String]("source") == src).get
+      assert(row.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(row.getAs[Long]("n_selected") == sel.length.toLong, src)
+      assert(row.getAs[Long]("sel_tokens") == sel.map(_._3).sum)
+      assert(row.getAs[Long]("budget_tokens") == budget)
+      // greedy selection always reaches (or ties) the budget
+      assert(sel.map(_._3).sum >= budget || sel.length == ds.length)
+    }
+  }
+
   test("q133 quality logit: integer fixed-point scores match a reimplementation") {
     val out = graft.ops.TextQueries.q133(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("source", "text")

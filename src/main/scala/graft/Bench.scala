@@ -61,6 +61,7 @@ object Bench {
       busDrain()
       val snap0 = tap.snapshot()
       val pcpu0 = MetricsTap.processCpuSec()
+      val jit0 = MetricsTap.jitSnapshot()
       val t0 = System.nanoTime()
       val gc0 = gcMillis
       val err = try { drain(fn(spark, sfDir)); None } catch {
@@ -72,6 +73,7 @@ object Bench {
       busDrain()
       val snapD = tap.snapshot() - snap0
       val pcpuD = MetricsTap.processCpuSec() - pcpu0
+      val jit1 = MetricsTap.jitSnapshot()
       // Release THIS query's persisted subtrees before the next one runs:
       // 89 queries × MEMORY_AND_DISK persists otherwise accumulate for the
       // whole session, and storage-memory churn lands on whichever query
@@ -80,7 +82,12 @@ object Bench {
       // OperatorCaches.release (not catalog.clearCache): drops exactly the
       // graft-created persists — the library caller contract under test.
       OperatorCaches.release()
-      (name, dt, (gcMillis - gc0) / 1e3, err, snapD, pcpuD)
+      // JIT health: per-query compile seconds, plus ABSOLUTE code-heap
+      // occupancy and loaded-class count at query end (gauges, not deltas
+      // — the knee where occupancy plateaus or classes stop unloading is
+      // the diagnostic).
+      val jitJson = f""","jit_compile_sec":${(jit1.compileMs - jit0.compileMs) / 1e3}%.3f,"code_heap_mb":${jit1.codeHeapUsedB / 1048576.0}%.1f,"loaded_classes":${jit1.loadedClasses}"""
+      (name, dt, (gcMillis - gc0) / 1e3, err, snapD, pcpuD, jitJson)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -95,19 +102,19 @@ object Bench {
     // (round 3's did): qNN keys, 3-decimal seconds, gc only where ≥ 0.1s.
     // The full-precision, full-name record goes to BENCH_FULL.json.
     def shortK(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + shortK(k) + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + shortK(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcs = results.collect { case (k, _, g, _, _, _) if g >= 0.1 =>
+    val gcs = results.collect { case (k, _, g, _, _, _, _) if g >= 0.1 =>
         "\"" + shortK(k) + "\":" + r3(g) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e), _, _) => "\"" + shortK(k) + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _) => "\"" + shortK(k) + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullQs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullGcs = results.map { case (k, _, g, _, _, _) => "\"" + k + "\":" + g }
+    val fullGcs = results.map { case (k, _, g, _, _, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val fullErrs = results.collect { case (k, _, _, Some(e), _, _) => "\"" + k + "\":" + jstr(e) }
+    val fullErrs = results.collect { case (k, _, _, Some(e), _, _, _) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     // Per-query attribution (BENCH_FULL only — the stdout line must stay
     // under the harness's ~2000-char capture): executor task/CPU seconds,
@@ -115,8 +122,8 @@ object Bench {
     // over the query's wall window. wall ≫ pcpu → the query WAITED
     // (contention/scheduling); pcpu ≫ task_sec → driver-side cost;
     // task_gc/spill name the executor-side mechanisms.
-    val fullMetrics = results.map { case (k, _, _, _, m, pc) =>
-        "\"" + k + "\":" + m.json.dropRight(1) + f""","process_cpu_sec":$pc%.3f}"""
+    val fullMetrics = results.map { case (k, _, _, _, m, pc, jit) =>
+        "\"" + k + "\":" + m.json.dropRight(1) + f""","process_cpu_sec":$pc%.3f""" + jit + "}"
       }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"metrics":$fullMetrics,"sf":"$sfDir"}"""
     // Only a FULL run may replace the full-session record: a standalone

@@ -79,4 +79,28 @@ object MetricsTap {
       case _ => -1.0
     }
   }
+
+  /** JIT-health gauges. The r5 full-session inflation survived the 1g
+    * code-cache bump, and a re-measure showed the inflation is EXECUTOR
+    * CPU TIME on identical work (q60: 69.4 task-CPU-sec in the 135-query
+    * session vs 10.2 standalone) — i.e. late-session queries run partially
+    * interpreted/deoptimized, not contended. These gauges make that
+    * mechanism visible per query in BENCH_FULL: cumulative JIT compile
+    * time, code-heap occupancy (all CodeHeap pools), and live loaded-class
+    * count (each codegen'd stage is a fresh class in a fresh classloader;
+    * unloading needs a full GC).
+    */
+  final case class Jit(compileMs: Long, codeHeapUsedB: Long, loadedClasses: Long)
+
+  def jitSnapshot(): Jit = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.{ManagementFactory => mf}
+    val compile = Option(mf.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(-1L)
+    val codeHeap = mf.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+    Jit(compile, codeHeap, mf.getClassLoadingMXBean.getLoadedClassCount.toLong)
+  }
 }

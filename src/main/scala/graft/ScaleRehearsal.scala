@@ -90,7 +90,13 @@ object ScaleRehearsal {
       "q108_training_build",
       "q112_bm25_topk", "q114_dup_spans", "q115_int8_quant",
       "q116_domain_tokens", "q120_lm_perplexity", "q122_bpe_encode",
-      "q123_contam_fraction", "q124_segment_dedup")
+      "q123_contam_fraction", "q124_segment_dedup",
+      "q130_chunk_overlap", "q133_quality_logit", "q135_token_budget")
+    // q129/q134 (label-blocked semantic dedup / broadcast-eval decontam)
+    // are absent for the same reason as q36 below: the replicated fixture
+    // scales the cluster/eval sides together with the corpus, which is
+    // exactly the regime the operators document as out of contract (eval
+    // sets and ANN clusters stay bounded in a real 100 TB corpus).
     // q36 (label-blocked near-dup) is deliberately absent: its pairwise
     // work is quadratic in replica count (measured 219.6s at 50×, PLANS.md);
     // q49 is the SRP-banded scale form of the same semantics. q61 (the

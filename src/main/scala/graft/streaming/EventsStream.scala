@@ -257,6 +257,65 @@ object EventsStream {
   val q113Sql: String =
     "SELECT DISTINCT sha256(text) AS fp FROM documents ORDER BY fp"
 
+  // ── q136: streaming ingest → content-dedup → sliding-window chunker —
+  //        the composed training-data ingest topology as ONE stream: the
+  //        q113 replay fixture flows through digest-state dedup, and each
+  //        SURVIVING document is chunked (64-token windows, stride 48,
+  //        q130's exact rule) in the same micro-batch. The chunk stage is
+  //        STATELESS (pure projection + explode after the dedup operator),
+  //        so the pipeline's only state stays the bounded digest store —
+  //        chunking at ingest adds zero state at any scale. Output keys by
+  //        text digest (identical across a dup group), so the result is
+  //        arrival-order-invariant and the batch oracle is the chunker
+  //        over DISTINCT text.
+  def q136(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("timestamp_micros(doc_id * 1000000)").as("ts"), col("text"))
+    val replays = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("ts"), col("text"))
+    val fixDir =
+      graft.Fixtures.path("docstream", dir)(base.unionByName(replays))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val qn = "q136_stream_chunks_sink"
+    s.catalog.dropTempView(qn)
+    val deduped = dedupDocsByContent(
+      s.readStream.schema(schema).parquet(fixDir), "ts", "text",
+      watermarkDelay = "30 days")
+    val toks = graft.ops.TextQueries.tokens(col("text"))
+    val chunks = deduped
+      .select(sha2(col("text"), 256).as("fp"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr("(n_tokens + 47) DIV 48 - 1"))))
+      .select(col("fp"), col("chunk_idx"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64))))
+          .as("chunk_md5"))
+    val query = chunks.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("fp"), col("chunk_idx"))
+  }
+
+  val q136Sql: String =
+    """WITH u AS (SELECT DISTINCT text FROM documents),
+      |t AS (SELECT sha256(text) AS fp, regexp_extract_all(text, '\S+') AS toks,
+      |             len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |      FROM u),
+      |c AS (SELECT fp, toks, n_tokens,
+      |             unnest(range(0, (n_tokens + 47) // 48)) AS chunk_idx
+      |      FROM t WHERE n_tokens > 0)
+      |SELECT fp, chunk_idx,
+      |  md5(array_to_string(toks[(chunk_idx*48 + 1)::INT:(chunk_idx*48 + 64)::INT], ' ')) AS chunk_md5
+      |FROM c ORDER BY fp, chunk_idx""".stripMargin
+
   // ── q126: STREAM-STATIC enrichment join — the standard "enrich a live
   //         event stream against a slowly-changing dimension" pattern:
   //         the events file-stream joins the static customer table
@@ -299,7 +358,8 @@ object EventsStream {
     "q71_sessions_stream" -> q71,
     "q81_hopping_stream" -> q81,
     "q91_interval_join_stream" -> q91,
-    "q113_dedup_stream" -> q113)
+    "q113_dedup_stream" -> q113,
+    "q136_stream_chunks" -> q136)
 
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
@@ -308,7 +368,8 @@ object EventsStream {
     "q71_sessions_stream" -> graft.ops.Windows.q43Sql,
     "q81_hopping_stream" -> graft.ops.Events.q78Sql,
     "q91_interval_join_stream" -> q91Sql,
-    "q113_dedup_stream" -> q113Sql)
+    "q113_dedup_stream" -> q113Sql,
+    "q136_stream_chunks" -> q136Sql)
 
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output

@@ -169,4 +169,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("q136: stream dedup→chunk equals the batch chunker over distinct texts") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventsStream.q136(spark, sfDir)
+      .collect().map(_.toSeq)
+    val toks = graft.ops.TextQueries.tokens(col("text"))
+    val batch = Tables.documents(spark, sfDir)
+      .select(col("text")).distinct()
+      .select(sha2(col("text"), 256).as("fp"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr("(n_tokens + 47) DIV 48 - 1"))))
+      .select(col("fp"), col("chunk_idx"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64))))
+          .as("chunk_md5"))
+      .orderBy(col("fp"), col("chunk_idx"))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }

@@ -473,8 +473,56 @@ object Pack {
       |    AS pad_fraction
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ── q137: data-constrained mixing plan (epoch/repeat factors, à la
+  //         data-constrained scaling): every source gets an equal token
+  //         budget (total DIV n_sources); a source smaller than its
+  //         budget is repeated ⌈budget/n_tokens⌉ times, CAPPED at 4
+  //         epochs, and the deficit a capped source cannot fill is
+  //         reported. Pure integer arithmetic end-to-end: one per-source
+  //         aggregate joined against a broadcast 1-row total — two
+  //         map-side-combined exchanges at any scale.
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    val perSource = graft.ops.Scale.fanout(documents(s, dir), "doc_id")
+      .select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        expr("total DIV n_sources").as("budget_tokens"),
+        expr("least((total DIV n_sources + n_tokens - 1) DIV n_tokens, 4L)")
+          .as("repeats"))
+      .withColumn("upsampled_tokens", col("repeats") * col("n_tokens"))
+      .withColumn("deficit_tokens",
+        greatest(col("budget_tokens") - col("upsampled_tokens"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  val q137Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |  HAVING sum(len(regexp_extract_all(text, '\S+'))) > 0),
+      |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |             count(*) AS n_sources FROM t)
+      |SELECT source, n_tokens, total // n_sources AS budget_tokens,
+      |  least((total // n_sources + n_tokens - 1) // n_tokens, 4) AS repeats,
+      |  least((total // n_sources + n_tokens - 1) // n_tokens, 4) * n_tokens
+      |    AS upsampled_tokens,
+      |  greatest(total // n_sources
+      |    - least((total // n_sources + n_tokens - 1) // n_tokens, 4) * n_tokens,
+      |    0) AS deficit_tokens
+      |FROM t, g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_length_buckets" -> q131,
+    "q137_source_epochs" -> q137,
     "q125_pack_windows" -> q125,
     "q92_pack_sequences" -> q92,
     "q93_snapshot_diff" -> q93,
@@ -483,6 +531,7 @@ object Pack {
 
   val oracle: Map[String, String] = Map(
     "q131_length_buckets" -> q131Sql,
+    "q137_source_epochs" -> q137Sql,
     "q125_pack_windows" -> q125Sql,
     "q92_pack_sequences" -> q92Sql,
     "q93_snapshot_diff" -> q93Sql,

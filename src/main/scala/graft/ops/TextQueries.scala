@@ -1056,10 +1056,104 @@ object TextQueries {
       |  min(CASE WHEN selected = 1 THEN logit_1e4 END) AS min_sel_logit
       |FROM sel GROUP BY source ORDER BY source""".stripMargin
 
+  // ── q138: chunk-level mixed-language detection — language drift WITHIN
+  //         a document that doc-level language ID (q29) cannot see: chunk
+  //         each doc with the q130 rule (64 tokens, stride 48), apply the
+  //         q29 marker-argmax to every chunk, then per doc derive the
+  //         majority chunk language (deterministic tie-break: count desc,
+  //         then language code) and whether chunks disagree. Rolled up per
+  //         actual corpus language. One exchange on (doc_id, predicted)
+  //         after the narrow chunk explode; everything downstream reuses
+  //         doc_id-prefix partitioning.
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr("(n_tokens + 47) DIV 48 - 1"))))
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
+          .as("ctext"))
+    val en = regexp_count(col("ctext"), lit("\\b(the|a|is|of)\\b"))
+    val de = regexp_count(col("ctext"), lit("\\b(der|die|und|ist)\\b"))
+    val es = regexp_count(col("ctext"), lit("\\b(el|los|es|y)\\b"))
+    val fr = regexp_count(col("ctext"), lit("\\b(le|les|est|et)\\b"))
+    val zh = regexp_count(col("ctext"), lit("的|是"))
+    val scored = chunks.withColumn("predicted",
+      when(en > 0 && en >= greatest(de, es, fr, zh), "en")
+        .when(de > 0 && de >= greatest(es, fr, zh), "de")
+        .when(es > 0 && es >= greatest(fr, zh), "es")
+        .when(fr > 0 && fr >= zh, "fr")
+        .when(zh > 0, "zh")
+        .otherwise("und"))
+    val perPred = scored.groupBy(col("doc_id"), col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_chunks").desc, col("predicted"))
+    val perDoc = perPred
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("predicted"))).as("majority"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_langs") > 1, 1)).as("n_mixed"),
+        count(when(col("majority") === "und", 1)).as("n_und_majority"))
+      .orderBy(col("lang"))
+  }
+
+  val q138Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang,
+      |    array_to_string(toks[(chunk_idx*48 + 1)::INT:(chunk_idx*48 + 64)::INT], ' ') AS ctext
+      |  FROM (SELECT doc_id, lang, toks,
+      |          unnest(range(0, (n_tokens + 47) // 48)) AS chunk_idx
+      |        FROM t WHERE n_tokens > 0)),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(ctext, '\b(the|a|is|of)\b')) AS s_en,
+      |    len(regexp_extract_all(ctext, '\b(der|die|und|ist)\b')) AS s_de,
+      |    len(regexp_extract_all(ctext, '\b(el|los|es|y)\b')) AS s_es,
+      |    len(regexp_extract_all(ctext, '\b(le|les|est|et)\b')) AS s_fr,
+      |    len(regexp_extract_all(ctext, '的|是')) AS s_zh
+      |  FROM c),
+      |pred AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_de > 0 AND s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_es > 0 AND s_es >= greatest(s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+      |         WHEN s_zh > 0 THEN 'zh'
+      |         ELSE 'und' END AS predicted
+      |  FROM scored),
+      |per_pred AS (
+      |  SELECT doc_id, lang, predicted, count(*) AS n_chunks
+      |  FROM pred GROUP BY doc_id, lang, predicted),
+      |per_doc AS (
+      |  SELECT doc_id, lang, count(*) AS n_langs,
+      |    max(CASE WHEN rn = 1 THEN predicted END) AS majority
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY n_chunks DESC, predicted) AS rn FROM per_pred)
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |  count(CASE WHEN n_langs > 1 THEN 1 END) AS n_mixed,
+      |  count(CASE WHEN majority = 'und' THEN 1 END) AS n_und_majority
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_chunk_overlap" -> q130,
     "q133_quality_logit" -> q133,
     "q135_token_budget" -> q135,
+    "q138_mixed_lang" -> q138,
     "q120_lm_perplexity" -> q120,
     "q121_bpe_apply1" -> q121,
     "q122_bpe_encode" -> q122,
@@ -1083,6 +1177,7 @@ object TextQueries {
     "q130_chunk_overlap" -> q130Sql,
     "q133_quality_logit" -> q133Sql,
     "q135_token_budget" -> q135Sql,
+    "q138_mixed_lang" -> q138Sql,
     "q120_lm_perplexity" -> q120Sql,
     "q121_bpe_apply1" -> q121Sql,
     "q119_split_drift" -> q119Sql,

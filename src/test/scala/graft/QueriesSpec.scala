@@ -459,6 +459,62 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q137 source epochs: integer mixing plan matches a reimplementation") {
+    val out = graft.operators.Pack.q137(spark, sfDir).collect()
+    val toks = Tables.documents(spark, sfDir).selectExpr("source", "text")
+      .collect().map(r => r.getString(0) ->
+        "\\S+".r.findAllIn(r.getString(1)).length.toLong)
+    val per = toks.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      .filter(_._2 > 0)
+    val total = per.values.sum
+    val budget = total / per.size
+    out.foreach { r =>
+      val n = per(r.getAs[String]("source"))
+      val reps = math.min((budget + n - 1) / n, 4L)
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("budget_tokens") == budget)
+      assert(r.getAs[Long]("repeats") == reps)
+      assert(r.getAs[Long]("upsampled_tokens") == reps * n)
+      assert(r.getAs[Long]("deficit_tokens") == math.max(budget - reps * n, 0L))
+      // a source only carries a deficit when the epoch cap binds
+      if (r.getAs[Long]("deficit_tokens") > 0) assert(reps == 4L)
+    }
+    assert(out.length == per.size)
+  }
+
+  test("q138 mixed lang: doc majority/mixed flags match a driver re-chunk") {
+    val out = graft.ops.TextQueries.q138(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        "\\S+".r.findAllIn(r.getString(2)).toVector))
+    def pred(ct: String): String = {
+      def c(re: String) = re.r.findAllIn(ct).length
+      val (en, de, es, fr, zh) = (c("\\b(the|a|is|of)\\b"), c("\\b(der|die|und|ist)\\b"),
+        c("\\b(el|los|es|y)\\b"), c("\\b(le|les|est|et)\\b"), c("的|是"))
+      if (en > 0 && en >= Seq(de, es, fr, zh).max) "en"
+      else if (de > 0 && de >= Seq(es, fr, zh).max) "de"
+      else if (es > 0 && es >= Seq(fr, zh).max) "es"
+      else if (fr > 0 && fr >= zh) "fr"
+      else if (zh > 0) "zh" else "und"
+    }
+    val perDoc = docs.filter(_._3.nonEmpty).map { case (_, lang, toks) =>
+      val preds = (0 until (toks.length + 47) / 48).map { k =>
+        pred(toks.slice(k * 48, math.min(k * 48 + 64, toks.length)).mkString(" ")) }
+      val counts = preds.groupBy(identity).map { case (p, xs) => p -> xs.length }
+      val majority = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head._1
+      (lang, counts.size > 1, majority == "und")
+    }
+    val expect = perDoc.groupBy(_._1).map { case (lang, xs) =>
+      lang -> (xs.length.toLong, xs.count(_._2).toLong, xs.count(_._3).toLong) }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n, mixed, und) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_mixed") == mixed, s"lang ${r.get(0)}")
+      assert(r.getAs[Long]("n_und_majority") == und)
+    }
+  }
+
   test("q133 quality logit: integer fixed-point scores match a reimplementation") {
     val out = graft.ops.TextQueries.q133(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("source", "text")

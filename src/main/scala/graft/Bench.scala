@@ -57,7 +57,16 @@ object Bench {
       case Some("reverse") => ordered0.reverse
       case _ => ordered0
     }
+    // Experiment knob for the late-session CPU-inflation mechanism
+    // (PLANS.md round-6 JIT forensics): SPARK_GRAFT_GC_EVERY=N forces a
+    // full GC every N queries OUTSIDE the timers, unloading dead codegen
+    // classloaders. If inflation is class-accumulation-driven this flattens
+    // the tail; if it is megamorphic-call-site-driven it won't.
+    val gcEvery = sys.env.get("SPARK_GRAFT_GC_EVERY").map(_.toInt)
+    var qIdx = 0
     val results = ordered.map { case (name, fn) =>
+      qIdx += 1
+      if (gcEvery.exists(n => n > 0 && qIdx % n == 0)) System.gc()
       busDrain()
       val snap0 = tap.snapshot()
       val pcpu0 = MetricsTap.processCpuSec()

@@ -91,7 +91,8 @@ object ScaleRehearsal {
       "q112_bm25_topk", "q114_dup_spans", "q115_int8_quant",
       "q116_domain_tokens", "q120_lm_perplexity", "q122_bpe_encode",
       "q123_contam_fraction", "q124_segment_dedup",
-      "q130_chunk_overlap", "q133_quality_logit", "q135_token_budget")
+      "q130_chunk_overlap", "q133_quality_logit", "q135_token_budget",
+      "q137_source_epochs", "q138_mixed_lang")
     // q129/q134 (label-blocked semantic dedup / broadcast-eval decontam)
     // are absent for the same reason as q36 below: the replicated fixture
     // scales the cluster/eval sides together with the corpus, which is

@@ -134,9 +134,111 @@ object Clusters {
       |  CASE WHEN id = cluster THEN 'keep' ELSE 'drop' END AS action
       |FROM rec ORDER BY cluster, doc_id""".stripMargin
 
+  // ── q139: quality-aware cluster representatives — q67 keeps the
+  //         min-id member per near-dup cluster, which is arbitrary; a
+  //         training pipeline keeps the BEST member. Reuses q67's edge
+  //         shape (corpus trigram-Jaccard ≥ 0.5 → connected components)
+  //         and the q133 integer fixed-point quality logit, then picks
+  //         argmax(logit, tie → min doc_id) per cluster via one
+  //         max(struct) aggregate (no window, no second shuffle: the
+  //         groupBy(cluster) both ranks and summarizes). Output is the
+  //         per-cluster verdict card: representative, its quality, member
+  //         count, and chars saved by dropping the rest. The label join
+  //         back to documents is by doc_id — at 100 TB the cluster side
+  //         is only clustered docs (a small fraction of the corpus), so
+  //         that join broadcasts or shuffles the small side only.
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val edges = Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(edges)
+      .select(col("cluster"), col("id").as("doc_id"))
+    // clustered docs are a small fraction of the corpus; checkpoint so the
+    // rep-chars join below does not re-run the scan+join+regexp subtree
+    val scored = labels.join(docs, Seq("doc_id"))
+      .select(col("cluster"), col("doc_id"), col("n_chars"),
+        (lit(20000L)
+          + regexp_count(col("text"), lit("\\S+")) * 15L
+          + regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")) * 400L
+          - regexp_count(col("text"), lit("[.,!?;:]")) * 250L
+          - regexp_count(col("text"), lit("[0-9]")) * 120L
+          - regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")) * 600L).as("logit_1e4"))
+      .localCheckpoint(true)
+    scored.groupBy(col("cluster"))
+      .agg(
+        max(struct(col("logit_1e4"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("cluster"),
+        (-col("best.neg_id")).as("rep_doc"),
+        col("best.logit_1e4").as("rep_logit_1e4"),
+        col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"),
+        col("chars_total"))
+      .join(scored.select(col("doc_id").as("rep_doc"), col("n_chars").as("rep_chars")), Seq("rep_doc"))
+      .select(col("cluster"), col("rep_doc"), col("rep_logit_1e4"),
+        col("n_members"), col("n_dropped"),
+        (col("chars_total") - col("rep_chars")).as("chars_dropped"))
+      .orderBy(col("cluster"))
+  }
+
+  val q139Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |            for i in range(1, len(toks) - 1)] END) AS t FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1,2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+      |bi AS (SELECT id_a AS a, id_b AS b FROM edges
+      |       UNION ALL SELECT id_b, id_a FROM edges),
+      |nodes AS (SELECT DISTINCT a AS id FROM bi),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, root) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT bi.b, r.root FROM reach r
+      |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
+      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+      |scored AS (
+      |  SELECT r.cluster, d.doc_id, d.n_chars,
+      |    20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |      + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |      - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |      - 120*len(regexp_extract_all(text, '[0-9]'))
+      |      - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS logit_1e4
+      |  FROM rec r JOIN documents d ON r.id = d.doc_id),
+      |ranked AS (
+      |  SELECT cluster, doc_id, n_chars, logit_1e4,
+      |    row_number() OVER (PARTITION BY cluster
+      |                       ORDER BY logit_1e4 DESC, doc_id) AS rn
+      |  FROM scored),
+      |agg AS (
+      |  SELECT cluster, count(*) AS n_members,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars_total
+      |  FROM scored GROUP BY cluster)
+      |SELECT a.cluster, r.doc_id AS rep_doc,
+      |  CAST(r.logit_1e4 AS BIGINT) AS rep_logit_1e4,
+      |  a.n_members, a.n_members - 1 AS n_dropped,
+      |  a.chars_total - r.n_chars AS chars_dropped
+      |FROM agg a JOIN ranked r ON a.cluster = r.cluster AND r.rn = 1
+      |ORDER BY a.cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q67_neardup_clusters" -> q67)
+    "q67_neardup_clusters" -> q67,
+    "q139_cluster_best" -> q139)
 
   val oracle: Map[String, String] = Map(
-    "q67_neardup_clusters" -> q67Sql)
+    "q67_neardup_clusters" -> q67Sql,
+    "q139_cluster_best" -> q139Sql)
 }

@@ -955,7 +955,47 @@ object Similarity {
       |FROM tr t LEFT JOIN contam c ON t.vec_id = c.vec_id
       |GROUP BY t.label ORDER BY label""".stripMargin
 
+  // ── q140: hard-negative mining for contrastive training — for each
+  //         query vector (every 100th id: a fixed probe set in practice;
+  //         it is tied to corpus ids here only so the fixture scales it),
+  //         rank the corpus by cosine and keep the MID-RANK band
+  //         [4, 13]: ranks 1-3 are near-positives (too easy / likely
+  //         paraphrases), deep ranks are trivially negative — the band is
+  //         where contrastive gradients come from. Plan shape: broadcast
+  //         the probe set, one corpus scan computes all query-candidate
+  //         cosines, per-query rank is a window over qid (each query's
+  //         candidate list is one partition's work; queries are the
+  //         parallelism unit). Ordering ties break on rounded cosine then
+  //         id — deterministic and engine-portable.
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("neg_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neg_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank").between(4, 13))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q140Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |sims AS (
+      |  SELECT qid, vec_id AS neg_id,
+      |    round(list_cosine_similarity(embedding::DOUBLE[], qv) * 10000) / 10000.0 AS cos_sim
+      |  FROM embeddings, q WHERE vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, neg_id, cos_sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neg_id) AS rank
+      |  FROM sims)
+      |SELECT qid, neg_id, cos_sim, rank FROM ranked WHERE rank BETWEEN 4 AND 13
+      |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_hard_negatives" -> q140,
     "q128_ann_persisted" -> q128,
     "q129_semdedup" -> q129,
     "q134_embed_decontam" -> q134,
@@ -972,6 +1012,7 @@ object Similarity {
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
+    "q140_hard_negatives" -> q140Sql,
     "q129_semdedup" -> q129Sql,
     "q134_embed_decontam" -> q134Sql,
     "q115_int8_quant" -> q115Sql,

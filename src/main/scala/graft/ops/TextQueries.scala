@@ -1149,7 +1149,88 @@ object TextQueries {
       |  count(CASE WHEN majority = 'und' THEN 1 END) AS n_und_majority
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ── q141: content-defined chunking (CDC) — fixed-size chunking (q130)
+  //         shifts every boundary after a single-token edit, so edited
+  //         near-dup docs share no chunk digests; CDC places boundaries
+  //         where the TOKEN's own hash gates (sha256 hex starts with
+  //         '0'/'1', p = 1/8 → ~8-token mean chunk), so chunk identity
+  //         survives local edits and chunk-level dedup actually fires
+  //         across document revisions. Entirely narrow per-doc array work
+  //         (boundary positions, span start/end arrays, one explode) —
+  //         the only exchange is the final per-source aggregate; at
+  //         100 TB this is a map-only pass plus one 20-row-out groupBy.
+  //         sha256 is the engine-portable gate (same trick as q51/q53).
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val d = fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+      .filter(col("n") > 0)
+    // 1-based boundary positions; chunk k spans starts(k)..ends(k)
+    // inclusive, with starts = 1 :: bpos+1 and ends = bpos :: n (the
+    // empty tail after a final-token boundary drops via s <= e)
+    val spans = d
+      .withColumn("bpos",
+        org.apache.spark.sql.functions.filter(
+          transform(col("toks"), (t, i) =>
+            when(substring(sha2(t, 256), 1, 1).isin("0", "1"), i + 1)
+              .otherwise(lit(-1))),
+          x => x > 0))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bpos"), p => p + 1)))
+      .withColumn("ends", concat(col("bpos"), array(col("n"))))
+      .withColumn("span", explode(
+        org.apache.spark.sql.functions.filter(
+          zip_with(col("starts"), col("ends"),
+            (a, b) => struct(a.as("s"), b.as("e"))),
+          p => p("s") <= p("e"))))
+    val chunks = spans.select(col("doc_id"), col("source"),
+      (col("span.e") - col("span.s") + 1).cast("long").as("chunk_tokens"),
+      md5(concat_ws(" ",
+        slice(col("toks"), col("span.s"), col("span.e") - col("span.s") + 1)))
+        .as("chunk_md5"))
+    chunks.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_md5")).as("n_distinct_chunks"),
+        sum(col("chunk_tokens")).as("sum_chunk_tokens"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("sum_chunk_tokens"),
+        ((col("n_chunks") - col("n_distinct_chunks")) * 10000L / col("n_chunks"))
+          .as("dup_ratio_1e4"),
+        (col("sum_chunk_tokens") * 10000L / col("n_chunks"))
+          .as("mean_chunk_tokens_1e4"))
+      .orderBy(col("source"))
+  }
+
+  val q141Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks,
+      |         len(regexp_extract_all(text, '\S+')) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, toks, n,
+      |    [CAST(i AS INT) for i in range(1, n + 1)
+      |       if substring(sha256(toks[CAST(i AS INT)]), 1, 1) IN ('0','1')] AS bpos
+      |  FROM t WHERE n > 0),
+      |spans AS (
+      |  SELECT doc_id, source, toks,
+      |    list_prepend(1, [p + 1 for p in bpos]) AS starts,
+      |    list_append(bpos, CAST(n AS INT)) AS ends
+      |  FROM b),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    ends[CAST(k AS INT)] - starts[CAST(k AS INT)] + 1 AS chunk_tokens,
+      |    md5(array_to_string(toks[starts[CAST(k AS INT)]:ends[CAST(k AS INT)]], ' ')) AS chunk_md5
+      |  FROM (SELECT *, unnest(range(1, len(starts) + 1)) AS k FROM spans)
+      |  WHERE starts[CAST(k AS INT)] <= ends[CAST(k AS INT)])
+      |SELECT source, count(*) AS n_chunks, count(DISTINCT chunk_md5) AS n_distinct_chunks,
+      |  CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+      |  (count(*) - count(DISTINCT chunk_md5)) * 10000 / count(*) AS dup_ratio_1e4,
+      |  CAST(sum(chunk_tokens) AS BIGINT) * 10000 / count(*) AS mean_chunk_tokens_1e4
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_cdc_chunks" -> q141,
     "q130_chunk_overlap" -> q130,
     "q133_quality_logit" -> q133,
     "q135_token_budget" -> q135,
@@ -1174,6 +1255,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q141_cdc_chunks" -> q141Sql,
     "q130_chunk_overlap" -> q130Sql,
     "q133_quality_logit" -> q133Sql,
     "q135_token_budget" -> q135Sql,

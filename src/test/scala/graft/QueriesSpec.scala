@@ -515,6 +515,94 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q139 cluster best: rep is argmax quality within each q67 cluster") {
+    val reps = graft.operators.Clusters.q139(spark, sfDir).collect()
+    val members = graft.operators.Clusters.q67(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text", "n_chars").collect().map { r =>
+        val t = r.getString(1)
+        def cnt(re: String) = re.r.findAllIn(t).length.toLong
+        val logit = 20000L + 15L * cnt("\\S+") +
+          400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
+          120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
+        r.getLong(0) -> (logit, r.getLong(2))
+      }.toMap
+    assert(reps.length == members.size)
+    reps.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      val ms = members(c)
+      val best = ms.toSeq.map(id => (id, docs(id)._1))
+        .sortBy { case (id, l) => (-l, id) }.head
+      assert(r.getAs[Long]("rep_doc") == best._1, s"cluster $c")
+      assert(r.getAs[Long]("rep_logit_1e4") == best._2)
+      assert(r.getAs[Long]("n_members") == ms.size.toLong)
+      assert(r.getAs[Long]("n_dropped") == ms.size.toLong - 1)
+      assert(r.getAs[Long]("chars_dropped") ==
+        ms.toSeq.map(id => docs(id)._2).sum - docs(best._1)._2)
+    }
+  }
+
+  test("q140 hard negatives: mid-rank band matches a brute-force driver rank") {
+    val out = graft.operators.Similarity.q140(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.filter(_._1 % 100 == 0).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, math.round(cos(v, qv) * 10000) / 10000.0) }
+        .sortBy { case (id, c) => (-c, id) }
+        .zipWithIndex.map { case ((id, c), i) => (qid, id, c, i + 1L) }
+        .filter { case (_, _, _, rk) => rk >= 4 && rk <= 13 }
+    }
+    assert(out.length == expect.length)
+    out.zip(expect.sortBy(e => (e._1, e._4))).foreach { case (r, (qid, id, c, rk)) =>
+      assert(r.getAs[Long]("qid") == qid)
+      assert(r.getAs[Long]("neg_id") == id, s"qid $qid rank $rk")
+      assert(math.abs(r.getAs[Double]("cos_sim") - c) < 1e-9)
+      assert(r.getAs[Long]("rank") == rk)
+    }
+  }
+
+  test("q141 cdc chunks: per-source stats match a driver re-chunk") {
+    val out = graft.ops.TextQueries.q141(spark, sfDir).collect()
+    def hex(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val chunks = Tables.documents(spark, sfDir).selectExpr("source", "text")
+      .collect().flatMap { r =>
+        val toks = "\\S+".r.findAllIn(r.getString(1)).toVector
+        if (toks.isEmpty) Nil
+        else {
+          val bpos = toks.indices.filter(i => "01".contains(hex("SHA-256", toks(i)).head))
+          val starts = 0 +: bpos.map(_ + 1)
+          val ends = bpos :+ (toks.length - 1)
+          starts.zip(ends).filter { case (s, e) => s <= e }.map { case (s, e) =>
+            (r.getString(0), (e - s + 1).toLong, hex("MD5", toks.slice(s, e + 1).mkString(" ")))
+          }
+        }
+      }
+    val expect = chunks.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong, xs.map(_._3).distinct.length.toLong, xs.map(_._2).sum)
+    }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n, nd, st) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_chunks") == n)
+      assert(r.getAs[Long]("n_distinct_chunks") == nd, s"source ${r.get(0)}")
+      assert(r.getAs[Long]("sum_chunk_tokens") == st)
+      assert(r.getAs[Double]("dup_ratio_1e4") == (n - nd) * 10000.0 / n)
+      assert(r.getAs[Double]("mean_chunk_tokens_1e4") == st * 10000.0 / n)
+    }
+  }
+
   test("q133 quality logit: integer fixed-point scores match a reimplementation") {
     val out = graft.ops.TextQueries.q133(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("source", "text")

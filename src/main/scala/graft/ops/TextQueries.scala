@@ -1229,7 +1229,65 @@ object TextQueries {
       |  CAST(sum(chunk_tokens) AS BIGINT) * 10000 / count(*) AS mean_chunk_tokens_1e4
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ── q142: hybrid-retrieval rank fusion (RRF, k=60) — the step that
+  //         combines a sparse BM25 list and a dense cosine list into one
+  //         ranking (Cormack et al.'s reciprocal-rank fusion; what every
+  //         hybrid retrieval stack runs after its two top-k's). Reuses
+  //         the two oracle-green legs verbatim: q112's BM25 top-10 and
+  //         q37's brute-force cosine top-10 (vec_id ≡ doc_id for embedded
+  //         docs; a doc absent from one list simply gets no contribution
+  //         from it). Fusion is a UNION of (id, 1/(60+rank)) contribution
+  //         rows + one groupBy — with ≤2 addends per id, IEEE addition
+  //         commutativity makes the sum order-free, so the double is
+  //         engine-portable. Both legs are already top-10-bounded, so the
+  //         fusion stage is O(k) regardless of corpus size.
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    val wS = Window.orderBy(col("score").desc, col("doc_id"))
+    val sparse = q112(s, dir)
+      .withColumn("rank", row_number().over(wS).cast("long"))
+      .select(col("doc_id"), lit("bm25").as("sys"), col("rank"))
+    val wD = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val dense = graft.operators.Similarity.q37(s, dir)
+      .withColumn("rank", row_number().over(wD).cast("long"))
+      .select(col("vec_id").as("doc_id"), lit("cos").as("sys"), col("rank"))
+    sparse.unionByName(dense)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(when(col("sys") === "bm25", col("rank"))).as("rank_bm25"),
+        min(when(col("sys") === "cos", col("rank"))).as("rank_cos"),
+        sum(lit(1.0) / (lit(60) + col("rank"))).as("rrf"))
+      .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
+        (round(col("rrf") * 1000000) / 1000000.0).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q142Sql: String =
+    s"""WITH sparse0 AS ($q112Sql),
+       |sparse AS (
+       |  SELECT doc_id, 'bm25' AS sys,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM sparse0),
+       |dense0 AS (
+       |  WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+       |  SELECT vec_id,
+       |    round(list_cosine_similarity(embedding::DOUBLE[], q.qv) * 10000) / 10000.0 AS cos_sim
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+       |dense AS (
+       |  SELECT vec_id AS doc_id, 'cos' AS sys,
+       |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM dense0),
+       |u AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+       |SELECT doc_id,
+       |  min(CASE WHEN sys = 'bm25' THEN rank END) AS rank_bm25,
+       |  min(CASE WHEN sys = 'cos' THEN rank END) AS rank_cos,
+       |  round(sum(1.0 / (60 + rank)) * 1000000) / 1000000.0 AS rrf_score
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_hybrid_rrf" -> q142,
     "q141_cdc_chunks" -> q141,
     "q130_chunk_overlap" -> q130,
     "q133_quality_logit" -> q133,
@@ -1255,6 +1313,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q142_hybrid_rrf" -> q142Sql,
     "q141_cdc_chunks" -> q141Sql,
     "q130_chunk_overlap" -> q130Sql,
     "q133_quality_logit" -> q133Sql,

@@ -603,6 +603,28 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q142 hybrid rrf: fusion matches a driver recombination of both legs") {
+    val out = graft.ops.TextQueries.q142(spark, sfDir).collect()
+    // both legs are already ordered (score desc, id) — rank = position
+    val sparse = graft.ops.TextQueries.q112(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex.map { case (id, i) => (id, i + 1L) }
+    val dense = graft.operators.Similarity.q37(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).zipWithIndex.map { case (id, i) => (id, i + 1L) }
+    val contribs = sparse.map { case (id, r) => (id, "bm25", r) } ++
+      dense.map { case (id, r) => (id, "cos", r) }
+    val expect = contribs.groupBy(_._1).map { case (id, xs) =>
+      val rrf = math.round(xs.map(x => 1.0 / (60 + x._3)).sum * 1e6) / 1e6
+      (id, xs.find(_._2 == "bm25").map(_._3), xs.find(_._2 == "cos").map(_._3), rrf)
+    }.toSeq.sortBy { case (id, _, _, r) => (-r, id) }.take(10)
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (r, (id, rb, rc, rrf)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(Option(r.getAs[Any]("rank_bm25")).map(_.asInstanceOf[Long]) == rb)
+      assert(Option(r.getAs[Any]("rank_cos")).map(_.asInstanceOf[Long]) == rc)
+      assert(math.abs(r.getAs[Double]("rrf_score") - rrf) < 1e-12)
+    }
+  }
+
   test("q133 quality logit: integer fixed-point scores match a reimplementation") {
     val out = graft.ops.TextQueries.q133(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("source", "text")

@@ -92,7 +92,12 @@ object ScaleRehearsal {
       "q116_domain_tokens", "q120_lm_perplexity", "q122_bpe_encode",
       "q123_contam_fraction", "q124_segment_dedup",
       "q130_chunk_overlap", "q133_quality_logit", "q135_token_budget",
-      "q137_source_epochs", "q138_mixed_lang")
+      "q137_source_epochs", "q138_mixed_lang",
+      "q139_cluster_best", "q141_cdc_chunks", "q142_hybrid_rrf")
+    // q140 (hard negatives) is absent like q129/q134: its probe set is
+    // tied to corpus ids only so the small fixture exercises it — the
+    // replicated fixture would scale probes×corpus quadratically, while
+    // the real contract is a FIXED probe set over a growing corpus.
     // q129/q134 (label-blocked semantic dedup / broadcast-eval decontam)
     // are absent for the same reason as q36 below: the replicated fixture
     // scales the cluster/eval sides together with the corpus, which is

@@ -234,11 +234,111 @@ object Clusters {
       |FROM agg a JOIN ranked r ON a.cluster = r.cluster AND r.rn = 1
       |ORDER BY a.cluster""".stripMargin
 
+  // ── q143: dedup-funnel survivorship — the per-source retention card a
+  //         pipeline run emits: doc/token counts at each cascade stage
+  //         (raw → exact-dedup → near-dup-dedup). Exact stage keeps the
+  //         min doc_id per sha256(text) (digest-only shuffle — text never
+  //         moves); near-dup stage runs the q67 cluster mechanism over
+  //         the exact survivors and drops non-representatives (anti-join
+  //         on the small drop list). Per-stage rollups LEFT-join the base
+  //         so a source that loses everything still reports 0, not a
+  //         missing row. At 100 TB each stage is the already-audited
+  //         shape (q32's digest groupBy, q67's banded pairs + CC); the
+  //         funnel adds only three 20-row-out aggregates.
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+    val keepExact = docs.groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s1 = docs.join(keepExact, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val edges = Dedup.jaccardPairs(s1, "text", "doc_id", gram = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val drops = dedupClusters(edges)
+      .filter(col("action") === "drop")
+      .select(col("id").as("doc_id"))
+    val s2 = s1.join(drops, Seq("doc_id"), "left_anti")
+    def roll(df: DataFrame, n: String, t: String): DataFrame =
+      df.groupBy(col("source"))
+        .agg(count(lit(1)).as(n), sum(col("n_tokens")).as(t))
+    roll(docs, "n_docs", "tok_total")
+      .join(roll(s1, "n_exact", "tok_exact"), Seq("source"), "left")
+      .join(roll(s2, "n_neardup", "tok_neardup"), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tok_total"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("tok_exact"), lit(0L)).as("tok_exact"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("tok_neardup"), lit(0L)).as("tok_neardup"))
+      .orderBy(col("source"))
+  }
+
+  val q143Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |ke AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY sha256(text)),
+      |s1 AS (SELECT d.* FROM d JOIN ke USING (doc_id)),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM s1),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |            for i in range(1, len(toks) - 1)] END) AS t FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1,2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+      |bi AS (SELECT id_a AS a, id_b AS b FROM edges
+      |       UNION ALL SELECT id_b, id_a FROM edges),
+      |nodes AS (SELECT DISTINCT a AS id FROM bi),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, root) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT bi.b, r.root FROM reach r
+      |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
+      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+      |drops AS (SELECT id AS doc_id FROM rec WHERE id <> cluster),
+      |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok_total
+      |  FROM d GROUP BY source),
+      |a1 AS (
+      |  SELECT source, count(*) AS n_exact,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok_exact
+      |  FROM s1 GROUP BY source),
+      |a2 AS (
+      |  SELECT source, count(*) AS n_neardup,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok_neardup
+      |  FROM s2 GROUP BY source)
+      |SELECT base.source, base.n_docs, base.tok_total,
+      |  coalesce(a1.n_exact, 0) AS n_exact,
+      |  coalesce(a1.tok_exact, 0) AS tok_exact,
+      |  coalesce(a2.n_neardup, 0) AS n_neardup,
+      |  coalesce(a2.tok_neardup, 0) AS tok_neardup
+      |FROM base
+      |LEFT JOIN a1 ON base.source = a1.source
+      |LEFT JOIN a2 ON base.source = a2.source
+      |ORDER BY base.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_neardup_clusters" -> q67,
-    "q139_cluster_best" -> q139)
+    "q139_cluster_best" -> q139,
+    "q143_dedup_funnel" -> q143)
 
   val oracle: Map[String, String] = Map(
     "q67_neardup_clusters" -> q67Sql,
-    "q139_cluster_best" -> q139Sql)
+    "q139_cluster_best" -> q139Sql,
+    "q143_dedup_funnel" -> q143Sql)
 }

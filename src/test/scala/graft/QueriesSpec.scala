@@ -603,6 +603,29 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q143 dedup funnel: exact stage matches driver sha dedup; funnel monotone") {
+    val out = graft.operators.Clusters.q143(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        "\\S+".r.findAllIn(r.getString(2)).length.toLong))
+    val keep = docs.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val base = docs.groupBy(_._2).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._4).sum) }
+    val exact = docs.filter(d => keep(d._1)).groupBy(_._2).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._4).sum) }
+    assert(out.length == base.size)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total")) == base(src))
+      assert((r.getAs[Long]("n_exact"), r.getAs[Long]("tok_exact")) ==
+        exact.getOrElse(src, (0L, 0L)), src)
+      assert(r.getAs[Long]("n_neardup") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("n_neardup") >= 0L)
+      assert(r.getAs[Long]("tok_neardup") <= r.getAs[Long]("tok_exact"))
+    }
+  }
+
   test("q142 hybrid rrf: fusion matches a driver recombination of both legs") {
     val out = graft.ops.TextQueries.q142(spark, sfDir).collect()
     // both legs are already ordered (score desc, id) — rank = position

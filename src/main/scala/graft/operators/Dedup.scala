@@ -1876,7 +1876,61 @@ object Dedup {
        |FROM seg t LEFT JOIN dup u ON t.seg = u.seg
        |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  // ── q144: per-doc n-gram novelty histogram — the memorization-risk
+  //         audit (Lee et al. 2022's doc-level view): for every doc, the
+  //         fraction of its DISTINCT 8-gram shingles that also occur in
+  //         at least one other doc, bucketed ×10 into an 11-bin corpus
+  //         histogram (bucket 0 = fully novel, 10 = fully duplicated).
+  //         q114/q124 localize duplicated spans; this rolls the same
+  //         evidence up to "how much of each document is boilerplate",
+  //         the number a filtering threshold is set against. Shuffle
+  //         carries md5(gram) digests only (never gram text); the
+  //         per-doc fraction is pure integer arithmetic (dup*10 DIV tot)
+  //         so no float crosses an aggregate. At 100 TB: two digest
+  //         shuffles + an 11-row-out groupBy — the q32 shape twice.
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val g = fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(shinglesFromTokens(col("_toks"), 8)).as("t"))
+      .select(col("doc_id"), col("n_tokens"), md5(col("t")).as("g"))
+      .distinct()
+    val gd = g.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    g.join(gd, Seq("g"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("tot"),
+        count(when(col("ndocs") >= 2, 1)).as("dup"))
+      .select(col("n_tokens"), expr("dup * 10 DIV tot").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val q144Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, n_tokens, md5(s) AS g FROM (
+      |    SELECT doc_id, n_tokens,
+      |      unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |        ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')
+      |              for i in range(1, len(toks) - 6)] END) AS s
+      |    FROM t)),
+      |gd AS (SELECT g, count(*) AS ndocs FROM g GROUP BY g),
+      |per AS (
+      |  SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS tot,
+      |    count(*) FILTER (WHERE ndocs >= 2) AS dup
+      |  FROM g JOIN gd USING (g) GROUP BY doc_id)
+      |SELECT dup * 10 // tot AS bucket, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM per GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_ngram_novelty" -> q144,
     "q123_contam_fraction" -> q123,
     "q124_segment_dedup" -> q124,
     "q114_dup_spans" -> q114,
@@ -1905,6 +1959,7 @@ object Dedup {
     "q83_mix_weights" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q144_ngram_novelty" -> q144Sql,
     "q123_contam_fraction" -> q123Sql,
     "q124_segment_dedup" -> q124Sql,
     "q114_dup_spans" -> q114Sql,

@@ -603,6 +603,31 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q144 ngram novelty: histogram matches a driver shingle recount") {
+    val out = graft.operators.Dedup.q144(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+      .collect().map { r =>
+        val toks = "\\S+".r.findAllIn(r.getString(1)).toVector
+        val grams =
+          if (toks.length < 8) Set(toks.mkString(" "))
+          else toks.sliding(8).map(_.mkString(" ")).toSet
+        (r.getLong(0), toks.length.toLong, grams)
+      }
+    val gramDocs = docs.flatMap { case (id, _, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.length }
+    val expect = docs.map { case (_, nt, gs) =>
+      val dup = gs.count(g => gramDocs(g) >= 2).toLong
+      (dup * 10 / gs.size, nt)
+    }.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.map(_._2).sum) }
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (n, st) = expect(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_docs") == n, s"bucket ${r.get(0)}")
+      assert(r.getAs[Long]("sum_tokens") == st)
+    }
+  }
+
   test("q143 dedup funnel: exact stage matches driver sha dedup; funnel monotone") {
     val out = graft.operators.Clusters.q143(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)

@@ -1286,7 +1286,76 @@ object TextQueries {
        |FROM u GROUP BY doc_id
        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ── q145: quality-stratified deterministic downsampling — the
+  //         "keep everything good, thin the mediocre, trace-sample the
+  //         bad" pass (CCNet's head/middle/tail policy as a relational
+  //         op). Label = the q133 fixed-point logit with q145-local cut
+  //         points (23000/21200 — a sampling policy is tuned to its
+  //         corpus' score distribution; q133's published 40000/20000
+  //         cuts collapse this fixture into one band); keep-rates are
+  //         hex-prefix-exact (hi 1, mid 1/2 via md5 first nibble < '8',
+  //         lo 1/16 via < '1') so membership is a pure deterministic
+  //         expression on (doc_id) — reproducible across engines, runs,
+  //         and partitionings, and rerunning on an appended corpus never
+  //         flips an old doc's verdict (the property random sampling
+  //         loses). Map-only + one 60-row-out groupBy at any scale.
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val logit = lit(20000L) +
+      regexp_count(col("text"), lit("\\S+")) * 15L +
+      regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")) * 400L -
+      regexp_count(col("text"), lit("[.,!?;:]")) * 250L -
+      regexp_count(col("text"), lit("[0-9]")) * 120L -
+      regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")) * 600L
+    val u = substring(md5(col("doc_id").cast("string")), 1, 1)
+    fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        when(logit >= 23000L, "hi").when(logit >= 21200L, "mid")
+          .otherwise("lo").as("label"),
+        u.as("u"))
+      .withColumn("kept",
+        col("label") === "hi" ||
+          (col("label") === "mid" && col("u") < "8") ||
+          (col("label") === "lo" && col("u") < "1"))
+      .groupBy(col("source"), col("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(col("n_tokens")).as("tok_docs"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tok_kept"))
+      .orderBy(col("source"), col("label"))
+  }
+
+  val q145Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    CASE WHEN 20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |              + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |              - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |              - 120*len(regexp_extract_all(text, '[0-9]'))
+      |              - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) >= 23000 THEN 'hi'
+      |         WHEN 20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |              + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |              - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |              - 120*len(regexp_extract_all(text, '[0-9]'))
+      |              - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) >= 21200 THEN 'mid'
+      |         ELSE 'lo' END AS label,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS u
+      |  FROM documents),
+      |k AS (
+      |  SELECT *,
+      |    (label = 'hi' OR (label = 'mid' AND u < '8')
+      |      OR (label = 'lo' AND u < '1')) AS kept
+      |  FROM scored)
+      |SELECT source, label, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE kept) AS n_kept,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tok_docs,
+      |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_kept
+      |FROM k GROUP BY source, label ORDER BY source, label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_quality_sample" -> q145,
     "q142_hybrid_rrf" -> q142,
     "q141_cdc_chunks" -> q141,
     "q130_chunk_overlap" -> q130,
@@ -1313,6 +1382,7 @@ object TextQueries {
     "q65_repetition_filter" -> q65)
 
   val oracle: Map[String, String] = Map(
+    "q145_quality_sample" -> q145Sql,
     "q142_hybrid_rrf" -> q142Sql,
     "q141_cdc_chunks" -> q141Sql,
     "q130_chunk_overlap" -> q130Sql,

@@ -603,6 +603,40 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q145 quality sample: stratified keep decisions match a driver replay") {
+    val out = graft.ops.TextQueries.q145(spark, sfDir).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "text").collect().map { r =>
+        val t = r.getString(2)
+        def cnt(re: String) = re.r.findAllIn(t).length.toLong
+        val logit = 20000L + 15L * cnt("\\S+") +
+          400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
+          120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
+        val label = if (logit >= 23000L) "hi" else if (logit >= 21200L) "mid" else "lo"
+        val u = md5hex(r.getLong(0).toString).head
+        val kept = label == "hi" || (label == "mid" && u < '8') ||
+          (label == "lo" && u < '1')
+        ((r.getString(1), label), (cnt("\\S+"), kept))
+      }
+    val expect = docs.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.count(_._2._2).toLong,
+        xs.map(_._2._1).sum, xs.filter(_._2._2).map(_._2._1).sum)
+    }
+    assert(out.length == expect.size)
+    // all three strata must be live on the fixture, else the policy is
+    // untested
+    assert(Set("hi", "mid", "lo").subsetOf(
+      out.map(_.getAs[String]("label")).toSet))
+    out.foreach { r =>
+      val e = expect((r.getAs[String]("source"), r.getAs[String]("label")))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("tok_docs"), r.getAs[Long]("tok_kept")) == e)
+    }
+  }
+
   test("q144 ngram novelty: histogram matches a driver shingle recount") {
     val out = graft.operators.Dedup.q144(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")

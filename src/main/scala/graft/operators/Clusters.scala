@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.OperatorCaches.TrackedDataset
 import graft.Tables._
 
 /** Near-dup CLUSTERING: connected components over a dup-pair edge list —
@@ -158,12 +159,7 @@ object Clusters {
     // rep-chars join below does not re-run the scan+join+regexp subtree
     val scored = labels.join(docs, Seq("doc_id"))
       .select(col("cluster"), col("doc_id"), col("n_chars"),
-        (lit(20000L)
-          + regexp_count(col("text"), lit("\\S+")) * 15L
-          + regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")) * 400L
-          - regexp_count(col("text"), lit("[.,!?;:]")) * 250L
-          - regexp_count(col("text"), lit("[0-9]")) * 120L
-          - regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")) * 600L).as("logit_1e4"))
+        graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
       .localCheckpoint(true)
     scored.groupBy(col("cluster"))
       .agg(
@@ -247,14 +243,19 @@ object Clusters {
   //         funnel adds only three 20-row-out aggregates.
   def q143(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
-    val keepExact = docs.groupBy(sha2(col("text"), 256).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val s1 = docs.join(keepExact, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val edges = Dedup.jaccardPairs(s1, "text", "doc_id", gram = 3)
+    // ONE regexp+digest pass over the corpus serves all three stage
+    // rollups and the exact-dedup grouping; text itself is re-read (scan
+    // pruned to the survivor semi-join) only where near-dup pairing
+    // genuinely needs it.
+    val proj = docs.select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        sha2(col("text"), 256).as("digest"))
+      .trackedPersist()
+    val keepExact = Dedup.exactDedupIdsByDigest(proj, "digest", "doc_id")
+    val s1 = proj.join(keepExact, Seq("doc_id"), "left_semi")
+    val s1Text = docs.select(col("doc_id"), col("text"))
+      .join(keepExact, Seq("doc_id"), "left_semi")
+    val edges = Dedup.jaccardPairs(s1Text, "text", "doc_id", gram = 3)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
     val drops = dedupClusters(edges)
@@ -264,7 +265,7 @@ object Clusters {
     def roll(df: DataFrame, n: String, t: String): DataFrame =
       df.groupBy(col("source"))
         .agg(count(lit(1)).as(n), sum(col("n_tokens")).as(t))
-    roll(docs, "n_docs", "tok_total")
+    roll(proj, "n_docs", "tok_total")
       .join(roll(s1, "n_exact", "tok_exact"), Seq("source"), "left")
       .join(roll(s2, "n_neardup", "tok_neardup"), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("tok_total"),

@@ -39,8 +39,14 @@ object Dedup {
     * unlike dropDuplicates' arbitrary-row keep. Shuffles (digest, id) only.
     */
   def exactDedupIds(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(sha2(col(textCol), 256).as("fp"), col(idCol))
-      .groupBy(col("fp"))
+    exactDedupIdsByDigest(
+      docs.select(sha2(col(textCol), 256).as("fp"), col(idCol)), "fp", idCol)
+
+  /** Same keep-min-id convention over an ALREADY-COMPUTED digest column —
+    * for callers that stage the digest in a shared projection (q143). */
+  def exactDedupIdsByDigest(docs: DataFrame, digestCol: String,
+      idCol: String): DataFrame =
+    docs.groupBy(col(digestCol))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
@@ -1889,6 +1895,11 @@ object Dedup {
   //         so no float crosses an aggregate. At 100 TB: two digest
   //         shuffles + an 11-row-out groupBy — the q32 shape twice.
   def q144(s: SparkSession, dir: String): DataFrame = {
+    // n_tokens deliberately re-counts text with regexp_count rather than
+    // size(_toks): CollapseProject inlines _toks into every consumer, and
+    // a second _toks reference beside the generator re-tokenizes per
+    // shingle row (measured 65s vs 22s at 50×) — one extra flat regexp
+    // pass per doc is the cheap side of that trade.
     val g = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),

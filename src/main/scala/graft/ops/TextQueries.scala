@@ -28,6 +28,18 @@ object TextQueries {
   private def fanout(df: DataFrame, key: String): DataFrame =
     Scale.fanout(df, key)
 
+  /** The 6-term integer fixed-point quality logit (1e-4 units) — the ONE
+    * definition behind q133 (whose weight-table join mirrors these
+    * constants), q135, q139 and q145. Change a weight here and in the
+    * q133 table + the four SQL oracles together. */
+  def qualityLogit(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(20000L) +
+      regexp_count(text, lit("\\S+")) * 15L +
+      regexp_count(text, lit("\\b(the|a|of|and|to|in)\\b")) * 400L -
+      regexp_count(text, lit("[.,!?;:]")) * 250L -
+      regexp_count(text, lit("[0-9]")) * 120L -
+      regexp_count(text, lit("\\b[A-Z]{2,}\\b")) * 600L
+
   // ── q28: per-language corpus quality stats — doc count, exact avg chars /
   //        tokens / BPE-ish subtokens, punctuation + stopword ratios from
   //        integer count sums.
@@ -1003,13 +1015,7 @@ object TextQueries {
     val d = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
-        (lit(20000L)
-          + regexp_count(col("text"), lit("\\S+")) * 15L
-          + regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")) * 400L
-          - regexp_count(col("text"), lit("[.,!?;:]")) * 250L
-          - regexp_count(col("text"), lit("[0-9]")) * 120L
-          - regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")) * 600L)
-          .cast("long").as("logit_1e4"))
+        qualityLogit(col("text")).cast("long").as("logit_1e4"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("logit_1e4").desc, col("doc_id"))
     val all = Window.partitionBy(col("source"))
@@ -1300,12 +1306,7 @@ object TextQueries {
   //         flips an old doc's verdict (the property random sampling
   //         loses). Map-only + one 60-row-out groupBy at any scale.
   def q145(s: SparkSession, dir: String): DataFrame = {
-    val logit = lit(20000L) +
-      regexp_count(col("text"), lit("\\S+")) * 15L +
-      regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")) * 400L -
-      regexp_count(col("text"), lit("[.,!?;:]")) * 250L -
-      regexp_count(col("text"), lit("[0-9]")) * 120L -
-      regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")) * 600L
+    val logit = qualityLogit(col("text"))
     val u = substring(md5(col("doc_id").cast("string")), 1, 1)
     fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"), col("source"),

@@ -352,7 +352,77 @@ object EventsStream {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY hour_start, segment""".stripMargin
 
+  // ── q146: streaming quality gate with DUAL side-output sinks — the
+  //         accept/quarantine split every ingest pipeline needs: one
+  //         foreachBatch handoff writes BOTH parquet sinks per
+  //         micro-batch (a streaming sink can't fork; foreachBatch is
+  //         the supported dual-write), idempotent via batchId-keyed
+  //         directories + overwrite (a replayed batch rewrites its own
+  //         dirs — exactly-once at the file level). Gate = the shared
+  //         quality logit with the q145 'lo' cut (only lo quarantines).
+  //         The registered result reads BOTH sinks back keyed by text
+  //         digest, so it is arrival-order- and batching-invariant; the
+  //         oracle is the same gate over DISTINCT text in batch SQL.
+  def q146(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("timestamp_micros(doc_id * 1000000)").as("ts"), col("text"))
+    val replays = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("ts"), col("text"))
+    val fixDir =
+      graft.Fixtures.path("docstream", dir)(base.unionByName(replays))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("graft_qgate_").toFile.getAbsolutePath
+    val gated = s.readStream.schema(schema).parquet(fixDir)
+      .select(sha2(col("text"), 256).as("fp"),
+        when(graft.ops.TextQueries.qualityLogit(col("text")) >= 21200L,
+          "accept").otherwise("quarantine").as("verdict"))
+    val query = writeViaForeachBatch(gated, "q146_quality_gate",
+        Some(Trigger.AvailableNow())) { (batch, id) =>
+      val b = batch.persist()
+      try {
+        b.filter(col("verdict") === "accept").select("fp")
+          .write.mode("overwrite").parquet(s"$outRoot/accept/b$id")
+        b.filter(col("verdict") === "quarantine").select("fp")
+          .write.mode("overwrite").parquet(s"$outRoot/quarantine/b$id")
+      } finally b.unpersist()
+    }
+    query.awaitTermination()
+    def side(name: String): DataFrame = {
+      val subs = Option(new java.io.File(s"$outRoot/$name").listFiles())
+        .map(_.filter(_.isDirectory).map(_.getAbsolutePath).toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
+      if (subs.isEmpty)
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("fp", StringType))))
+      else s.read.parquet(subs: _*)
+    }
+    side("accept").select(col("fp"), lit("accept").as("verdict"))
+      .unionByName(
+        side("quarantine").select(col("fp"), lit("quarantine").as("verdict")))
+      .distinct()
+      .orderBy(col("verdict"), col("fp"))
+  }
+
+  val q146Sql: String =
+    """WITH u AS (SELECT DISTINCT text FROM documents)
+      |SELECT sha256(text) AS fp,
+      |  CASE WHEN 20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |            + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |            - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |            - 120*len(regexp_extract_all(text, '[0-9]'))
+      |            - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) >= 21200
+      |       THEN 'accept' ELSE 'quarantine' END AS verdict
+      |FROM u ORDER BY verdict, fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_stream_gate" -> q146,
     "q126_stream_enrich" -> q126,
     "q62_events_hourly_stream" -> q62,
     "q71_sessions_stream" -> q71,
@@ -363,6 +433,7 @@ object EventsStream {
 
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "q146_stream_gate" -> q146Sql,
     "q126_stream_enrich" -> q126Sql,
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,
     "q71_sessions_stream" -> graft.ops.Windows.q43Sql,
@@ -374,13 +445,15 @@ object EventsStream {
   /** foreachBatch sink: per-micro-batch handoff to an arbitrary batch
     * writer (idempotent by batchId — the reference's "write stage output
     * to the warehouse" boundary, streaming edition). */
-  def writeViaForeachBatch(df: DataFrame, queryName: String)(
-      writer: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+  def writeViaForeachBatch(df: DataFrame, queryName: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      writer: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch(writer)
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   final case class Evt(event_id: Long, ts: Long, user_id: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Int)

@@ -603,6 +603,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q146 stream gate: dual-sink read-back matches a batch gate replay") {
+    val out = graft.streaming.EventsStream.q146(spark, sfDir).collect()
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Tables.documents(spark, sfDir).selectExpr("text").collect()
+      .map(_.getString(0)).distinct.map { t =>
+        def cnt(re: String) = re.r.findAllIn(t).length.toLong
+        val logit = 20000L + 15L * cnt("\\S+") +
+          400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
+          120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
+        sha(t) -> (if (logit >= 21200L) "accept" else "quarantine")
+      }.toMap
+    assert(out.length == expect.size)
+    // both sinks must be live on the fixture
+    assert(out.map(_.getAs[String]("verdict")).toSet == Set("accept", "quarantine"))
+    out.foreach { r =>
+      assert(expect(r.getAs[String]("fp")) == r.getAs[String]("verdict"))
+    }
+  }
+
   test("q145 quality sample: stratified keep decisions match a driver replay") {
     val out = graft.ops.TextQueries.q145(spark, sfDir).collect()
     def md5hex(s: String): String =

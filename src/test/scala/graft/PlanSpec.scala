@@ -176,4 +176,38 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q140: probe set broadcasts; the corpus scan is never re-shuffled pre-rank") {
+    val p = plan(graft.operators.Similarity.q140(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly the per-query rank exchange (qid) + the output range sort
+    assert(p.split("hashpartitioning").length - 1 == 1, p)
+  }
+
+  test("q141: CDC chunking is narrow until the per-source aggregate") {
+    val p = plan(graft.ops.TextQueries.q141(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    // the numbered-fanout repartition + distinct-agg (source, chunk_md5)
+    // + final (source) re-shuffle only
+    assert(p.split("hashpartitioning").length - 1 <= 3, p)
+  }
+
+  test("q142: both fusion legs stay top-k (TakeOrderedAndProject), never a full sort") {
+    val p = plan(graft.ops.TextQueries.q142(spark, sfDir))
+    assert(p.split("TakeOrderedAndProject").length >= 3,
+      "both legs must take top-10 before fusion\n" + p)
+  }
+
+  test("q144: novelty shuffles carry the md5 digest, and the gram join is an equi join") {
+    val p = plan(graft.operators.Dedup.q144(spark, sfDir))
+    assert(p.contains("hashpartitioning(g#") || p.contains("hashpartitioning(g,"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q145: stratified sampling is map-only + one aggregate exchange") {
+    val p = plan(graft.ops.TextQueries.q145(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    // the numbered-fanout repartition + the one aggregate exchange
+    assert(p.split("hashpartitioning").length - 1 == 2, p)
+  }
 }

@@ -333,13 +333,105 @@ object Clusters {
       |LEFT JOIN a2 ON base.source = a2.source
       |ORDER BY base.source""".stripMargin
 
+  // ── q147: the per-document LEDGER — the registry a production corpus
+  //         pipeline materializes once per run and every downstream stage
+  //         keys off: for EVERY doc its exact-dup representative (min id
+  //         per sha256), its near-dup cluster (q67 mechanism; itself when
+  //         unclustered), its quality label (q145 cuts), token count, and
+  //         the final verdict (drop_dup → a smaller cluster member
+  //         exists; drop_quality → surviving rep but 'lo' quality; keep).
+  //         Unlike the q108 capstone (rows-only by design), every column
+  //         here is engine-portable, so the WHOLE ledger is hash-oracled.
+  //         Plan: the q143 single-projection discipline (one regexp+digest
+  //         pass), cluster labels left-joined (small side), per-doc output
+  //         — at 100 TB this is the one materialization whose cost the
+  //         funnel/clusters/sampling queries already paid piecewise.
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val proj = docs.select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        sha2(col("text"), 256).as("digest"),
+        graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
+      .trackedPersist()
+    val exactRep = proj.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("exact_rep"))
+    val edges = Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("cluster"))
+    proj.join(exactRep, Seq("digest"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("exact_rep"),
+        coalesce(col("cluster"), col("doc_id")).as("dup_group"),
+        when(col("logit_1e4") >= 23000L, "hi")
+          .when(col("logit_1e4") >= 21200L, "mid").otherwise("lo").as("quality"),
+        when(coalesce(col("cluster"), col("doc_id")) =!= col("doc_id"), "drop_dup")
+          .when(col("logit_1e4") < 21200L, "drop_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q147Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |            for i in range(1, len(toks) - 1)] END) AS t FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1,2),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+      |bi AS (SELECT id_a AS a, id_b AS b FROM edges
+      |       UNION ALL SELECT id_b, id_a FROM edges),
+      |nodes AS (SELECT DISTINCT a AS id FROM bi),
+      |rec AS (
+      |  WITH RECURSIVE reach(id, root) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT bi.b, r.root FROM reach r
+      |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
+      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    sha256(text) AS digest,
+      |    20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |      + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |      - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |      - 120*len(regexp_extract_all(text, '[0-9]'))
+      |      - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS logit_1e4
+      |  FROM documents),
+      |er AS (SELECT digest, min(doc_id) AS exact_rep FROM scored GROUP BY digest)
+      |SELECT s.doc_id, s.source, s.n_tokens, er.exact_rep,
+      |  coalesce(r.cluster, s.doc_id) AS dup_group,
+      |  CASE WHEN s.logit_1e4 >= 23000 THEN 'hi'
+      |       WHEN s.logit_1e4 >= 21200 THEN 'mid' ELSE 'lo' END AS quality,
+      |  CASE WHEN coalesce(r.cluster, s.doc_id) <> s.doc_id THEN 'drop_dup'
+      |       WHEN s.logit_1e4 < 21200 THEN 'drop_quality'
+      |       ELSE 'keep' END AS verdict
+      |FROM scored s
+      |JOIN er ON s.digest = er.digest
+      |LEFT JOIN rec r ON s.doc_id = r.id
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_neardup_clusters" -> q67,
     "q139_cluster_best" -> q139,
-    "q143_dedup_funnel" -> q143)
+    "q143_dedup_funnel" -> q143,
+    "q147_doc_ledger" -> q147)
 
   val oracle: Map[String, String] = Map(
     "q67_neardup_clusters" -> q67Sql,
     "q139_cluster_best" -> q139Sql,
-    "q143_dedup_funnel" -> q143Sql)
+    "q143_dedup_funnel" -> q143Sql,
+    "q147_doc_ledger" -> q147Sql)
 }

@@ -603,6 +603,30 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q147 doc ledger: columns agree with q67 clusters and driver exact dedup") {
+    val out = graft.operators.Clusters.q147(spark, sfDir).collect()
+    val clusters = graft.operators.Clusters.q67(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exactRep = docs.groupBy(_._2).values
+      .flatMap(xs => xs.map(_._1 -> xs.map(_._1).min)).toMap
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("exact_rep") == exactRep(id), s"doc $id")
+      assert(r.getAs[Long]("dup_group") == clusters.getOrElse(id, id), s"doc $id")
+      val verdict = r.getAs[String]("verdict")
+      assert((verdict == "drop_dup") == (r.getAs[Long]("dup_group") != id))
+      if (verdict == "drop_quality") assert(r.getAs[String]("quality") == "lo")
+      if (verdict == "keep") assert(r.getAs[String]("quality") != "lo")
+    }
+    // every verdict class must be live on the fixture
+    assert(out.map(_.getAs[String]("verdict")).toSet ==
+      Set("keep", "drop_dup", "drop_quality"))
+  }
+
   test("q146 stream gate: dual-sink read-back matches a batch gate replay") {
     val out = graft.streaming.EventsStream.q146(spark, sfDir).collect()
     def sha(s: String): String =

@@ -423,15 +423,119 @@ object Clusters {
       |LEFT JOIN rec r ON s.doc_id = r.id
       |ORDER BY s.doc_id""".stripMargin
 
+  // ── q148: INCREMENTAL ledger maintenance — q147 recomputed from
+  //         scratch every run is the thing a 100 TB pipeline cannot
+  //         afford; this is the delta form: given yesterday's near-dup
+  //         cluster labels (here rebuilt from the doc_id%5≠0 "history"
+  //         slice — in production they are read back from the previous
+  //         ledger) and today's batch (doc_id%5=0), only batch-touching
+  //         work is new: exact-group star edges for digest groups that
+  //         gained a batch member, text-level Jaccard pairs where at
+  //         least one side holds a batch doc, then connected components
+  //         over the CONTRACTED graph (history clusters enter as single
+  //         supernodes — contraction preserves connectivity, and min-id
+  //         labels survive because a cluster's label is already its min
+  //         member). The oracle is q147Sql VERBATIM: the driver hash
+  //         proves incremental ≡ full recompute, the q127 contract at
+  //         ledger scale.
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val isBatch = col("doc_id") % 5 === 0
+    // yesterday's artifact: history cluster labels
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val histLabels = connectedComponents(
+        Dedup.jaccardPairs(hist, "text", "doc_id", gram = 3)
+          .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("cluster"))
+      .trackedPersist()
+    // today: digest groups over the merged corpus (global min-id reps)
+    val groups = docs
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("fp"),
+        isBatch.as("b"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"),
+        max(col("b")).as("has_batch"),
+        min_by(col("text"), col("doc_id")).as("_text"))
+      .trackedPersist()
+    // exact star edges only for groups that gained a batch member
+    val exactEdges = groups.filter(col("has_batch"))
+      .select(col("rep"), explode(col("members")).as("id"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    // text-level near-dup pairs with >=1 batch-holding side (the only
+    // pairs the history run could not have seen)
+    val staged = groups.select(col("rep").as("doc_id"), col("has_batch"),
+      graft.ops.TextQueries.tokens(col("_text")).as("_toks"))
+    val toksAll = staged.select(col("doc_id"), col("has_batch"),
+        explode(Dedup.shinglesFromTokens(col("_toks"), 3)).as("t"))
+      .distinct().trackedPersist()
+    val sizes = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val crossPairs = toksAll.filter(col("has_batch")).as("x")
+      .join(toksAll.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") =!= col("y.doc_id") &&
+          (!col("y.has_batch") || col("x.doc_id") < col("y.doc_id")))
+      .groupBy(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    // contract new edges through yesterday's labels; CC over supernodes
+    val contracted = exactEdges.unionByName(crossPairs)
+      .join(histLabels.select(col("doc_id").as("id_a"), col("cluster").as("ca")),
+        Seq("id_a"), "left")
+      .join(histLabels.select(col("doc_id").as("id_b"), col("cluster").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val comp = connectedComponents(contracted)
+    // expand supernodes back to docs
+    val histClusterIds = histLabels.select(col("cluster")).distinct()
+    val touched = comp.join(
+        histLabels.select(col("cluster").as("id"), col("doc_id")), Seq("id"))
+      .select(col("doc_id"), col("cluster"))
+    val direct = comp
+      .join(histClusterIds.withColumnRenamed("cluster", "id"), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val untouched = histLabels
+      .join(comp.select(col("id").as("cluster")).distinct(), Seq("cluster"), "left_anti")
+      .select(col("doc_id"), col("cluster"))
+    val finalLabels = touched.unionByName(direct).unionByName(untouched)
+    // ledger assembly, exactly q147's shape
+    val proj = docs.select(col("doc_id"), col("source"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+      graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
+    val exactRepPerDoc = groups
+      .select(explode(col("members")).as("doc_id"), col("rep").as("exact_rep"))
+    proj.join(exactRepPerDoc, Seq("doc_id"))
+      .join(finalLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("exact_rep"),
+        coalesce(col("cluster"), col("doc_id")).as("dup_group"),
+        when(col("logit_1e4") >= 23000L, "hi")
+          .when(col("logit_1e4") >= 21200L, "mid").otherwise("lo").as("quality"),
+        when(coalesce(col("cluster"), col("doc_id")) =!= col("doc_id"), "drop_dup")
+          .when(col("logit_1e4") < 21200L, "drop_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_neardup_clusters" -> q67,
     "q139_cluster_best" -> q139,
     "q143_dedup_funnel" -> q143,
-    "q147_doc_ledger" -> q147)
+    "q147_doc_ledger" -> q147,
+    "q148_ledger_delta" -> q148)
 
   val oracle: Map[String, String] = Map(
     "q67_neardup_clusters" -> q67Sql,
     "q139_cluster_best" -> q139Sql,
     "q143_dedup_funnel" -> q143Sql,
-    "q147_doc_ledger" -> q147Sql)
+    "q147_doc_ledger" -> q147Sql,
+    // the incremental path must hash-match the FULL recompute
+    "q148_ledger_delta" -> q147Sql)
 }

@@ -627,6 +627,22 @@ class QueriesSpec extends SparkTestBase {
       Set("keep", "drop_dup", "drop_quality"))
   }
 
+  test("q148 ledger delta: incremental result equals the q147 full recompute") {
+    val full = graft.operators.Clusters.q147(spark, sfDir).collect()
+    val inc = graft.operators.Clusters.q148(spark, sfDir).collect()
+    assert(full.length == inc.length)
+    full.zip(inc).foreach { case (f, i) =>
+      assert(f == i, s"ledger divergence at doc ${f.get(0)}")
+    }
+    // the merge paths must be live: at least one final cluster must span
+    // a batch (doc_id%5=0) and a history doc, else the contraction logic
+    // went untested
+    val spanning = inc.groupBy(_.getAs[Long]("dup_group"))
+      .values.exists(rows => rows.exists(_.getAs[Long]("doc_id") % 5 == 0) &&
+        rows.exists(_.getAs[Long]("doc_id") % 5 != 0))
+    assert(spanning, "fixture has no batch+history spanning cluster")
+  }
+
   test("q146 stream gate: dual-sink read-back matches a batch gate replay") {
     val out = graft.streaming.EventsStream.q146(spark, sfDir).collect()
     def sha(s: String): String =

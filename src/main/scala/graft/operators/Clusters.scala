@@ -350,17 +350,19 @@ object Clusters {
     val docs = documents(s, dir)
     val proj = docs.select(col("doc_id"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
-        sha2(col("text"), 256).as("digest"),
         graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
       .trackedPersist()
-    val exactRep = proj.groupBy(col("digest"))
-      .agg(min(col("doc_id")).as("exact_rep"))
-    val edges = Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3)
+    // ONE digest collapse serves both the exact-rep derivation and the
+    // near-dup pairing (Dedup.textGroups is persisted)
+    val groups = Dedup.textGroups(docs, "text", "doc_id")
+    val exactRepPerDoc = groups
+      .select(explode(col("members")).as("doc_id"), col("rep").as("exact_rep"))
+    val edges = Dedup.jaccardPairsFromGroups(groups, gram = 3)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
     val labels = connectedComponents(edges)
       .select(col("id").as("doc_id"), col("cluster"))
-    proj.join(exactRep, Seq("digest"))
+    proj.join(exactRepPerDoc, Seq("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("exact_rep"),
@@ -448,41 +450,17 @@ object Clusters {
           .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("cluster"))
       .trackedPersist()
-    // today: digest groups over the merged corpus (global min-id reps)
-    val groups = docs
-      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("fp"),
-        isBatch.as("b"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("rep"),
-        collect_list(col("doc_id")).as("members"),
-        max(col("b")).as("has_batch"),
-        min_by(col("text"), col("doc_id")).as("_text"))
-      .trackedPersist()
+    // today: digest groups over the merged corpus (global min-id reps),
+    // flagged by batch membership — shared Dedup.textGroups stage
+    val groups = Dedup.textGroups(docs, "text", "doc_id", Some(isBatch))
     // exact star edges only for groups that gained a batch member
-    val exactEdges = groups.filter(col("has_batch"))
+    val exactEdges = groups.filter(col("has_flag"))
       .select(col("rep"), explode(col("members")).as("id"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     // text-level near-dup pairs with >=1 batch-holding side (the only
-    // pairs the history run could not have seen)
-    val staged = groups.select(col("rep").as("doc_id"), col("has_batch"),
-      graft.ops.TextQueries.tokens(col("_text")).as("_toks"))
-    val toksAll = staged.select(col("doc_id"), col("has_batch"),
-        explode(Dedup.shinglesFromTokens(col("_toks"), 3)).as("t"))
-      .distinct().trackedPersist()
-    val sizes = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val crossPairs = toksAll.filter(col("has_batch")).as("x")
-      .join(toksAll.as("y"),
-        col("x.t") === col("y.t") && col("x.doc_id") =!= col("y.doc_id") &&
-          (!col("y.has_batch") || col("x.doc_id") < col("y.doc_id")))
-      .groupBy(
-        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .filter(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
-      .select(col("id_a"), col("id_b"))
+    // pairs the history run could not have seen) — shared mechanism
+    val crossPairs = Dedup.crossJaccardEdges(groups, gram = 3, threshold = 0.5)
     // contract new edges through yesterday's labels; CC over supernodes
     val contracted = exactEdges.unionByName(crossPairs)
       .join(histLabels.select(col("doc_id").as("id_a"), col("cluster").as("ca")),

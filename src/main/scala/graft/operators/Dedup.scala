@@ -133,23 +133,38 @@ object Dedup {
     * intra-group pairs are (n, 1.0), inter-group pairs copy the rep-pair
     * numbers. Collapse is a no-op on a dup-free corpus.
     */
-  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      gram: Int = 1): DataFrame = {
-    // min_by(text, doc_id) recovers the rep's text without a join back to
-    // docs — self-evidently deterministic and identical in shape to the
-    // oracle SQL's min_by (any member's text would do: all values in a
-    // sha256 group are identical)
-    // groups (3 consumers) and toks (self-join x/y + sizes) are persisted
-    // so one materialization feeds every consumer — the same structural
-    // guarantee as winnowingShaPairs, instead of best-effort exchange
-    // reuse (see that function's comment for the observed failure mode).
-    val groups = docs
+  /** Digest-collapse of identical texts: one row per unique text with its
+    * min-id rep, full member list, the rep's text payload, and (when
+    * `flag` is given) whether any member satisfies the flag — the shared
+    * first stage of jaccardPairs and the ledger queries (q147/q148).
+    * min_by(text, doc_id) recovers the rep's text without a join back to
+    * docs — self-evidently deterministic and identical in shape to the
+    * oracle SQL's min_by (any member's text would do: all values in a
+    * sha256 group are identical). Persisted: every caller fans it into
+    * multiple consumers. */
+  def textGroups(docs: DataFrame, textCol: String, idCol: String,
+      flag: Option[Column] = None): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
-        sha2(col(textCol), 256).as("_fp"))
+        sha2(col(textCol), 256).as("_fp"),
+        flag.getOrElse(lit(false)).as("_flag"))
       .groupBy(col("_fp"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
+        max(col("_flag")).as("has_flag"),
         min_by(col("_text"), col("doc_id")).as("_text"))
       .trackedPersist()
+
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 1): DataFrame =
+    jaccardPairsFromGroups(textGroups(docs, textCol, idCol), gram)
+
+  /** jaccardPairs over an ALREADY-BUILT textGroups frame — lets ledger
+    * callers pay the scan+digest collapse once and reuse it for exact-rep
+    * derivation. toks is persisted (self-join x/y + sizes consumers) —
+    * the same structural guarantee as winnowingShaPairs, instead of
+    * best-effort exchange reuse (see that function's comment for the
+    * observed failure mode). */
+  def jaccardPairsFromGroups(groups: DataFrame, gram: Int): DataFrame = {
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
       .trackedPersist()
@@ -164,6 +179,35 @@ object Dedup {
       .withColumn("jaccard",
         col("shared") / (col("n_a") + col("n_b") - col("shared")))
     expandGroupPairs(repPairs, groups, sizes)
+  }
+
+  /** Rep-level Jaccard EDGES restricted to pairs where at least one side
+    * holds a flagged member (textGroups' has_flag) — the incremental-
+    * maintenance shape (q148): only flag-touching pairs are new work, a
+    * prior run already contracted the rest. Same shingle staging, shared
+    * counts, and shared/(n_a+n_b-shared) formula as jaccardPairsFromGroups
+    * — one definition of the mechanism, side-predicate aside. Returns
+    * (id_a, id_b) of rep pairs with jaccard ≥ threshold. */
+  def crossJaccardEdges(groups: DataFrame, gram: Int,
+      threshold: Double): DataFrame = {
+    val staged = groups.select(col("rep").as("doc_id"), col("has_flag"),
+      tokens(col("_text")).as("_toks"))
+    val toksAll = staged.select(col("doc_id"), col("has_flag"),
+        explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
+      .distinct().trackedPersist()
+    val sizes = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    toksAll.filter(col("has_flag")).as("x")
+      .join(toksAll.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") =!= col("y.doc_id") &&
+          (!col("y.has_flag") || col("x.doc_id") < col("y.doc_id")))
+      .groupBy(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("shared") / (col("n_a") + col("n_b") - col("shared")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   private def expandInter(repPairs: DataFrame, groups: DataFrame,

@@ -377,13 +377,17 @@ object EventsStream {
       StructField("doc_id", LongType),
       StructField("ts", TimestampType),
       StructField("text", StringType)))
-    val outRoot = java.nio.file.Files
-      .createTempDirectory("graft_qgate_").toFile.getAbsolutePath
+    // stable per-input path, wiped per run (the Fixtures.path discipline)
+    // — repeated bench/test invocations must not accumulate temp dirs
+    val outRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qgate_out_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outRoot))
     val gated = s.readStream.schema(schema).parquet(fixDir)
       .select(sha2(col("text"), 256).as("fp"),
         when(graft.ops.TextQueries.qualityLogit(col("text")) >= 21200L,
           "accept").otherwise("quarantine").as("verdict"))
-    val query = writeViaForeachBatch(gated, "q146_quality_gate",
+    val query = writeViaForeachBatch(gated, "q146_stream_gate",
         Some(Trigger.AvailableNow())) { (batch, id) =>
       val b = batch.persist()
       try {

@@ -104,7 +104,12 @@ object Clusters {
       .orderBy(col("cluster"), col("doc_id"))
   }
 
-  val q67Sql: String =
+  /** Shared DuckDB CTE chain for the q67 edge+CC mechanism: corpus
+    * trigram-Jaccard ≥ 0.5 edges → recursive min-label reachability —
+    * ends with `rec(id, cluster)`, one row per clustered doc. q67/q139/
+    * q149 compose their final SELECT (or further CTEs) onto this single
+    * definition so the clustering oracle has exactly one source of truth. */
+  private val ccCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
       |sh AS (
@@ -130,7 +135,10 @@ object Clusters {
       |    UNION
       |    SELECT bi.b, r.root FROM reach r
       |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
-      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id)
+      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  val q67Sql: String = ccCtes +
+    """
       |SELECT cluster, id AS doc_id,
       |  CASE WHEN id = cluster THEN 'keep' ELSE 'drop' END AS action
       |FROM rec ORDER BY cluster, doc_id""".stripMargin
@@ -179,33 +187,8 @@ object Clusters {
       .orderBy(col("cluster"))
   }
 
-  val q139Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t FROM (
-      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
-      |            for i in range(1, len(toks) - 1)] END) AS t FROM toks)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
-      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1,2),
-      |edges AS (
-      |  SELECT id_a, id_b FROM pairs
-      |  JOIN sizes sa ON id_a = sa.doc_id
-      |  JOIN sizes sb ON id_b = sb.doc_id
-      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
-      |bi AS (SELECT id_a AS a, id_b AS b FROM edges
-      |       UNION ALL SELECT id_b, id_a FROM edges),
-      |nodes AS (SELECT DISTINCT a AS id FROM bi),
-      |rec AS (
-      |  WITH RECURSIVE reach(id, root) AS (
-      |    SELECT id, id FROM nodes
-      |    UNION
-      |    SELECT bi.b, r.root FROM reach r
-      |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
-      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+  val q139Sql: String = ccCtes +
+    """,
       |scored AS (
       |  SELECT r.cluster, d.doc_id, d.n_chars,
       |    20000 + 15*len(regexp_extract_all(text, '\S+'))
@@ -375,33 +358,8 @@ object Clusters {
       .orderBy(col("doc_id"))
   }
 
-  val q147Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t FROM (
-      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |      ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
-      |            for i in range(1, len(toks) - 1)] END) AS t FROM toks)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
-      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1,2),
-      |edges AS (
-      |  SELECT id_a, id_b FROM pairs
-      |  JOIN sizes sa ON id_a = sa.doc_id
-      |  JOIN sizes sb ON id_b = sb.doc_id
-      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
-      |bi AS (SELECT id_a AS a, id_b AS b FROM edges
-      |       UNION ALL SELECT id_b, id_a FROM edges),
-      |nodes AS (SELECT DISTINCT a AS id FROM bi),
-      |rec AS (
-      |  WITH RECURSIVE reach(id, root) AS (
-      |    SELECT id, id FROM nodes
-      |    UNION
-      |    SELECT bi.b, r.root FROM reach r
-      |    JOIN bi ON bi.a = r.id AND r.root < bi.b)
-      |  SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+  val q147Sql: String = ccCtes +
+    """,
       |scored AS (
       |  SELECT doc_id, source,
       |    len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must pass through RAW: sbt's default logger prefixes
+// every stdout line with "[info] ", and the bench harness json-parses the
+// final stdout line — the prefix is the likely reason every BENCH_r*.json
+// so far records `parsed: null`.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

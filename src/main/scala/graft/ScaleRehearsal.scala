@@ -52,9 +52,10 @@ object ScaleRehearsal {
         Map("c_custkey" -> K)))
       w("embeddings", replicate(Tables.embeddings(spark, src), replicas,
         Map("vec_id" -> K)))
-      // events: shift ids; ts stays (heavier per-window volume is the point)
-      w("events", replicate(
-        spark.read.parquet(s"$src/events.parquet"), replicas,
+      // events: shift ids; ts stays (heavier per-window volume is the
+      // point). Via Tables.events so the rehearsal fixture is written with
+      // the NORMALIZED µs TimestampType whatever the source encoding.
+      w("events", replicate(Tables.events(spark, src), replicas,
         Map("event_id" -> K, "user_id" -> 1000L)))
       // documents replicate as exact clones (ids shifted, text identical) —
       // deliberately the worst case for text dedup: every doc gains

@@ -49,21 +49,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microsecond TimestampType with exact integer division — the same
-    * ns→µs truncation DuckDB applies on scan, so oracle parity holds.
+  /** events.ts normalization: the fixture generator has shipped this
+    * column as TIMESTAMP(NANOS) (rounds 1–5) and as TIMESTAMP_NTZ micros
+    * (round 6+), so the loader dispatches on the ACTUAL footer type:
+    *  - NANOS parquet (vectorized reader rejects it) → read as raw long
+    *    nanos via the legacy conf, truncate to µs with exact integer
+    *    division — the same ns→µs truncation DuckDB applies on scan;
+    *  - TIMESTAMP_NTZ µs → cast to TimestampType. Every graft session
+    *    pins spark.sql.session.timeZone=UTC, so the cast preserves the
+    *    wall-clock instant exactly and unix_micros(ts) equals DuckDB's
+    *    epoch_us over the same naive value;
+    *  - TimestampType µs → pass through.
+    * All three land on identical TimestampType values, so downstream
+    * queries and oracles are encoding-independent.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      // TIMESTAMP(NANOS) parquet arrives as long nanos under the legacy
-      // conf → truncate to µs; sources already carrying a real timestamp
-      // (µs parquet, re-written fixtures) pass through unchanged.
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -16,27 +16,47 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Read schema for the events parquet as a stream. ts arrives as
-    * TIMESTAMP(NANOS) which Spark reads (with nanosAsLong) as LongType;
-    * converted to µs TimestampType exactly as graft.Tables.events does.
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Stream read schema for the events parquet, parameterized on the
+    * fixture's ACTUAL ts encoding (the generator has shipped
+    * TIMESTAMP(NANOS) and TIMESTAMP_NTZ-µs across rounds — see
+    * graft.Tables.events). */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** `globFilter` narrows a multi-table directory to the events files
-    * (the file-stream source only accepts directories, never a file). */
+    * (the file-stream source only accepts directories, never a file).
+    *
+    * The file-stream source needs an explicit schema, so probe the footer
+    * type with a batch read first (one footer, no data scan), then apply
+    * the same normalization as graft.Tables.events: whatever the parquet
+    * encoding, the stream carries µs TimestampType and every downstream
+    * watermark/window sees identical instants (session tz is UTC, so the
+    * NTZ cast is wall-clock-exact).
+    */
   def readEvents(spark: SparkSession, dir: String,
       globFilter: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
+    val probe = spark.read
+    globFilter.foreach(g => probe.option("pathGlobFilter", g))
+    // Empty fixture (no matching files / zero row groups) → nothing to
+    // probe and nothing to convert; any ts type yields the same empty
+    // stream, so default to plain TimestampType.
+    val tsType = scala.util.Try(probe.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampType: org.apache.spark.sql.types.DataType)
+    val reader = spark.readStream.schema(rawSchema(tsType))
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
-    reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = reader.parquet(dir)
+    tsType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n` — the

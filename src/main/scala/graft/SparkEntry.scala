@@ -24,7 +24,7 @@ object SparkEntry {
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
       Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
       Merge.queries ++ Scale.queries ++ Analytics.queries ++
-      Layout.queries ++
+      Layout.queries ++ Curation.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       graft.operators.Clusters.queries ++ graft.operators.Pack.queries ++
       graft.streaming.EventsStream.queries
@@ -37,7 +37,7 @@ object SparkEntry {
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
       Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
       Merge.oracle ++ Scale.oracle ++ Analytics.oracle ++
-      Layout.oracle ++
+      Layout.oracle ++ Curation.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       graft.operators.Clusters.oracle ++ graft.operators.Pack.oracle ++
       graft.streaming.EventsStream.oracle

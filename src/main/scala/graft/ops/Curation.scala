@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Corpus-curation operators (round 7): the Gopher-style hard-rule quality
+  * battery, per-domain document caps, tokenizer-fertility accounting, and
+  * sketch-mergeable distinct counts — the four remaining curation moves a
+  * training-data pipeline runs between raw crawl and mixture building
+  * (reference analog: the keep/drop cleaning loop in
+  * scripts/data_cleaning.py:31-63, generalized to corpus scale).
+  *
+  * All batch rules are pure integer Catalyst expressions (regexp_count +
+  * integer division) so every ratio is bit-identical in DuckDB; nothing
+  * here shuffles more than one aggregate exchange except the capped
+  * selection, which uses the bounded-heap TopKPerKey operator instead of a
+  * Window sort.
+  */
+object Curation {
+
+  // ── q149: Gopher-style HARD-RULE battery — unlike q45 (weighted blend
+  //         score) and q133 (single logit), production corpus filters are
+  //         conjunctions of named pass/fail rules, and what the pipeline
+  //         owner reads is the per-source kill breakdown: which rule
+  //         removed how many documents, and what survives all of them.
+  //         Rules (integer arithmetic only, ratios as cross-multiplied
+  //         comparisons so no floats exist anywhere):
+  //           r_nwords: 50 ≤ word count ≤ 100 000
+  //           r_mwl:    mean word length in [3.00, 10.00] chars
+  //           r_sym:    symbol-to-word ratio ≤ 1/10
+  //           r_digit:  digit-to-char ratio ≤ 1/5
+  //           r_caps:   ALL-CAPS-word-to-word ratio ≤ 1/10
+  //           r_stop:   ≥ 2 stopword hits
+  //         One corpus pass, one 20-row-out aggregate exchange — the
+  //         cheapest possible 100 TB shape (same as q145).
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val m = documents(s, dir).select(
+      col("source"),
+      col("n_chars"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("\\S")).cast("long").as("n_nonspace"),
+      regexp_count(col("text"), lit("[#@%^*_~|]")).cast("long").as("n_sym"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+      regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long").as("n_caps"),
+      regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long").as("n_stop"))
+    val r = m.select(
+      col("source"), col("n_words"),
+      (col("n_words") >= 50L && col("n_words") <= 100000L).as("r_nwords"),
+      expr("n_nonspace * 100 DIV greatest(n_words, 1) BETWEEN 300 AND 1000")
+        .as("r_mwl"),
+      (col("n_sym") * 10L <= col("n_words")).as("r_sym"),
+      (col("n_digit") * 5L <= col("n_chars")).as("r_digit"),
+      (col("n_caps") * 10L <= col("n_words")).as("r_caps"),
+      (col("n_stop") >= 2L).as("r_stop"))
+    val kept = col("r_nwords") && col("r_mwl") && col("r_sym") &&
+      col("r_digit") && col("r_caps") && col("r_stop")
+    r.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!col("r_nwords"), 1)).as("fail_nwords"),
+        count(when(!col("r_mwl"), 1)).as("fail_mwl"),
+        count(when(!col("r_sym"), 1)).as("fail_sym"),
+        count(when(!col("r_digit"), 1)).as("fail_digit"),
+        count(when(!col("r_caps"), 1)).as("fail_caps"),
+        count(when(!col("r_stop"), 1)).as("fail_stop"),
+        count(when(kept, 1)).as("n_kept"),
+        sum(when(kept, col("n_words")).otherwise(0L)).as("kept_words"))
+      .orderBy(col("source"))
+  }
+
+  val q149Sql: String =
+    """WITH m AS (
+      |  SELECT source, n_chars,
+      |    len(regexp_extract_all(text, '\S+')) AS n_words,
+      |    len(regexp_extract_all(text, '\S')) AS n_nonspace,
+      |    len(regexp_extract_all(text, '[#@%^*_~|]')) AS n_sym,
+      |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+      |    len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS n_caps,
+      |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS n_stop
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, n_words,
+      |    (n_words BETWEEN 50 AND 100000) AS r_nwords,
+      |    (n_nonspace * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000) AS r_mwl,
+      |    (n_sym * 10 <= n_words) AS r_sym,
+      |    (n_digit * 5 <= n_chars) AS r_digit,
+      |    (n_caps * 10 <= n_words) AS r_caps,
+      |    (n_stop >= 2) AS r_stop
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE NOT r_nwords) AS fail_nwords,
+      |  count(*) FILTER (WHERE NOT r_mwl) AS fail_mwl,
+      |  count(*) FILTER (WHERE NOT r_sym) AS fail_sym,
+      |  count(*) FILTER (WHERE NOT r_digit) AS fail_digit,
+      |  count(*) FILTER (WHERE NOT r_caps) AS fail_caps,
+      |  count(*) FILTER (WHERE NOT r_stop) AS fail_stop,
+      |  count(*) FILTER (WHERE r_nwords AND r_mwl AND r_sym AND r_digit
+      |                     AND r_caps AND r_stop) AS n_kept,
+      |  CAST(sum(CASE WHEN r_nwords AND r_mwl AND r_sym AND r_digit
+      |                 AND r_caps AND r_stop THEN n_words ELSE 0 END)
+      |       AS BIGINT) AS kept_words
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ── q150: per-domain document cap — CommonCrawl-style domain balancing:
+  //         no single source may contribute more than K documents, and the
+  //         K survivors are the BEST K by the shared quality logit
+  //         (doc_id tiebreak). Runs on the bounded-heap TopKPerKey
+  //         operator: one hash exchange, O(sources·K) state, no Window
+  //         sort — at 100 TB the difference between heap-scanning the
+  //         corpus and sorting every domain's full history. Oracled by the
+  //         equivalent row_number window SQL.
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    val scored = documents(s, dir).select(
+      col("source"), col("doc_id"),
+      graft.ops.TextQueries.qualityLogit(col("text")).as("q"))
+    org.apache.spark.sql.graft.TopKPerKey.of(scored,
+        keys = Seq("source"), orderBy = Seq("q" -> false, "doc_id" -> true),
+        k = 10)
+      .orderBy(col("source"), desc("q"), col("doc_id"))
+  }
+
+  val q150Sql: String =
+    """SELECT source, doc_id, q FROM (
+      |  SELECT source, doc_id,
+      |    20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |      + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |      - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |      - 120*len(regexp_extract_all(text, '[0-9]'))
+      |      - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS q,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY 20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |        + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |        - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |        - 120*len(regexp_extract_all(text, '[0-9]'))
+      |        - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) DESC,
+      |        doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10 ORDER BY source, q DESC, doc_id""".stripMargin
+
+  // ── q151: tokenizer-fertility accounting — subtokens-per-word and
+  //         chars-per-subtoken per (lang, source), the number a tokenizer
+  //         owner tracks per corpus slice (high fertility = the tokenizer
+  //         fragments that slice; drives both token-budget math and
+  //         tokenizer retraining). Exact integer sums + integer-scaled
+  //         divisions; one aggregate exchange, 100 rows out.
+  def q151(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit(graft.ops.TextQueries.SubtokenPattern))
+          .cast("long").as("n_subtok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("tot_words"),
+        sum(col("n_subtok")).as("tot_subtok"),
+        sum(col("n_chars")).as("tot_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("tot_words"), col("tot_subtok"), col("tot_chars"),
+        expr("tot_subtok * 1000 DIV greatest(tot_words, 1)").as("fert_x1000"),
+        expr("tot_chars * 1000 DIV greatest(tot_subtok, 1)").as("cps_x1000"))
+      .orderBy(col("lang"), col("source"))
+
+  val q151Sql: String =
+    """WITH m AS (
+      |  SELECT lang, source, n_chars,
+      |    len(regexp_extract_all(text, '\S+')) AS n_words,
+      |    len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS n_subtok
+      |  FROM documents),
+      |a AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(n_words) AS BIGINT) AS tot_words,
+      |    CAST(sum(n_subtok) AS BIGINT) AS tot_subtok,
+      |    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+      |  FROM m GROUP BY lang, source)
+      |SELECT lang, source, n_docs, tot_words, tot_subtok, tot_chars,
+      |  tot_subtok * 1000 // greatest(tot_words, 1) AS fert_x1000,
+      |  tot_chars * 1000 // greatest(tot_subtok, 1) AS cps_x1000
+      |FROM a ORDER BY lang, source""".stripMargin
+
+  // ── q152: sketch-mergeable distinct users — the incremental-distinct
+  //         shape at 100 TB: per (event_type, day) HLL sketches built in
+  //         one pass (partial-aggregated map-side), then MERGED per
+  //         event_type without re-touching the raw events — exactly how a
+  //         warehouse maintains daily sketch rollups and answers "distinct
+  //         users this month" by union, not recount. Output carries the
+  //         HLL estimate next to the exact distinct so the dump shows the
+  //         error; rows-only (DuckDB has no Datasketches HLL) — the
+  //         estimate is a deterministic function of the input set, and
+  //         CurationSpec pins the ±5% envelope against the exact side.
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("est_users"),
+        col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_gopher_rules" -> q149,
+    "q150_domain_cap" -> q150,
+    "q151_token_fertility" -> q151,
+    "q152_hll_users" -> q152)
+
+  val oracle: Map[String, String] = Map(
+    "q149_gopher_rules" -> q149Sql,
+    "q150_domain_cap" -> q150Sql,
+    "q151_token_fertility" -> q151Sql)
+}

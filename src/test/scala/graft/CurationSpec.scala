@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class CurationSpec extends SparkTestBase {
+
+  test("q149: rule-failure breakdown is internally consistent and covers the corpus") {
+    val out = ops.Curation.q149(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_kept") <= n)
+      Seq("fail_nwords", "fail_mwl", "fail_sym", "fail_digit", "fail_caps",
+        "fail_stop").foreach(c => assert(r.getAs[Long](c) <= n, c))
+      // a kept doc fails nothing, so kept + max single-rule kill ≤ n
+      val maxFail = Seq("fail_nwords", "fail_mwl", "fail_sym", "fail_digit",
+        "fail_caps", "fail_stop").map(r.getAs[Long](_)).max
+      assert(r.getAs[Long]("n_kept") + maxFail <= n)
+    }
+  }
+
+  test("q150: TopKPerKey cap ≡ window row_number form, row for row") {
+    val viaOp = ops.Curation.q150(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val scored = Tables.documents(spark, sfDir).select(
+      col("source"), col("doc_id"),
+      ops.TextQueries.qualityLogit(col("text")).as("q"))
+    val viaWindow = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(desc("q"), col("doc_id"))))
+      .filter(col("rn") <= 10).drop("rn")
+      .orderBy(col("source"), desc("q"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaOp == viaWindow)
+  }
+
+  test("q150 plan: bounded-heap operator, no Window, no per-domain sort before it") {
+    val p = ops.Curation.q150(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), "cap must not fall back to a window\n" + p)
+  }
+
+  test("q151: fertility is exact integer arithmetic over whole-corpus sums") {
+    val out = ops.Curation.q151(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val words = r.getAs[Long]("tot_words")
+      val sub = r.getAs[Long]("tot_subtok")
+      val chars = r.getAs[Long]("tot_chars")
+      assert(r.getAs[Long]("fert_x1000") == sub * 1000 / math.max(words, 1))
+      assert(r.getAs[Long]("cps_x1000") == chars * 1000 / math.max(sub, 1))
+      // subword pieces can't be fewer than whitespace words
+      assert(sub >= words)
+    }
+  }
+
+  test("q152: merged HLL estimate lands within 5% of the exact distinct") {
+    val out = ops.Curation.q152(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Long]("est_users")
+      val exact = r.getAs[Long]("exact_users")
+      assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q152: daily sketches merge to the same estimate as one global sketch") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val global = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val merged = ops.Curation.q152(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("est_users"))).toMap
+    assert(merged == global)
+  }
+}

@@ -206,11 +206,58 @@ object Curation {
       .orderBy(col("event_type"))
   }
 
+  // ── q153: PERSISTED sketch ledger — q152's incremental production form:
+  //         daily HLL sketches are WRITTEN to parquet (binary sketch
+  //         column) as the ledger, and the newest day arrives later as a
+  //         batch whose sketch is unioned against the ledger READ BACK
+  //         from disk — distinct-users-to-date updated per day without
+  //         ever re-touching historical raw events (the q82/q148 ledger
+  //         discipline, approximate-state edition). At 100 TB the ledger
+  //         is (types × days) rows of ~1-4 KB sketches — kilobytes per
+  //         day — while the raw events it summarizes never need to exist
+  //         again. Rows-only (no HLL in DuckDB); CurationSpec pins
+  //         union-through-parquet ≡ one global sketch over all events.
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    // the deterministic "today": a 1-row bounded collect, never data-sized
+    val maxRow = ev.agg(max(col("day"))).collect()(0)
+    if (maxRow.isNullAt(0)) {
+      // empty source → empty ledger report, correct schema
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("n_days_ledger", LongType),
+          StructField("est_before", LongType),
+          StructField("est_after", LongType))))
+    }
+    val maxDay = maxRow.getDate(0)
+    val ledgerDir = graft.Fixtures.path("hllledger", dir)(
+      ev.filter(col("day") < lit(maxDay))
+        .groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")))
+    val ledger = s.read.parquet(ledgerDir)
+    val batch = ev.filter(col("day") === lit(maxDay))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val before = ledger.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_ledger"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_before"))
+    val after = ledger.unionByName(batch).groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_after"))
+    before.join(after, Seq("event_type"))
+      .select(col("event_type"), col("n_days_ledger"), col("est_before"),
+        col("est_after"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_gopher_rules" -> q149,
     "q150_domain_cap" -> q150,
     "q151_token_fertility" -> q151,
-    "q152_hll_users" -> q152)
+    "q152_hll_users" -> q152,
+    "q153_sketch_ledger" -> q153)
 
   val oracle: Map[String, String] = Map(
     "q149_gopher_rules" -> q149Sql,

@@ -67,6 +67,25 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q153: ledger union through parquet ≡ one global sketch; batch day excluded from ledger") {
+    val out = ops.Curation.q153(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val nDays = ev.select(col("day")).distinct().count()
+    val global = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    out.foreach { r =>
+      // the ledger holds every day but "today"
+      assert(r.getAs[Long]("n_days_ledger") == nDays - 1)
+      // merging the parquet-round-tripped ledger with the fresh batch must
+      // equal the single-pass global sketch — serialized state is mergeable
+      assert(r.getAs[Long]("est_after") == global(r.getString(0)))
+      assert(r.getAs[Long]("est_before") <= r.getAs[Long]("est_after"))
+    }
+  }
+
   test("q152: daily sketches merge to the same estimate as one global sketch") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"))

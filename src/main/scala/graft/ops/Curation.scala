@@ -252,12 +252,43 @@ object Curation {
       .orderBy(col("event_type"))
   }
 
+  // ── q154: sketch-based source-overlap matrix — the 100 TB path for
+  //         q72's exact overlap audit (whose pairwise gram join is
+  //         documented audit-only): each source's distinct-document set is
+  //         summarized ONCE into an HLL sketch of text digests, and every
+  //         source pair is then estimated from the KB-sized sketches via
+  //         inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) with the scalar
+  //         hll_union — the corpus is scanned exactly once however many
+  //         sources exist, and the pair matrix never touches raw data.
+  //         Rows-only (no HLL in DuckDB); CurationSpec pins the estimates
+  //         against the exact digest-intersection on the test corpus.
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val sk = documents(s, dir)
+      .select(col("source"), xxhash64(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("fp")).as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    // sources number in the dozens: the sketch table broadcasts, the pair
+    // expansion is |sources|² rows of binary columns, never corpus-sized
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_gopher_rules" -> q149,
     "q150_domain_cap" -> q150,
     "q151_token_fertility" -> q151,
     "q152_hll_users" -> q152,
-    "q153_sketch_ledger" -> q153)
+    "q153_sketch_ledger" -> q153,
+    "q154_overlap_sketch" -> q154)
 
   val oracle: Map[String, String] = Map(
     "q149_gopher_rules" -> q149Sql,

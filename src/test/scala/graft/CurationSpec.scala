@@ -86,6 +86,27 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q154: sketch overlap estimates track the exact digest intersection") {
+    val out = ops.Curation.q154(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), xxhash64(col("text")).as("fp")).distinct()
+    val exact = d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(countDistinct(col("a.fp")).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val est = r.getAs[Long]("est_inter")
+      val ex = exact.getOrElse(key, 0L)
+      // HLL differencing is noisier than plain counting: allow 10% of the
+      // union or ±3 absolute, whichever is larger
+      val slack = math.max(3L, r.getAs[Long]("est_union") / 10)
+      assert(math.abs(est - ex) <= slack, s"$key est $est exact $ex")
+    }
+  }
+
   test("q152: daily sketches merge to the same estimate as one global sketch") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"))

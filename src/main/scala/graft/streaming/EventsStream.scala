@@ -445,7 +445,35 @@ object EventsStream {
       |       THEN 'accept' ELSE 'quarantine' END AS verdict
       |FROM u ORDER BY verdict, fp""".stripMargin
 
+  // ── q155: streaming SKETCH rollup — distinct users per (day, type)
+  //         estimated by an HLL sketch maintained as STREAMING STATE:
+  //         each micro-batch folds its rows into the per-group sketch, so
+  //         state per group is a fixed ~KB regardless of how many events
+  //         the day saw — the streaming face of q152's batch rollup, and
+  //         the bounded-state alternative to exact streaming
+  //         count-distinct (whose state grows with cardinality). HLL
+  //         insertion is order-independent, so the end-of-stream estimate
+  //         equals the batch single-pass sketch bit-for-bit
+  //         (StreamingSpec pins it); rows-only for the driver (no HLL in
+  //         DuckDB).
+  def q155(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q155_stream_hll_sink"
+    s.catalog.dropTempView(qn)
+    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("est_users"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("est_users"))
+    val query = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_stream_hll" -> q155,
     "q146_stream_gate" -> q146,
     "q126_stream_enrich" -> q126,
     "q62_events_hourly_stream" -> q62,

@@ -191,4 +191,18 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("q155: streaming HLL state equals the batch single-pass sketch estimate") {
+    val streamed = graft.streaming.EventsStream.q155(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_users"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("est_users"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }

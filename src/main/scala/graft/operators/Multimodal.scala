@@ -589,13 +589,141 @@ object Multimodal {
       |  px_sum, px_min, px_max
       |FROM px ORDER BY media_id, frame_idx""".stripMargin
 
+  // ── q156: perceptual-hash IMAGE dedup — the multimodal face of the
+  //        dedup family: byte-level dedup misses a re-encoded duplicate
+  //        (same pixels, different PNG bytes), so each image is reduced to
+  //        a 64-bit average-hash computed on the DECODED raster (ImageIO,
+  //        like q107), and grouping happens on the hash. Near-duplicates
+  //        (a few perturbed pixels) pair via the SimHash banding machinery
+  //        applied to image hashes: 4×16-bit bands, exact-band equi-join
+  //        among DISTINCT hashes only (clone collapse first), Hamming
+  //        verify by bit_count(xor) ∈ [1,6]. Banding recall is guaranteed
+  //        for Hamming ≤ 3 (pigeonhole over 4 bands) and probabilistic
+  //        above — the same contract as the text SimHash path (q35).
+  //        Scale shape: payloads never shuffle (hashing is a narrow
+  //        mapPartitions); only (id, 8-byte hash) leaves the scan, and the
+  //        pair join runs on distinct hashes. Rows-only (ImageIO is not
+  //        SQL-expressible); MultimodalSpec pins the re-encode-invariance
+  //        and near-pair mechanics.
+
+  /** 64-bit average-hash: 8×8 nearest-neighbor grid samples thresholded
+    * against their own mean — cross-multiplied, so integer-exact. */
+  private[graft] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    val s = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      s(i) = r.getSample((i % 8) * w / 8, (i / 8) * h / 8, 0).toLong
+      sum += s(i); i += 1
+    }
+    var bits = 0L; i = 0
+    while (i < 64) { if (s(i) * 64 >= sum) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Insert a tEXt metadata chunk right after IHDR: a byte-different,
+    * pixel-identical PNG — the re-encoded-duplicate fixture case. */
+  private[graft] def withTextChunk(png: Array[Byte], kv: String): Array[Byte] = {
+    val tpe = "tEXt".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val data = kv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+    buf.putInt(data.length).put(tpe).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tpe); crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    val chunk = buf.array()
+    val insertAt = 8 + 25 // PNG signature + IHDR (len+type+13 data+crc)
+    val out = new Array[Byte](png.length + chunk.length)
+    System.arraycopy(png, 0, out, 0, insertAt)
+    System.arraycopy(chunk, 0, out, insertAt, chunk.length)
+    System.arraycopy(png, insertAt, out, insertAt + chunk.length,
+      png.length - insertAt)
+    out
+  }
+
+  /** q156 fixture: base PNGs ∪ re-encoded twins (doc_id%3==0 → +1e9, tEXt
+    * chunk injected, pixels identical) ∪ perturbed near-twins
+    * (doc_id%5==0 → +2e9, first digest byte inverted before encode). */
+  def pngVariantsTable(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val p = graft.Fixtures.path("pngvar", dir) {
+      val base = pngFixture(s, dir)
+      val re = base.filter(col("doc_id") % 3 === 0)
+        .as[(Long, Array[Byte])]
+        .map { case (id, png) =>
+          (id + 1000000000L, withTextChunk(png, "src re-encode")) }
+        .toDF("doc_id", "payload")
+      val pert = documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0).as[(Long, String)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (id, text) =>
+            val dgst = md.digest(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            dgst(0) = (~dgst(0)).toByte
+            val (w, h) = DimsByMod(((id % 6) + 6).toInt % 6)
+            (id + 2000000000L, grayPng(dgst, w, h))
+          }
+        }.toDF("doc_id", "payload")
+      base.unionByName(re).unionByName(pert)
+    }
+    s.read.parquet(p)
+  }
+
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val hashed = pngVariantsTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: not a decodable image")
+          (id, aHash64(img))
+        }
+      }.toDF("media_id", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("rep_id"))
+    val bands = groups.select(col("ahash"))
+      .select(col("ahash"), explode(expr("array(" +
+        (0 until 4).map(b =>
+          s"struct($b as b, shiftrightunsigned(ahash, ${b * 16}) & 65535 as v)")
+          .mkString(",") + ")")).as("bd"))
+      .select(col("ahash"), col("bd.b").as("b"), col("bd.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.ahash") < col("y.ahash"))
+      .select(col("x.ahash").as("ha"), col("y.ahash").as("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming").between(1, 6))
+    val near = cand.select(col("ha").as("ahash"), col("hb").as("other"))
+      .unionByName(cand.select(col("hb").as("ahash"), col("ha").as("other")))
+      .groupBy(col("ahash"))
+      .agg(countDistinct(col("other")).as("near_hashes"))
+    hashed.join(groups, Seq("ahash"))
+      .join(near, Seq("ahash"), "left")
+      .withColumn("near_hashes", coalesce(col("near_hashes"), lit(0L)))
+      .filter(col("n_images") > 1 || col("near_hashes") > 0)
+      .select(col("media_id"), hex(col("ahash")).as("ahash_hex"),
+        col("n_images"), (col("media_id") === col("rep_id")).as("is_rep"),
+        col("near_hashes"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> q40,
     "q63_media_binary" -> q63,
     "q107_png_decode" -> q107,
     "q109_png_resize" -> q109,
     "q110_wav_decode" -> q110,
-    "q111_frame_stream" -> q111)
+    "q111_frame_stream" -> q111,
+    "q156_image_phash" -> q156)
 
   val oracle: Map[String, String] = Map(
     "q40_multimodal_meta" -> q40Sql,

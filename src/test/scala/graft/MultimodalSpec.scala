@@ -207,4 +207,32 @@ class MultimodalSpec extends SparkTestBase {
     // every doc appears: frame 0 always survives sampling
     assert(out.map(_.getAs[Long]("media_id")).distinct.length == docs.size)
   }
+
+  test("q156: aHash is invariant under re-encode (tEXt chunk) and both decode") {
+    val png = operators.Multimodal.grayPng(
+      (0 until 32).map(i => (i * 7 % 256).toByte).toArray, 8, 4)
+    val re = operators.Multimodal.withTextChunk(png, "k v")
+    assert(!java.util.Arrays.equals(png, re), "bytes must differ")
+    def hash(b: Array[Byte]) = operators.Multimodal.aHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    assert(hash(png) == hash(re), "pixels identical => same perceptual hash")
+  }
+
+  test("q156: re-encoded twins group with their base; some perturbed near-pairs survive banding") {
+    val out = operators.Multimodal.q156(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    // every %3 doc has a pixel-identical re-encode => its hash group has ≥2
+    val base = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    base.filter(_ % 3 == 0).foreach { id =>
+      assert(byId.contains(id) && byId(id).getAs[Long]("n_images") >= 2,
+        s"doc $id missing its re-encode group")
+      assert(byId.contains(id + 1000000000L), s"twin of $id missing")
+    }
+    // at least one perturbed twin pairs as a near-dup (dims 8×4 flip ≤2
+    // sampled bits inside one 16-bit band — guaranteed banding recall)
+    assert(out.exists(_.getAs[Long]("near_hashes") > 0),
+      "expected at least one near-duplicate pair")
+  }
 }

@@ -121,17 +121,56 @@ object Joins {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // ── q157: FULL-OUTER reconciliation — the two-system audit join (which
+  //         keys exist only in the warehouse, only in the event log, or in
+  //         both, and do the volumes agree): per-key order counts
+  //         full-outer-joined to per-key event counts, null-safe status
+  //         classification. Both sides aggregate BEFORE the join (the
+  //         outer join runs on two already-small keyed aggregates, never
+  //         on raw fact×fact), so at 100 TB this is two partial-agg
+  //         exchanges plus one merge join on key counts.
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = events(s, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_orders").isNull, "events_only")
+          .when(col("n_events").isNull, "orders_only")
+          .otherwise("both").as("status"))
+      .orderBy(col("k"))
+  }
+
+  val q157Sql: String =
+    """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |e AS (SELECT user_id AS k, count(*) AS n_events
+      |      FROM events GROUP BY 1)
+      |SELECT coalesce(o.k, e.k) AS k,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(n_events, 0) AS n_events,
+      |  CASE WHEN o.k IS NULL THEN 'events_only'
+      |       WHEN e.k IS NULL THEN 'orders_only'
+      |       ELSE 'both' END AS status
+      |FROM o FULL OUTER JOIN e ON o.k = e.k
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_join_broadcast" -> q16,
     "q17_join_fact" -> q17,
     "q18_join_semi" -> q18,
     "q19_join_anti" -> q19,
-    "q20_join_star" -> q20)
+    "q20_join_star" -> q20,
+    "q157_outer_reconcile" -> q157)
 
   val oracle: Map[String, String] = Map(
     "q16_join_broadcast" -> q16Sql,
     "q17_join_fact" -> q17Sql,
     "q18_join_semi" -> q18Sql,
     "q19_join_anti" -> q19Sql,
-    "q20_join_star" -> q20Sql)
+    "q20_join_star" -> q20Sql,
+    "q157_outer_reconcile" -> q157Sql)
 }

@@ -210,4 +210,22 @@ class PlanSpec extends SparkTestBase {
     // the numbered-fanout repartition + the one aggregate exchange
     assert(p.split("hashpartitioning").length - 1 == 2, p)
   }
+
+  test("q157: full-outer reconciliation aggregates BOTH sides before the join") {
+    val q = graft.ops.Joins.q157(spark, sfDir)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("FullOuter"), exec)
+    // the join must consume two aggregates, never a raw fact side: in the
+    // optimized plan both join children are Aggregates
+    val opt = q.queryExecution.optimizedPlan
+    val join = opt.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.get
+    def isAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+    assert(isAgg(join.left) && isAgg(join.right),
+      "both full-outer inputs must be pre-aggregated:\n" + opt)
+  }
 }

@@ -994,7 +994,45 @@ object Similarity {
       |SELECT qid, neg_id, cos_sim, rank FROM ranked WHERE rank BETWEEN 4 AND 13
       |ORDER BY qid, rank""".stripMargin
 
+  // ── q158: ANN recall AUDIT as a first-class query — the number an index
+  //         owner actually watches: recall@10 of each approximate path
+  //         (sign-bucket LSH, label-IVF, k-means-IVF) against the exact
+  //         brute-force top-10, per probe. The brute baseline is one
+  //         corpus scan with the 20 probes broadcast; each approximate leg
+  //         reuses the production operator unchanged, and the comparison
+  //         is a left-semi join on (qid, nn_id) — so the audit costs one
+  //         extra corpus pass however many methods it scores. Rows-only
+  //         (LSH/IVF internals are seeded/learned, not SQL-expressible);
+  //         SimilaritySpec pins recall floors per method.
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val k = 10
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    val brute = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nn_id"))
+    def leg(name: String, approx: DataFrame): DataFrame = {
+      val hits = brute.join(approx.select(col("qid"), col("nn_id")),
+          Seq("qid", "nn_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      probes.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(lit(name).as("method"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as(s"hits_at_$k"))
+    }
+    leg("lsh", annLsh(e, probes, k))
+      .unionByName(leg("ivf", annIvf(e, probes, k)))
+      .unionByName(leg("ivf_kmeans", annIvfKmeans(e, probes, k)))
+      .orderBy(col("method"), col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_ann_recall" -> q158,
     "q140_hard_negatives" -> q140,
     "q128_ann_persisted" -> q128,
     "q129_semdedup" -> q129,

@@ -337,4 +337,23 @@ class SimilaritySpec extends SparkTestBase {
     val first = Similarity.q128(spark, sfDir).collect().map(_.toSeq)
     assert(again.toSeq == first.toSeq)
   }
+
+  test("q158: recall audit is bounded, covers every probe×method, and ranks sanely") {
+    val out = Similarity.q158(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val methods = out.map(_._1).distinct.sorted
+    assert(methods.toSeq == Seq("ivf", "ivf_kmeans", "lsh"))
+    val nProbes = out.map(_._2).distinct.length
+    assert(out.length == 3 * nProbes, "one row per probe per method")
+    assert(out.forall { case (_, _, h) => h >= 0 && h <= 10 })
+    val avg = out.groupBy(_._1).view.mapValues(v =>
+      v.map(_._3).sum.toDouble / v.length).toMap
+    // probing nprobe lists must not do worse than the coarse label-IVF's
+    // floor; both partition-probing methods beat single-bucket LSH at this
+    // corpus size (2^8 buckets over tiny corpora leave ~1-2 vectors each)
+    assert(avg("ivf_kmeans") >= 1.0, avg.toString)
+    assert(avg("ivf") >= 0.5, avg.toString)
+    assert(avg("ivf") >= avg("lsh") && avg("ivf_kmeans") >= avg("lsh"),
+      avg.toString)
+  }
 }

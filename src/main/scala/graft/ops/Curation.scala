@@ -282,16 +282,62 @@ object Curation {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ── q159: blocklist filtering via JOIN, not regex — content filtering
+  //         against a large term list. A single alternation regex stops
+  //         scaling past a few hundred terms (pattern compilation and
+  //         per-char backtracking); the production shape is relational:
+  //         tokenize once, equi-join the token stream against the
+  //         broadcast blocklist, aggregate hits per document. The
+  //         blocklist here is itself derived deterministically (the 40
+  //         alphabetically-first distinct corpus tokens of length ≥ 5 —
+  //         a stand-in for the curated list a real pipeline ships), so
+  //         the whole query is SQL-expressible and the oracle is
+  //         bit-exact. Per-doc output: distinct blocked terms, total
+  //         hits, verdict at the ≥3-distinct-terms cut.
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.ops.TextQueries.tokens(col("text"))).as("tok"))
+    val blocklist = toks.select(col("tok"))
+      .filter(length(col("tok")) >= 5).distinct()
+      .orderBy(col("tok")).limit(40)
+    val hits = toks.join(broadcast(blocklist), Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+    hits.select(col("doc_id"), col("source"), col("n_terms"), col("n_hits"),
+        when(col("n_terms") >= 3, "block").otherwise("flag").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q159Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |  FROM documents),
+      |bl AS (
+      |  SELECT DISTINCT tok FROM toks WHERE len(tok) >= 5
+      |  ORDER BY tok LIMIT 40),
+      |h AS (
+      |  SELECT doc_id, source, count(DISTINCT t.tok) AS n_terms,
+      |    count(*) AS n_hits
+      |  FROM toks t JOIN bl USING (tok)
+      |  GROUP BY doc_id, source)
+      |SELECT doc_id, source, n_terms, n_hits,
+      |  CASE WHEN n_terms >= 3 THEN 'block' ELSE 'flag' END AS verdict
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_gopher_rules" -> q149,
     "q150_domain_cap" -> q150,
     "q151_token_fertility" -> q151,
     "q152_hll_users" -> q152,
     "q153_sketch_ledger" -> q153,
-    "q154_overlap_sketch" -> q154)
+    "q154_overlap_sketch" -> q154,
+    "q159_blocklist" -> q159)
 
   val oracle: Map[String, String] = Map(
     "q149_gopher_rules" -> q149Sql,
     "q150_domain_cap" -> q150Sql,
-    "q151_token_fertility" -> q151Sql)
+    "q151_token_fertility" -> q151Sql,
+    "q159_blocklist" -> q159Sql)
 }

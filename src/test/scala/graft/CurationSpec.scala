@@ -107,6 +107,20 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q159: blocklist matching is a broadcast equi-join, not a giant regex") {
+    val q = ops.Curation.q159(spark, sfDir)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"), exec)
+    // the only regexes are the tokenizer split; no alternation blob built
+    // from list terms may appear in any Filter
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("RLIKE")), opt)
+    val out = q.collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_hits") >= r.getAs[Long]("n_terms")))
+  }
+
   test("q152: daily sketches merge to the same estimate as one global sketch") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"))

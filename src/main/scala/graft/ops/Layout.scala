@@ -130,9 +130,63 @@ object Layout {
        |FROM zed GROUP BY z_tile ORDER BY z_tile""".stripMargin
   }
 
+  // ── q160: schema-drift-tolerant scan AS AN ORACLED QUERY — a 100 TB
+  //         table is written over months by evolving jobs, so generations
+  //         disagree on columns. Fixture: generation 1 (doc_id%2==0) is
+  //         written WITHOUT `lang`; generation 2 carries it. The read is
+  //         `mergeSchema=true` over both generations (gen-1 rows surface
+  //         lang=NULL), and the report buckets per effective language with
+  //         a coalesced default — the exact semantics a late-added column
+  //         must have. The oracle reproduces the result from the original
+  //         `documents` table (gen-1 rows forced to 'unknown'), so the
+  //         driver hash proves the drifted read loses and invents nothing.
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gens = writeDriftGenerations(s, dir)
+    graft.sources.Sources.readParquetEvolved(s, gens)
+      .select(coalesce(col("lang"), lit("unknown")).as("lang_eff"),
+        col("n_chars"))
+      .groupBy(col("lang_eff"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+      .orderBy(col("lang_eff"))
+  }
+
+  /** Two-generation parquet layout for q160: gen1 files lack `lang`
+    * entirely (physical schema drift, not just nulls). Built once per
+    * (dir) per JVM under a stable tmp path. */
+  private val driftWritten = scala.collection.mutable.Set.empty[String]
+  private[graft] def writeDriftGenerations(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_schemadrift_gens_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    driftWritten.synchronized {
+      if (!driftWritten.contains(root)) {
+        val d = graft.Tables.documents(s, dir)
+        d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$root/gen=1")
+        d.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$root/gen=2")
+        driftWritten.add(root)
+      }
+    }
+    root
+  }
+
+  val q160Sql: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END AS lang_eff,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+      |FROM documents
+      |GROUP BY 1 ORDER BY lang_eff""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q96_zorder_tiles" -> q96)
+    "q96_zorder_tiles" -> q96,
+    "q160_schema_drift" -> q160)
 
   val oracle: Map[String, String] = Map(
-    "q96_zorder_tiles" -> q96Sql)
+    "q96_zorder_tiles" -> q96Sql,
+    "q160_schema_drift" -> q160Sql)
 }

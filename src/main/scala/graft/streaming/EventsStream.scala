@@ -223,6 +223,61 @@ object EventsStream {
       .orderBy(col("e_id"), col("c_id"))
   }
 
+  // ── q161: STREAM-STREAM LEFT OUTER interval join — q91's inner form
+  //        emits only matches; the outer form must ALSO emit each
+  //        unmatched error once its join state is evicted (no click can
+  //        still arrive). Emission is watermark-gated, so the registered
+  //        result is: all matches + the null-extended errors whose event
+  //        time fell below the FINAL watermark (global max e_ts − 1h with
+  //        AvailableNow draining the file source — deterministic). The
+  //        oracle encodes exactly that semantics in batch SQL: a LEFT
+  //        JOIN whose null-extended rows are kept only below the final
+  //        watermark — so the driver hash pins Spark's outer-emission
+  //        rule, not just the match set.
+  def q161(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val qn = "q161_stream_outer_sink"
+    s.catalog.dropTempView(qn)
+    val ev = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val query = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).select(col("e_id"), col("e_user"), col("e_ts"),
+        col("c_id"), col("c_ts"))
+      .orderBy(col("e_id"), col("c_id"))
+  }
+
+  val q161Sql: String =
+    """WITH errors AS (
+      |  SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts
+      |  FROM events WHERE event_type = 'error'),
+      |clicks AS (
+      |  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT max(e_ts) - INTERVAL 1 HOUR AS final_wm FROM errors),
+      |j AS (
+      |  SELECT e.e_id, e.e_user, e.e_ts, c.c_id, c.c_ts
+      |  FROM errors e LEFT JOIN clicks c
+      |    ON c.c_user = e.e_user AND c.c_ts <= e.e_ts
+      |   AND epoch_us(e.e_ts) - epoch_us(c.c_ts) <= 600000000)
+      |SELECT j.e_id, j.e_user, j.e_ts, j.c_id, j.c_ts
+      |FROM j, wm
+      |WHERE j.c_id IS NOT NULL OR j.e_ts < wm.final_wm
+      |ORDER BY e_id, c_id""".stripMargin
+
   val q91Sql: String =
     """SELECT e.event_id AS e_id, e.user_id AS e_user, e.ts AS e_ts,
       |  c.event_id AS c_id, c.ts AS c_ts
@@ -473,6 +528,7 @@ object EventsStream {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_stream_outer" -> q161,
     "q155_stream_hll" -> q155,
     "q146_stream_gate" -> q146,
     "q126_stream_enrich" -> q126,
@@ -485,6 +541,7 @@ object EventsStream {
 
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
+    "q161_stream_outer" -> q161Sql,
     "q146_stream_gate" -> q146Sql,
     "q126_stream_enrich" -> q126Sql,
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,

@@ -192,6 +192,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("q161: outer join emits matches plus watermark-evicted unmatched errors only") {
+    val out = graft.streaming.EventsStream.q161(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val matched = out.filter(!_.isNullAt(3))
+    val unmatched = out.filter(_.isNullAt(3))
+    // inner subset identical to q91
+    val inner = graft.streaming.EventsStream.q91(spark, sfDir).collect()
+    assert(matched.map(_.toSeq).toSeq == inner.map(_.toSeq).toSeq)
+    // every null-extended error sits below the final watermark
+    // (max error ts − 1h); the withheld tail is never emitted
+    val errs = Tables.events(spark, sfDir)
+      .where(col("event_type") === "error")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    unmatched.foreach { r =>
+      assert(r.getTimestamp(2).getTime < errs - 3600L * 1000,
+        s"null-extended row above final watermark: $r")
+    }
+    assert(unmatched.nonEmpty, "fixture must exercise the outer emission")
+  }
+
   test("q155: streaming HLL state equals the batch single-pass sketch estimate") {
     val streamed = graft.streaming.EventsStream.q155(spark, sfDir)
       .collect().map(_.toSeq)

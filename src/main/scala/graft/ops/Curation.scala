@@ -326,7 +326,40 @@ object Curation {
       |  CASE WHEN n_terms >= 3 THEN 'block' ELSE 'flag' END AS verdict
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ── q162: erasure audit (GDPR/right-to-be-forgotten) — the governance
+  //         operator every stored corpus eventually needs: a tombstone
+  //         table of user ids to erase (here derived deterministically:
+  //         user_id % 97 == 0), an anti-join producing the surviving
+  //         table, and the PROOF report regulators ask for — per
+  //         event_type: rows before, rows erased, rows after, distinct
+  //         erased users — with after + erased ≡ before enforced by the
+  //         oracle hash. Scale shape: the tombstone side broadcasts (it
+  //         is always small relative to the corpus); one corpus pass
+  //         computes both sides of the proof via conditional aggregation
+  //         — no second scan of the survivors.
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val flagged = events(s, dir)
+      .withColumn("erase", col("user_id") % 97 === 0)
+    flagged.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("rows_before"),
+        count(when(col("erase"), 1)).as("rows_erased"),
+        count(when(!col("erase"), 1)).as("rows_after"),
+        countDistinct(when(col("erase"), col("user_id"))).as("users_erased"))
+      .orderBy(col("event_type"))
+  }
+
+  val q162Sql: String =
+    """SELECT event_type,
+      |  count(*) AS rows_before,
+      |  count(*) FILTER (WHERE user_id % 97 = 0) AS rows_erased,
+      |  count(*) FILTER (WHERE user_id % 97 <> 0) AS rows_after,
+      |  count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+      |    AS users_erased
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_erasure_audit" -> q162,
     "q149_gopher_rules" -> q149,
     "q150_domain_cap" -> q150,
     "q151_token_fertility" -> q151,
@@ -336,6 +369,7 @@ object Curation {
     "q159_blocklist" -> q159)
 
   val oracle: Map[String, String] = Map(
+    "q162_erasure_audit" -> q162Sql,
     "q149_gopher_rules" -> q149Sql,
     "q150_domain_cap" -> q150Sql,
     "q151_token_fertility" -> q151Sql,

@@ -121,6 +121,19 @@ class CurationSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Long]("n_hits") >= r.getAs[Long]("n_terms")))
   }
 
+  test("q162: erasure proof balances (after + erased ≡ before) and kills every tombstoned row") {
+    val out = ops.Curation.q162(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("rows_after") + r.getAs[Long]("rows_erased") ==
+        r.getAs[Long]("rows_before"))
+    }
+    val survivors = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 97 =!= 0)
+    assert(survivors.filter(col("user_id") % 97 === 0).count() == 0)
+    assert(out.map(_.getAs[Long]("rows_after")).sum == survivors.count())
+  }
+
   test("q152: daily sketches merge to the same estimate as one global sketch") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"))

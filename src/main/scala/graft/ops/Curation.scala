@@ -358,7 +358,41 @@ object Curation {
       |    AS users_erased
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ── q163: weighted sampling WITHOUT replacement via priority sampling
+  //         (Duffield–Lund–Thorup): each doc draws a deterministic uniform
+  //         u from md5(doc_id) and gets priority = w·2³² DIV u with
+  //         w = token count — heavier documents sample with higher
+  //         probability, and the k largest priorities form the sample.
+  //         All-integer arithmetic (u from an 8-hex-digit slice, priority
+  //         by integer division, w·2³² ≤ 4.3·10¹⁴ « int64), so both
+  //         engines compute bit-identical keys and the oracle is exact —
+  //         no float ordering anywhere. One corpus pass + top-k
+  //         (TakeOrderedAndProject): the one-shuffle-free distributed
+  //         weighted-sample shape, vs. the usual sort-everything.
+  def q163(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(regexp_count(col("text"), lit("\\S+")).cast("long"), lit(1L))
+          .as("w"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT) + 1").as("u"))
+      .withColumn("priority", expr("w * 4294967296 DIV u"))
+      .select(col("doc_id"), col("source"), col("w"), col("priority"))
+      .orderBy(desc("priority"), col("doc_id"))
+      .limit(100)
+
+  val q163Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) + 1 AS u
+      |  FROM documents)
+      |SELECT doc_id, source, w, w * 4294967296 // u AS priority
+      |FROM m ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_weighted_sample" -> q163,
     "q162_erasure_audit" -> q162,
     "q149_gopher_rules" -> q149,
     "q150_domain_cap" -> q150,
@@ -369,6 +403,7 @@ object Curation {
     "q159_blocklist" -> q159)
 
   val oracle: Map[String, String] = Map(
+    "q163_weighted_sample" -> q163Sql,
     "q162_erasure_audit" -> q162Sql,
     "q149_gopher_rules" -> q149Sql,
     "q150_domain_cap" -> q150Sql,

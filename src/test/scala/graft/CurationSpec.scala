@@ -134,6 +134,22 @@ class CurationSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("rows_after")).sum == survivors.count())
   }
 
+  test("q163: weighted sample is one corpus pass + top-k, and heavier docs win more slots") {
+    val q = ops.Curation.q163(spark, sfDir)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      "weighted sample must be top-k, not a global sort:\n" + exec)
+    val sample = q.collect()
+    assert(sample.nonEmpty && sample.length <= 100)
+    // weighted-ness: the sample's mean token weight exceeds the corpus mean
+    val corpusMean = Tables.documents(spark, sfDir)
+      .select(avg(greatest(regexp_count(col("text"), lit("\\S+")), lit(1))))
+      .collect()(0).getDouble(0)
+    val sampleMean = sample.map(_.getAs[Long]("w")).sum.toDouble / sample.length
+    assert(sampleMean > corpusMean,
+      f"sample mean w $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
+  }
+
   test("q152: daily sketches merge to the same estimate as one global sketch") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"))

@@ -391,7 +391,45 @@ object Curation {
       |SELECT doc_id, source, w, w * 4294967296 // u AS priority
       |FROM m ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
 
+  // ── q164: PER-SOURCE weighted sampling — q163's integer-exact
+  //         priorities routed through the bounded-heap TopKPerKey
+  //         operator: a k=5 weighted sample per source in one hash
+  //         exchange with O(sources·k) state, no Window, no per-group
+  //         sort. The composition is the point: the sampling key and the
+  //         grouped-top-k engine are orthogonal pieces, and the oracle is
+  //         the row_number window SQL over the same integer priority.
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val scored = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(regexp_count(col("text"), lit("\\S+")).cast("long"), lit(1L))
+          .as("w"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT) + 1").as("u"))
+      .withColumn("priority", expr("w * 4294967296 DIV u"))
+      .select(col("source"), col("doc_id"), col("w"), col("priority"))
+    org.apache.spark.sql.graft.TopKPerKey.of(scored,
+        keys = Seq("source"),
+        orderBy = Seq("priority" -> false, "doc_id" -> true), k = 5)
+      .orderBy(col("source"), desc("priority"), col("doc_id"))
+  }
+
+  val q164Sql: String =
+    """WITH m AS (
+      |  SELECT source, doc_id,
+      |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS BIGINT) + 1 AS u
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, w, w * 4294967296 // u AS priority,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY w * 4294967296 // u DESC, doc_id) AS rn
+      |  FROM m)
+      |SELECT source, doc_id, w, priority
+      |FROM p WHERE rn <= 5 ORDER BY source, priority DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_source_weighted_sample" -> q164,
     "q163_weighted_sample" -> q163,
     "q162_erasure_audit" -> q162,
     "q149_gopher_rules" -> q149,
@@ -403,6 +441,7 @@ object Curation {
     "q159_blocklist" -> q159)
 
   val oracle: Map[String, String] = Map(
+    "q164_source_weighted_sample" -> q164Sql,
     "q163_weighted_sample" -> q163Sql,
     "q162_erasure_audit" -> q162Sql,
     "q149_gopher_rules" -> q149Sql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Video}
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,6 +26,7 @@ object SparkEntry {
       Merge.queries ++ Scale.queries ++ Analytics.queries ++
       Layout.queries ++ Curation.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Video.queries ++
       graft.operators.Clusters.queries ++ graft.operators.Pack.queries ++
       graft.streaming.EventsStream.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       Merge.oracle ++ Scale.oracle ++ Analytics.oracle ++
       Layout.oracle ++ Curation.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      Video.oracle ++
       graft.operators.Clusters.oracle ++ graft.operators.Pack.oracle ++
       graft.streaming.EventsStream.oracle
 }

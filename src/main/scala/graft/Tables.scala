@@ -96,9 +96,12 @@ object Fixtures {
   /** Path to the written fixture; `build` evaluated at most once per JVM
     * per (name, dir). */
   def path(name: String, dir: String)(build: => DataFrame): String = {
+    // Collision-resistant suffix (SHA-256 of dir, not 32-bit hashCode):
+    // two distinct fixture dirs must never share a tmp tree.
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(32)
     val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_fixture_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      s"graft_${name}_fixture_$dirKey").getAbsolutePath
     val key = s"$name|$dir"
     written.synchronized {
       if (!written.contains(key)) {

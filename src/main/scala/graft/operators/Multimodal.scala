@@ -9,12 +9,14 @@ import graft.Tables._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The Spark-side plumbing (schema, partition-friendly batch shape,
-  * deterministic pipeline) is real and tested; the actual codec calls are
-  * STUBBED behind `decodeStub` with a deterministic fake (no image/audio
-  * libraries in this container). Swapping in a real decoder means replacing
-  * ONLY the body of `decodeStub` — the mapPartitions batch shape, schema,
-  * and downstream feature columns are unchanged.
+  * Every modality decodes for REAL on pure-JDK codecs: PNG images via
+  * javax.imageio (q107/q109/q156), WAV audio via javax.sound.sampled
+  * (q110), frame streams (q111), and AVI video via the RIFF demux in
+  * [[graft.operators.Video]] (q165). `DeterministicFakeDecoder` remains
+  * only as the documented seam for EXTERNAL codecs this container lacks
+  * (H.264, MP3, ...): swapping one in means replacing only the
+  * `FrameDecoder` body — the mapPartitions batch shape, schema, and
+  * downstream feature columns are unchanged.
   *
   * Scale notes: media bytes never shuffle — every stage below is a narrow
   * map; metadata extraction projects away the payload as early as possible
@@ -59,13 +61,15 @@ object Multimodal {
     def decodeFrame(mediaId: Long, payload: Array[Byte], frameIdx: Int): DecodedFrame
   }
 
-  /** Deterministic fake decoder. REAL IMPLEMENTATION STUBBED: this
-    * container has no image/audio libraries, so "pixels" are synthesized
-    * from the payload bytes (stable across runs → testable plumbing).
+  /** Deterministic fake decoder — the seam for EXTERNAL codecs only
+    * (H.264/VP9/MP3 need native libraries this container lacks); every
+    * JDK-decodable modality has a real decoder (PngImageIODecoder here,
+    * WAV in q110, AVI/MJPEG in [[graft.operators.Video]]). "Pixels" are
+    * synthesized from payload bytes (stable across runs → testable
+    * plumbing).
     */
   object DeterministicFakeDecoder extends FrameDecoder {
     def decodeFrame(id: Long, payload: Array[Byte], f: Int): DecodedFrame = {
-      // ??? real decode goes here; deterministic fake below.
       val w = 8; val h = 8
       val feats = Array.tabulate(4) { k =>
         val slice = payload.iterator.drop(f * 4 + k).grouped(16)
@@ -401,8 +405,8 @@ object Multimodal {
   //        (format chunk for rate/channels/width, data chunk for
   //        samples). Oracle recomputes what the decoder must observe
   //        (rate, channels, n_samples, sample sum/min/max) codec-free
-  //        via the same hex-pair LUT. Video remains the one stubbed
-  //        modality — the JDK has no video codec; the seam is documented.
+  //        via the same hex-pair LUT. Video gets the same treatment in
+  //        [[graft.operators.Video]] (q165: RIFF/AVI demux + decode).
   private[graft] val RatesByMod: Array[Int] = Array(8000, 16000, 22050, 44100)
 
   /** Encode 32 digest bytes as a real 8-bit unsigned PCM mono WAV. */

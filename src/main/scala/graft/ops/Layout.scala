@@ -157,9 +157,14 @@ object Layout {
   private val driftWritten = scala.collection.mutable.Set.empty[String]
   private[graft] def writeDriftGenerations(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
+    // Collision-resistant path key: full SHA-256 of the fixture dir, so
+    // two distinct dirs can never share a generations tree (hashCode's
+    // 32 bits could collide and silently serve the wrong corpus).
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(32)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_schemadrift_gens_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      s"graft_schemadrift_gens_$dirKey").getAbsolutePath
     driftWritten.synchronized {
       if (!driftWritten.contains(root)) {
         val d = graft.Tables.documents(s, dir)

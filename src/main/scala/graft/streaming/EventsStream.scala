@@ -267,7 +267,9 @@ object EventsStream {
       |clicks AS (
       |  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
       |  FROM events WHERE event_type = 'click'),
-      |wm AS (SELECT max(e_ts) - INTERVAL 1 HOUR AS final_wm FROM errors),
+      |wm AS (SELECT least((SELECT max(e_ts) FROM errors),
+      |               (SELECT max(c_ts) FROM clicks)) - INTERVAL 1 HOUR
+      |          AS final_wm),
       |j AS (
       |  SELECT e.e_id, e.e_user, e.e_ts, c.c_id, c.c_ts
       |  FROM errors e LEFT JOIN clicks c

@@ -200,13 +200,19 @@ class StreamingSpec extends SparkTestBase {
     // inner subset identical to q91
     val inner = graft.streaming.EventsStream.q91(spark, sfDir).collect()
     assert(matched.map(_.toSeq).toSeq == inner.map(_.toSeq).toSeq)
-    // every null-extended error sits below the final watermark
-    // (max error ts − 1h); the withheld tail is never emitted
-    val errs = Tables.events(spark, sfDir)
-      .where(col("event_type") === "error")
-      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    // every null-extended error sits below the FINAL GLOBAL watermark:
+    // with two watermarked inputs and multipleWatermarkPolicy=min the
+    // global watermark is least(max error ts, max click ts) − 1h, not
+    // max(error ts) − 1h — pin exactly that so a fixture whose clicks
+    // end before its errors can't silently change semantics.
+    val maxByType = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("error", "click"))
+      .groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    val finalWm =
+      math.min(maxByType("error"), maxByType("click")) - 3600L * 1000
     unmatched.foreach { r =>
-      assert(r.getTimestamp(2).getTime < errs - 3600L * 1000,
+      assert(r.getTimestamp(2).getTime < finalWm,
         s"null-extended row above final watermark: $r")
     }
     assert(unmatched.nonEmpty, "fixture must exercise the outer emission")

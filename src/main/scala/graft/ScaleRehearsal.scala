@@ -121,10 +121,17 @@ object ScaleRehearsal {
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Optional comma-separated subset (same env contract as Bench) for
-    // standalone re-measurement of a changed operator.
+    // standalone re-measurement of a changed operator. Any registered
+    // query name is allowed, not just the headline set — spot rehearsals
+    // (e.g. the r8 100× top-10 pass) include media/incremental queries
+    // the recurring headline list omits.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(headline)(s => headline.filter(s))
+    val selected = only.fold(headline) { s =>
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+      headline.filter(s) ++ s.diff(headline.toSet).toSeq.sorted
+    }
     val times = selected.map { name =>
       val t0 = System.nanoTime()
       // same drain as Bench: hash every output column — count() lets

@@ -90,16 +90,46 @@ object Clusters {
       .withColumn("action",
         when(col("id") === col("cluster"), "keep").otherwise("drop"))
 
+  /** CONTRACTED near-dup clustering — CC on the REP graph (one node per
+    * unique text), labels then expanded to members. Output is identical
+    * to connectedComponents over the member-expanded jaccard edge list:
+    * a clone group is a clique whose min id IS its rep, and two groups
+    * join one component iff their reps pair at the threshold, so the
+    * member component's min id equals the rep component's label (reps
+    * without inter edges keep their own id; singleton groups without
+    * edges are not dup candidates and stay out, as before).
+    *
+    * This is the r8 100× rehearsal fix: the expanded edge list carries
+    * O(Σ k_g²) clone-clique rows — 24.75M intra edges at 100-way clones
+    * over sf10, which blew the 32-task execution pool inside CC — while
+    * the contracted graph has one node per unique text (5k) whatever the
+    * clone multiplicity. Same trick q148's incremental ledger already
+    * uses; now the batch clustering queries share it.
+    */
+  def contractedDupClusters(groups: DataFrame, gram: Int,
+      threshold: Double): DataFrame = {
+    val repLabels = connectedComponents(
+        Dedup.repJaccardEdges(groups, gram, threshold))
+      .select(col("id").as("rep"), col("cluster").as("rep_cluster"))
+    groups.select(col("rep"), col("members"))
+      .join(repLabels, Seq("rep"), "left")
+      .filter(size(col("members")) > 1 || col("rep_cluster").isNotNull)
+      .select(coalesce(col("rep_cluster"), col("rep")).as("cluster"),
+        explode(col("members")).as("id"))
+  }
+
   // ── q67: near-dup clusters over the corpus-wide trigram-Jaccard pairs
   //        (q54's unblocked edge shape, jaccard ≥ 0.5) — transitive
   //        closure turns 897-style pair lists into per-cluster keep/drop
-  //        verdicts. Oracle: DuckDB WITH RECURSIVE reachability (min root
-  //        per node), pruned to min-label paths.
+  //        verdicts, via the contracted rep graph. Oracle: DuckDB WITH
+  //        RECURSIVE reachability (min root per node) over the
+  //        member-expanded edges — the driver hash pins the equivalence
+  //        of the contracted and expanded forms.
   def q67(s: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.jaccardPairs(documents(s, dir), "text", "doc_id", gram = 3)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    dedupClusters(edges)
+    val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
+    contractedDupClusters(groups, gram = 3, threshold = 0.5)
+      .withColumn("action",
+        when(col("id") === col("cluster"), "keep").otherwise("drop"))
       .select(col("cluster"), col("id").as("doc_id"), col("action"))
       .orderBy(col("cluster"), col("doc_id"))
   }
@@ -158,10 +188,8 @@ object Clusters {
   //         that join broadcasts or shuffles the small side only.
   def q139(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val edges = Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(edges)
+    val labels = contractedDupClusters(
+        Dedup.textGroups(docs, "text", "doc_id"), gram = 3, threshold = 0.5)
       .select(col("cluster"), col("id").as("doc_id"))
     // clustered docs are a small fraction of the corpus; checkpoint so the
     // rep-chars join below does not re-run the scan+join+regexp subtree
@@ -340,10 +368,7 @@ object Clusters {
     val groups = Dedup.textGroups(docs, "text", "doc_id")
     val exactRepPerDoc = groups
       .select(explode(col("members")).as("doc_id"), col("rep").as("exact_rep"))
-    val edges = Dedup.jaccardPairsFromGroups(groups, gram = 3)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(edges)
+    val labels = contractedDupClusters(groups, gram = 3, threshold = 0.5)
       .select(col("id").as("doc_id"), col("cluster"))
     proj.join(exactRepPerDoc, Seq("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -403,9 +428,8 @@ object Clusters {
     val isBatch = col("doc_id") % 5 === 0
     // yesterday's artifact: history cluster labels
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
-    val histLabels = connectedComponents(
-        Dedup.jaccardPairs(hist, "text", "doc_id", gram = 3)
-          .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b")))
+    val histLabels = contractedDupClusters(
+        Dedup.textGroups(hist, "text", "doc_id"), gram = 3, threshold = 0.5)
       .select(col("id").as("doc_id"), col("cluster"))
       .trackedPersist()
     // today: digest groups over the merged corpus (global min-id reps),

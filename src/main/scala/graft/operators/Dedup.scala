@@ -165,6 +165,15 @@ object Dedup {
     * best-effort exchange reuse (see that function's comment for the
     * observed failure mode). */
   def jaccardPairsFromGroups(groups: DataFrame, gram: Int): DataFrame = {
+    val (repPairs, sizes) = repPairStats(groups, gram)
+    expandGroupPairs(repPairs, groups, sizes)
+  }
+
+  /** Rep-level Jaccard pair statistics (no member expansion): the shared
+    * shingle-join + count core of jaccardPairsFromGroups. Returns
+    * (pairs with shared/n_a/n_b/jaccard, per-rep sizes). */
+  private[graft] def repPairStats(groups: DataFrame,
+      gram: Int): (DataFrame, DataFrame) = {
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
     val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
       .trackedPersist()
@@ -178,7 +187,17 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("shared") / (col("n_a") + col("n_b") - col("shared")))
-    expandGroupPairs(repPairs, groups, sizes)
+    (repPairs, sizes)
+  }
+
+  /** Rep-level Jaccard EDGES at a threshold — the contracted-graph input
+    * for clustering (Clusters.contractedDupClusters). Never expands to
+    * members: clone cliques are implied by the groups frame itself. */
+  def repJaccardEdges(groups: DataFrame, gram: Int,
+      threshold: Double): DataFrame = {
+    val (repPairs, _) = repPairStats(groups, gram)
+    repPairs.filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Rep-level Jaccard EDGES restricted to pairs where at least one side

@@ -593,6 +593,127 @@ object Multimodal {
       |  px_sum, px_min, px_max
       |FROM px ORDER BY media_id, frame_idx""".stripMargin
 
+  // ── q168: acoustic-fingerprint AUDIO dedup — the audio face of the
+  //        dedup family (text q32/q34, image q156, video q167). Byte-level
+  //        dedup misses a re-encoded audio duplicate (same waveform,
+  //        different container metadata) and a remastered one (DC offset
+  //        added), so each clip reduces to a delta-sign fingerprint
+  //        computed on the DECODED samples (AudioSystem parse, like q110):
+  //        bit i = sample[i+1] > sample[i] — invariant to the sample-rate
+  //        relabel (samples unchanged) AND to constant gain offsets
+  //        (deltas unchanged where no clipping occurs). The fixture plants
+  //        rate-relabeled twins (doc_id%3==0: same samples at 22050 Hz —
+  //        byte-different WAV, identical fingerprint) and DC-offset twins
+  //        (doc_id%4==0: samples +7, clamped at 255 — fingerprint equal
+  //        unless clamping flattens a rising delta near full-scale, which
+  //        the oracle replays exactly). Oracle-green via the hex-pair LUT.
+  //        Scale shape: payloads never shuffle; only (id, 8-byte
+  //        fingerprint) leaves the decode scan.
+  def wavVariantsTable(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val p = graft.Fixtures.path("wavvar", dir) {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      def build(idShift: Long, pred: org.apache.spark.sql.Column,
+          rateOf: Long => Int, offset: Int) =
+        docs.filter(pred).as[(Long, String)]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            it.map { case (id, text) =>
+              val dgst = md.digest(
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val samples =
+                if (offset == 0) dgst
+                else dgst.map(b => math.min(255, (b & 0xFF) + offset).toByte)
+              (id + idShift, wavBytes(samples, rateOf(id)))
+            }
+          }.toDF("media_id", "payload")
+      build(0L, lit(true), id => RatesByMod(((id % 4) + 4).toInt % 4), 0)
+        .unionByName(build(1000000000L, col("doc_id") % 3 === 0,
+          _ => 11025, 0))   // re-encode: same samples, new rate label
+                            // (11025 ∉ RatesByMod → always byte-different)
+        .unionByName(build(2000000000L, col("doc_id") % 4 === 0,
+          id => RatesByMod(((id % 4) + 4).toInt % 4), 7)) // DC offset +7
+    }
+    s.read.parquet(p)
+  }
+
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val fps = wavVariantsTable(s, dir).select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        it.map { case (id, payload) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength.toInt * fmt.getFrameSize
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = ais.read(buf, off, n - off)
+            require(r > 0, s"media_id=$id: truncated WAV data chunk")
+            off += r
+          }
+          ais.close()
+          var bits = 0L
+          var i = 0
+          while (i < n - 1) {
+            if ((buf(i + 1) & 0xFF) > (buf(i) & 0xFF)) bits |= (1L << i)
+            i += 1
+          }
+          (id, bits)
+        }
+      }.toDF("media_id", "afp")
+    val groups = fps.groupBy(col("afp"))
+      .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("rep_id"))
+    fps.join(groups, Seq("afp"))
+      .filter(col("n_clips") > 1)
+      .select(col("media_id"), col("afp"), col("n_clips"),
+        when(col("media_id") === col("rep_id"), 1L).otherwise(0L)
+          .as("is_rep"))
+      .orderBy(col("media_id"))
+  }
+
+  // Oracle: sample p of clip m = LUT value of hex pair p (DC twins add 7,
+  // clamped via least(255, v+7)); fingerprint = Σ_{i<31} [s_{i+1} > s_i]·2^i
+  // (31 bits — fits BIGINT exactly).
+  val q168Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, doc_id AS src_id, 0 AS dc FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 0 FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 7 FROM documents
+      |  WHERE doc_id % 4 = 0),
+      |lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |samp AS (
+      |  SELECT m.media_id, g.p, least(255, lut.v + m.dc) AS v
+      |  FROM media m JOIN documents d ON d.doc_id = m.src_id
+      |  CROSS JOIN generate_series(0,31) g(p)
+      |  JOIN lut ON lut.hp = upper(substring(sha256(d.text), g.p*2+1, 2))),
+      |fp AS (
+      |  SELECT a.media_id,
+      |    CAST(sum(CASE WHEN b.v > a.v THEN power(2, a.p) ELSE 0 END)
+      |      AS BIGINT) AS afp
+      |  FROM samp a JOIN samp b
+      |    ON b.media_id = a.media_id AND b.p = a.p + 1
+      |  GROUP BY 1),
+      |grp AS (
+      |  SELECT afp, count(*) AS n_clips, min(media_id) AS rep_id
+      |  FROM fp GROUP BY 1)
+      |SELECT f.media_id, f.afp, g.n_clips,
+      |  CAST(CASE WHEN f.media_id = g.rep_id THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_rep
+      |FROM fp f JOIN grp g USING (afp)
+      |WHERE g.n_clips > 1
+      |ORDER BY f.media_id""".stripMargin
+
   // ── q156: perceptual-hash IMAGE dedup — the multimodal face of the
   //        dedup family: byte-level dedup misses a re-encoded duplicate
   //        (same pixels, different PNG bytes), so each image is reduced to
@@ -727,7 +848,8 @@ object Multimodal {
     "q109_png_resize" -> q109,
     "q110_wav_decode" -> q110,
     "q111_frame_stream" -> q111,
-    "q156_image_phash" -> q156)
+    "q156_image_phash" -> q156,
+    "q168_audio_dedup" -> q168)
 
   val oracle: Map[String, String] = Map(
     "q40_multimodal_meta" -> q40Sql,
@@ -735,5 +857,6 @@ object Multimodal {
     "q107_png_decode" -> q107Sql,
     "q109_png_resize" -> q109Sql,
     "q110_wav_decode" -> q110Sql,
-    "q111_frame_stream" -> q111Sql)
+    "q111_frame_stream" -> q111Sql,
+    "q168_audio_dedup" -> q168Sql)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** REAL video container demux + frame decode — closes the last stubbed
@@ -354,9 +354,151 @@ object Video {
     }
   }
 
+  // ── q167: perceptual VIDEO dedup — the video face of the dedup family
+  //        (text q32/q34, image q156, audio q168). Byte-level dedup
+  //        misses a re-muxed duplicate (same decoded frames, different
+  //        container bytes — here: same pixels re-wrapped at a different
+  //        fps), so each video reduces to a PERCEPTUAL signature: the
+  //        frame-ordered concatenation of per-frame 64-bit average-hashes
+  //        computed on the DECODED rasters (demux → ImageIO → aHash64),
+  //        and grouping happens on the signature. The fixture plants
+  //        re-muxed twins (doc_id%3==0: identical frames, fps 25 — byte-
+  //        different AVI, identical signature) and perturbed near-twins
+  //        (doc_id%5==0: frame 0's first digest byte inverted — signature
+  //        differs), so a green hash proves the dedup keys on DECODED
+  //        CONTENT, not container bytes. Fully oracle-green: aHash64's
+  //        grid-sample + threshold arithmetic is integer-exact and
+  //        replayable from the sha256 hex-pair LUT in SQL.
+  //        Scale shape: payloads never shuffle (hash is a narrow
+  //        mapPartitions); only (id, ≤48-char signature) leaves the scan.
+  def aviVariantsTable(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val p = graft.Fixtures.path("avivar", dir) {
+      val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def build(idShift: Long, pred: Column, fps: Int, perturb: Boolean) =
+        docs.filter(pred).as[(Long, String)]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            it.map { case (id, text) =>
+              val k = (((id % 3) + 3) % 3 + 1).toInt
+              val frames = (0 until k).map { f =>
+                val dgst = md.digest(s"$text:$f".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                if (perturb && f == 0) dgst(0) = (~dgst(0)).toByte
+                Multimodal.grayPng(dgst, 8, 4)
+              }
+              (id + idShift, aviBytes(frames, 8, 4, fps, 1, "MPNG"))
+            }
+          }.toDF("media_id", "payload")
+      build(0L, lit(true), 30, perturb = false)
+        .unionByName(build(1000000000L, col("doc_id") % 3 === 0, 25,
+          perturb = false)) // re-mux: same pixels, different container
+        .unionByName(build(2000000000L, col("doc_id") % 5 === 0, 30,
+          perturb = true))  // near-twin: frame 0 pixels differ
+    }
+    s.read.parquet(p)
+  }
+
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val sigs = aviVariantsTable(s, dir).select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val av = demux(payload)
+          val sig = av.frames.map { fb =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(fb))
+            require(img != null, s"media_id=$id: frame not decodable")
+            f"${Multimodal.aHash64(img)}%016X"
+          }.mkString
+          (id, sig)
+        }
+      }.toDF("media_id", "vid_sig")
+    val groups = sigs.groupBy(col("vid_sig"))
+      .agg(count(lit(1)).as("n_videos"), min(col("media_id")).as("rep_id"))
+    sigs.join(groups, Seq("vid_sig"))
+      .filter(col("n_videos") > 1)
+      .select(col("media_id"), col("vid_sig"), col("n_videos"),
+        when(col("media_id") === col("rep_id"), 1L).otherwise(0L)
+          .as("is_rep"))
+      .orderBy(col("media_id"))
+  }
+
+  // Oracle replays the perceptual hash integer-exactly: sample i of the
+  // 8×8 aHash grid reads pixel (x = i%8, y = (i/8)·4/8) of the 8×4
+  // raster = hex pair ((i/8)/2)*8 + i%8 of the frame digest; bit i set
+  // iff 64·s_i ≥ Σs; bytes big-endian-hexed to match %016X. The media
+  // universe (base ∪ re-mux twins ∪ perturbed twins) and the perturbed
+  // frame-0 first-byte inversion (255−v) replay the fixture exactly.
+  val q167Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, doc_id AS src_id, 0 AS perturb
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 0 FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 1 FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |fr AS (
+      |  SELECT m.media_id, m.perturb, d.text, g.f
+      |  FROM media m JOIN documents d ON d.doc_id = m.src_id
+      |  CROSS JOIN generate_series(0,2) g(f)
+      |  WHERE g.f < ((d.doc_id % 3) + 3) % 3 + 1),
+      |lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |pix AS (
+      |  SELECT fr.media_id, fr.f, g.p,
+      |    CASE WHEN fr.perturb = 1 AND fr.f = 0 AND g.p = 0
+      |         THEN 255 - lut.v ELSE lut.v END AS v
+      |  FROM fr CROSS JOIN generate_series(0,31) g(p)
+      |  JOIN lut ON lut.hp = upper(substring(
+      |    sha256(fr.text || ':' || CAST(fr.f AS VARCHAR)), g.p*2+1, 2))),
+      |samp AS (
+      |  SELECT px.media_id, px.f, g.i, px.v
+      |  FROM (SELECT DISTINCT media_id, f FROM pix) mf
+      |  CROSS JOIN generate_series(0,63) g(i)
+      |  JOIN pix px ON px.media_id = mf.media_id AND px.f = mf.f
+      |    AND px.p = ((g.i // 8) // 2) * 8 + (g.i % 8)),
+      |bits AS (
+      |  SELECT s.media_id, s.f, s.i,
+      |    CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS b
+      |  FROM samp s JOIN (
+      |    SELECT media_id, f, sum(v) AS total FROM samp GROUP BY 1, 2) t
+      |    ON t.media_id = s.media_id AND t.f = s.f),
+      |bytes AS (
+      |  SELECT media_id, f, i // 8 AS k,
+      |    CAST(sum(b * power(2, i % 8)) AS INT) AS byte
+      |  FROM bits GROUP BY 1, 2, 3),
+      |fhex AS (
+      |  SELECT media_id, f,
+      |    string_agg(upper(lpad(hex(byte),2,'0')), '' ORDER BY k DESC)
+      |      AS fh
+      |  FROM bytes GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT media_id, string_agg(fh, '' ORDER BY f) AS vid_sig
+      |  FROM fhex GROUP BY 1),
+      |grp AS (
+      |  SELECT vid_sig, count(*) AS n_videos, min(media_id) AS rep_id
+      |  FROM sig GROUP BY 1)
+      |SELECT s.media_id, s.vid_sig, g.n_videos,
+      |  CAST(CASE WHEN s.media_id = g.rep_id THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_rep
+      |FROM sig s JOIN grp g USING (vid_sig)
+      |WHERE g.n_videos > 1
+      |ORDER BY s.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q165_avi_demux" -> q165)
+    "q165_avi_demux" -> q165,
+    "q167_video_dedup" -> q167)
 
   val oracle: Map[String, String] = Map(
-    "q165_avi_demux" -> q165Sql)
+    "q165_avi_demux" -> q165Sql,
+    "q167_video_dedup" -> q167Sql)
 }

@@ -235,4 +235,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.exists(_.getAs[Long]("near_hashes") > 0),
       "expected at least one near-duplicate pair")
   }
+
+  test("q168: fingerprint groups rate-relabeled twins; DC-offset invariance holds sans clipping") {
+    val variants = Multimodal.wavVariantsTable(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rateIds = variants.keys.filter(id =>
+      id >= 1000000000L && id < 2000000000L).toSeq
+    assert(rateIds.nonEmpty)
+    // the rate twin's WAV bytes differ (fmt chunk), samples don't
+    rateIds.foreach { id =>
+      assert(!java.util.Arrays.equals(variants(id), variants(id - 1000000000L)),
+        s"rate twin $id must be byte-different from its base")
+    }
+    val out = Multimodal.q168(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fpOf = out.map(r => r._1 -> r._2).toMap
+    rateIds.foreach { id =>
+      assert(fpOf.contains(id) && fpOf(id) == fpOf(id - 1000000000L),
+        s"rate twin $id must share its base's fingerprint")
+    }
+    // DC twins: fingerprints match their base wherever no sample clipped
+    // at 255 (delta signs are gain-invariant); replay the clip test from
+    // the digest to decide which twins must match
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dcIds = variants.keys.filter(_ >= 2000000000L).toSeq
+    assert(dcIds.nonEmpty)
+    dcIds.foreach { id =>
+      val base = id - 2000000000L
+      val dg = md.digest(texts(base).getBytes("UTF-8")).map(_ & 0xFF)
+      val unclipped = dg.forall(_ + 7 <= 255)
+      if (unclipped)
+        assert(fpOf.get(id).forall(f => fpOf.get(base).contains(f)),
+          s"unclipped DC twin $id must share its base's fingerprint")
+    }
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val reps = rows.filter(_._4 == 1L)
+      assert(reps.length == 1 && reps.head._1 == rows.map(_._1).min)
+    }
+  }
 }

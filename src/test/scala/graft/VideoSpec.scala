@@ -91,6 +91,35 @@ class VideoSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
   private def docText(id: Long): String = docTexts(id)
 
+  test("q167: perceptual dedup groups byte-different re-muxed twins with their base") {
+    // container-robustness is the core claim: the re-mux twin (fps 25
+    // instead of 30) is BYTE-different but pixel-identical, so it must
+    // land in its base's signature group; and the twin's payload really
+    // differs from the base's (otherwise the test proves nothing).
+    val variants = graft.operators.Video.aviVariantsTable(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val remuxIds = variants.keys.filter(id =>
+      id >= 1000000000L && id < 2000000000L).toSeq
+    assert(remuxIds.nonEmpty)
+    remuxIds.foreach { id =>
+      assert(!java.util.Arrays.equals(variants(id), variants(id - 1000000000L)),
+        s"re-mux twin $id must be byte-different from its base")
+    }
+    val out = graft.operators.Video.q167(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sigOf = out.map(r => r._1 -> r._2).toMap
+    remuxIds.foreach { id =>
+      assert(sigOf.contains(id) && sigOf.contains(id - 1000000000L) &&
+        sigOf(id) == sigOf(id - 1000000000L),
+        s"re-mux twin $id must share its base's perceptual signature")
+    }
+    // exactly one representative per group, and it's the min id
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val reps = rows.filter(_._4 == 1L)
+      assert(reps.length == 1 && reps.head._1 == rows.map(_._1).min)
+    }
+  }
+
   test("MJPEG: real JPEG-in-AVI decode — exact dims, mean within quant tolerance") {
     val pixels = (0 until 3).map(f => sha(s"jpeg:$f"))
     val frames = pixels.map(p => Video.grayJpeg(p, 8, 4))

@@ -101,7 +101,9 @@ object ScaleRehearsal {
       "q152_hll_users", "q153_sketch_ledger", "q154_overlap_sketch",
       "q156_image_phash", "q157_outer_reconcile", "q158_ann_recall",
       "q159_blocklist", "q160_schema_drift", "q162_erasure_audit",
-      "q163_weighted_sample", "q164_source_weighted_sample")
+      "q163_weighted_sample", "q164_source_weighted_sample",
+      "q165_avi_demux", "q166_ann_index_twin", "q167_video_dedup",
+      "q168_audio_dedup")
     // q140 (hard negatives) is absent like q129/q134: its probe set is
     // tied to corpus ids only so the small fixture exercises it — the
     // replicated fixture would scale probes×corpus quadratically, while

@@ -638,26 +638,53 @@ object Multimodal {
     s.read.parquet(p)
   }
 
+  /** Direct RIFF/WAVE parse: verify magic, walk chunks, REQUIRE 8-bit
+    * mono PCM from 'fmt ', slice 'data'. Byte-identical to what
+    * AudioSystem decodes (MultimodalSpec pins the equality over the
+    * fixture), but without javax.sound's per-call service-provider
+    * lookup — which dominated the 100× rehearsal at ~800k clips
+    * (q168 196.9s with AudioSystem; the bulk fingerprint path has no
+    * business paying an SPI scan per row). q110 deliberately KEEPS the
+    * AudioSystem path: it is the real-JDK-codec conformance query.
+    */
+  private[graft] def wavDataChunk(payload: Array[Byte]): Array[Byte] = {
+    def le32(off: Int): Int =
+      (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8) |
+        ((payload(off + 2) & 0xFF) << 16) | ((payload(off + 3) & 0xFF) << 24)
+    def le16(off: Int): Int =
+      (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8)
+    def cc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(payload.length >= 12 && cc(0) == "RIFF" && cc(8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var p = 12
+    var data: Array[Byte] = null
+    var fmtSeen = false
+    while (p + 8 <= payload.length) {
+      val id = cc(p); val sz = le32(p + 4)
+      if (id == "fmt ") {
+        require(le16(p + 8) == 1, "not PCM")             // wFormatTag
+        require(le16(p + 10) == 1, "not mono")           // nChannels
+        require(le16(p + 22) == 8, "not 8-bit samples")  // wBitsPerSample
+        fmtSeen = true
+      } else if (id == "data") {
+        data = java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + sz)
+      }
+      p += 8 + sz + (sz % 2)
+    }
+    require(fmtSeen && data != null, "missing fmt /data chunk")
+    data
+  }
+
   def q168(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val fps = wavVariantsTable(s, dir).select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        import javax.sound.sampled._
         it.map { case (id, payload) =>
-          val ais = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          val fmt = ais.getFormat
-          val n = ais.getFrameLength.toInt * fmt.getFrameSize
-          val buf = new Array[Byte](n)
-          var off = 0
-          while (off < n) {
-            val r = ais.read(buf, off, n - off)
-            require(r > 0, s"media_id=$id: truncated WAV data chunk")
-            off += r
-          }
-          ais.close()
+          val buf = wavDataChunk(payload)
+          val n = buf.length
           var bits = 0L
           var i = 0
           while (i < n - 1) {

@@ -236,6 +236,27 @@ class MultimodalSpec extends SparkTestBase {
       "expected at least one near-duplicate pair")
   }
 
+  test("wavDataChunk: direct RIFF parse equals AudioSystem decode byte-for-byte") {
+    import javax.sound.sampled._
+    val variants = Multimodal.wavVariantsTable(spark, sfDir)
+      .limit(200).collect().map(r => r.getAs[Array[Byte]](1))
+    assert(variants.nonEmpty)
+    variants.foreach { payload =>
+      val direct = Multimodal.wavDataChunk(payload)
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val n = ais.getFrameLength.toInt * ais.getFormat.getFrameSize
+      val ref = new Array[Byte](n)
+      var off = 0
+      while (off < n) { off += math.max(0, ais.read(ref, off, n - off)) }
+      ais.close()
+      assert(java.util.Arrays.equals(direct, ref),
+        "direct RIFF data chunk must equal the AudioSystem decode")
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.wavDataChunk("RIFFxxxxAVI ".getBytes))
+  }
+
   test("q168: fingerprint groups rate-relabeled twins; DC-offset invariance holds sans clipping") {
     val variants = Multimodal.wavVariantsTable(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap

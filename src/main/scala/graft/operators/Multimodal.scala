@@ -868,7 +868,167 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ── q170: the MULTIMODAL SHARD MANIFEST — the join that makes the
+  //        modality decoders one engine instead of four demos: for every
+  //        document, its token count plus the decode-derived fingerprint
+  //        of each attached modality (image aHash from the ImageIO raster,
+  //        audio delta-sign fp from the WAV data chunk, video signature
+  //        from the demuxed AVI frames), and a CONTENT-ADDRESSED shard
+  //        assignment (low nibble of the image perceptual hash) — so
+  //        pixel-identical media land in the same shard whatever their
+  //        bytes, which is what lets a 100 TB packing job co-locate
+  //        duplicates for free. Every fingerprint is integer-exact and
+  //        LUT-replayable, so the ENTIRE manifest (joins, shard keys and
+  //        all) is hash-oracled. Plan shape: three narrow decode maps
+  //        (payloads never shuffle) + equi-joins on doc_id + one shuffle
+  //        for the ordered output.
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val toks = documents(s, dir).select(col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+    val imgs = pngMediaTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"doc $id: image not decodable")
+          val h = aHash64(img)
+          (id, f"$h%016X", h & 15L)
+        }
+      }.toDF("doc_id", "img_hash", "shard")
+    val auds = wavMediaTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val buf = wavDataChunk(payload)
+          var bits = 0L
+          var i = 0
+          while (i < buf.length - 1) {
+            if ((buf(i + 1) & 0xFF) > (buf(i) & 0xFF)) bits |= (1L << i)
+            i += 1
+          }
+          (id, bits)
+        }
+      }.toDF("doc_id", "audio_fp")
+    val vids = Video.aviMediaTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val av = Video.demux(payload)
+          val sig = av.frames.map { fb =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(fb))
+            require(img != null, s"doc $id: video frame not decodable")
+            f"${aHash64(img)}%016X"
+          }.mkString
+          (id, sig)
+        }
+      }.toDF("doc_id", "vid_sig")
+    toks.join(imgs, Seq("doc_id")).join(auds, Seq("doc_id"))
+      .join(vids, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("img_hash"),
+        col("audio_fp"), col("vid_sig"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle rebuilds every fingerprint from sha256(text) via the hex-pair
+  // LUT: image aHash over the VARIABLE doc_id%6 dims (grid sample i reads
+  // pixel ((i/8)·h/8)·w + (i%8)·w/8), audio delta-sign fp over the 32
+  // digest samples, video signature over the per-frame digests at 8×4 —
+  // shard = the image hash's low nibble (bits 0–3).
+  val q170Sql: String =
+    """WITH lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |dims AS (
+      |  SELECT doc_id, text,
+      |    CASE ((doc_id % 6) + 6) % 6 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 16
+      |         WHEN 3 THEN 2 WHEN 4 THEN 32 ELSE 1 END AS w,
+      |    CASE ((doc_id % 6) + 6) % 6 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 2
+      |         WHEN 3 THEN 16 WHEN 4 THEN 1 ELSE 32 END AS h
+      |  FROM documents),
+      |ipix AS (
+      |  SELECT d.doc_id, g.p, lut.v
+      |  FROM dims d CROSS JOIN generate_series(0,31) g(p)
+      |  JOIN lut ON lut.hp = upper(substring(sha256(d.text), g.p*2+1, 2))),
+      |isamp AS (
+      |  SELECT d.doc_id, g.i, px.v
+      |  FROM dims d CROSS JOIN generate_series(0,63) g(i)
+      |  JOIN ipix px ON px.doc_id = d.doc_id
+      |    AND px.p = ((g.i // 8) * d.h // 8) * d.w + ((g.i % 8) * d.w // 8)),
+      |ibits AS (
+      |  SELECT s.doc_id, s.i,
+      |    CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS b
+      |  FROM isamp s JOIN (
+      |    SELECT doc_id, sum(v) AS total FROM isamp GROUP BY 1) t
+      |    ON t.doc_id = s.doc_id),
+      |ibytes AS (
+      |  SELECT doc_id, i // 8 AS k,
+      |    CAST(sum(b * power(2, i % 8)) AS INT) AS byte
+      |  FROM ibits GROUP BY 1, 2),
+      |ihash AS (
+      |  SELECT doc_id,
+      |    string_agg(upper(lpad(hex(byte),2,'0')), '' ORDER BY k DESC)
+      |      AS img_hash
+      |  FROM ibytes GROUP BY 1),
+      |ishard AS (
+      |  SELECT doc_id,
+      |    CAST(sum(b * power(2, i)) AS BIGINT) AS shard
+      |  FROM ibits WHERE i < 4 GROUP BY 1),
+      |afp AS (
+      |  SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN b.v > a.v THEN power(2, a.p) ELSE 0 END)
+      |      AS BIGINT) AS audio_fp
+      |  FROM ipix a JOIN ipix b
+      |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  GROUP BY 1),
+      |vfr AS (
+      |  SELECT d.doc_id, d.text, g.f
+      |  FROM documents d CROSS JOIN generate_series(0,2) g(f)
+      |  WHERE g.f < ((d.doc_id % 3) + 3) % 3 + 1),
+      |vpix AS (
+      |  SELECT fr.doc_id, fr.f, g.p, lut.v
+      |  FROM vfr fr CROSS JOIN generate_series(0,31) g(p)
+      |  JOIN lut ON lut.hp = upper(substring(
+      |    sha256(fr.text || ':' || CAST(fr.f AS VARCHAR)), g.p*2+1, 2))),
+      |vsamp AS (
+      |  SELECT px.doc_id, px.f, g.i, px.v
+      |  FROM (SELECT DISTINCT doc_id, f FROM vpix) mf
+      |  CROSS JOIN generate_series(0,63) g(i)
+      |  JOIN vpix px ON px.doc_id = mf.doc_id AND px.f = mf.f
+      |    AND px.p = ((g.i // 8) // 2) * 8 + (g.i % 8)),
+      |vbits AS (
+      |  SELECT s.doc_id, s.f, s.i,
+      |    CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS b
+      |  FROM vsamp s JOIN (
+      |    SELECT doc_id, f, sum(v) AS total FROM vsamp GROUP BY 1, 2) t
+      |    ON t.doc_id = s.doc_id AND t.f = s.f),
+      |vbytes AS (
+      |  SELECT doc_id, f, i // 8 AS k,
+      |    CAST(sum(b * power(2, i % 8)) AS INT) AS byte
+      |  FROM vbits GROUP BY 1, 2, 3),
+      |vfhex AS (
+      |  SELECT doc_id, f,
+      |    string_agg(upper(lpad(hex(byte),2,'0')), '' ORDER BY k DESC)
+      |      AS fh
+      |  FROM vbytes GROUP BY 1, 2),
+      |vsig AS (
+      |  SELECT doc_id, string_agg(fh, '' ORDER BY f) AS vid_sig
+      |  FROM vfhex GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+      |  ihash.img_hash, afp.audio_fp, vsig.vid_sig, ishard.shard
+      |FROM documents d
+      |JOIN ihash USING (doc_id) JOIN ishard USING (doc_id)
+      |JOIN afp USING (doc_id) JOIN vsig USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_multimodal_manifest" -> q170,
     "q40_multimodal_meta" -> q40,
     "q63_media_binary" -> q63,
     "q107_png_decode" -> q107,
@@ -879,6 +1039,7 @@ object Multimodal {
     "q168_audio_dedup" -> q168)
 
   val oracle: Map[String, String] = Map(
+    "q170_multimodal_manifest" -> q170Sql,
     "q40_multimodal_meta" -> q40Sql,
     "q63_media_binary" -> q63Sql,
     "q107_png_decode" -> q107Sql,

@@ -975,6 +975,100 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ── q169: INCREMENTAL index maintenance — the missing third act of the
+  //         ANN lifecycle (train q55 / persist+scan q128+q166 / MAINTAIN):
+  //         a new vector batch arrives and the index owner must (a) assign
+  //         it to the EXISTING persisted lists without retraining, and
+  //         (b) read the occupancy/coherence drift report that decides
+  //         when a re-train is due. History index = the persisted label
+  //         artifact over vec_id%5≠0; batch = vec_id%5=0 assigned to the
+  //         nearest 1e-6-quantized centroid DERIVED FROM THE ARTIFACT
+  //         (centroids broadcast; assignment is one narrow map over the
+  //         batch — no history re-scan beyond the centroid aggregate).
+  //         Coherence is an integer-exact mean of round4 cosines
+  //         (sum of cos_1e4 ints DIV count), so the whole report —
+  //         assignment included — replays in DuckDB; a green hash proves
+  //         batch maintenance against a persisted artifact is lossless.
+  //         The re-train flag fires when a list's occupancy grows >50%.
+  def histIndexTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(graft.Fixtures.path("ivf_label_hist", dir) {
+      emb(s, dir).filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("v"), col("label").as("list_id"))
+    })
+
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val index = histIndexTable(s, dir)
+    val batch = emb(s, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("v"))
+    val cent = index.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_hist"),
+        array((0 until Dim).map(i => sum(col("v").getItem(i))): _*)
+          .as("sums"))
+      .select(col("list_id"), col("n_hist"),
+        transform(col("sums"), x => graft.Fns.round6(x / col("n_hist")))
+          .as("centroid"))
+      .trackedPersist()
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos_1e4"), col("list_id"))
+    val assigned = batch.crossJoin(
+        broadcast(cent.select(col("list_id"), col("centroid"))))
+      .select(col("vec_id"), col("list_id"),
+        round(cosine(col("v"), col("centroid")) * 10000).cast("long")
+          .as("cos_1e4"))
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") === 1)
+    val adds = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_added"), sum(col("cos_1e4")).as("sum_cos"))
+    cent.select(col("list_id"), col("n_hist"))
+      .join(adds, Seq("list_id"), "left")
+      .select(col("list_id"), col("n_hist"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        when(col("n_added").isNotNull,
+          (col("sum_cos") / col("n_added")).cast("long"))
+          .otherwise(lit(0L)).as("mean_cos_1e4"),
+        (coalesce(col("n_added"), lit(0L)) * 2 > col("n_hist"))
+          .cast("int").cast("long").as("retrain_flag"))
+      .orderBy(col("list_id"))
+  }
+
+  val q169Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label AS list_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |hist AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+      |batch AS (SELECT vec_id, v FROM v WHERE vec_id % 5 = 0),
+      |el AS (
+      |  SELECT list_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      |  FROM hist),
+      |cent AS (
+      |  SELECT list_id, list(m ORDER BY i) AS centroid
+      |  FROM (SELECT list_id, i,
+      |          round(sum(x) / count(*) * 1000000) / 1000000.0 AS m
+      |        FROM el GROUP BY 1, 2) raw
+      |  GROUP BY 1),
+      |nh AS (SELECT list_id, count(*) AS n_hist FROM hist GROUP BY 1),
+      |scorespace AS (
+      |  SELECT b.vec_id, c.list_id,
+      |    CAST(round(list_cosine_similarity(b.v, c.centroid) * 10000)
+      |      AS BIGINT) AS cos_1e4,
+      |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |      round(list_cosine_similarity(b.v, c.centroid) * 10000) DESC,
+      |      c.list_id) AS arn
+      |  FROM batch b, cent c),
+      |adds AS (
+      |  SELECT list_id, count(*) AS n_added,
+      |    CAST(sum(cos_1e4) AS BIGINT) AS sum_cos
+      |  FROM scorespace WHERE arn = 1 GROUP BY 1)
+      |SELECT nh.list_id, nh.n_hist,
+      |  coalesce(a.n_added, 0) AS n_added,
+      |  CASE WHEN a.n_added IS NOT NULL
+      |       THEN CAST(trunc(a.sum_cos / CAST(a.n_added AS DOUBLE))
+      |            AS BIGINT) ELSE 0 END AS mean_cos_1e4,
+      |  CAST(CASE WHEN coalesce(a.n_added, 0) * 2 > nh.n_hist
+      |       THEN 1 ELSE 0 END AS BIGINT) AS retrain_flag
+      |FROM nh LEFT JOIN adds a USING (list_id)
+      |ORDER BY nh.list_id""".stripMargin
+
   // Oracle replays the full lifecycle from the base table: per-label
   // element-wise centroid means quantized at 1e-6 (absorbs fold-order
   // noise), probe ranking on round4 centroid cosine with c_list
@@ -1178,6 +1272,7 @@ object Similarity {
     "q140_hard_negatives" -> q140,
     "q128_ann_persisted" -> q128,
     "q166_ann_index_twin" -> q166,
+    "q169_index_maintain" -> q169,
     "q129_semdedup" -> q129,
     "q134_embed_decontam" -> q134,
     "q115_int8_quant" -> q115,
@@ -1195,6 +1290,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q140_hard_negatives" -> q140Sql,
     "q166_ann_index_twin" -> q166Sql,
+    "q169_index_maintain" -> q169Sql,
     "q129_semdedup" -> q129Sql,
     "q134_embed_decontam" -> q134Sql,
     "q115_int8_quant" -> q115Sql,

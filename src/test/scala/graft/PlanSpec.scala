@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan property assertions — the scale contract (SURVEY.md §4):
   * filters/projections reach the parquet scan, top-k never full-sorts,
@@ -227,5 +228,53 @@ class PlanSpec extends SparkTestBase {
       }.nonEmpty
     assert(isAgg(join.left) && isAgg(join.right),
       "both full-outer inputs must be pre-aggregated:\n" + opt)
+  }
+
+  test("multi-probe LSH: probe expansion is query-side; probe set broadcasts") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"), col("label"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val p = plan(graft.operators.Similarity.annLshMultiProbe(e, probes, 5, 9))
+    // the corpus side computes ONE fused signature pass (srp_signature),
+    // and the expanded probe set reaches the bucket join as a broadcast —
+    // the corpus is never shuffled for the probe ring
+    assert(p.contains("srp_signature"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q167/q168/q170: media payloads never shuffle — decode is pre-exchange") {
+    // every Exchange in the media dedup/manifest plans carries only
+    // scalar fingerprint columns; the binary payload column dies at the
+    // decode map, before any shuffle
+    Seq(graft.operators.Video.q167(spark, sfDir),
+        graft.operators.Multimodal.q168(spark, sfDir),
+        graft.operators.Multimodal.q170(spark, sfDir)).foreach { q =>
+      // exchanges exist only post-EnsureRequirements; under AQE that tree
+      // is the adaptive plan's initialPlan
+      val exec = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val exchanges = exec.collect {
+        case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { ex =>
+        val cols = ex.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+        assert(!cols.exists(_.contains("binary")),
+          s"payload bytes crossed an exchange: $cols")
+      }
+    }
+  }
+
+  test("q169: centroids broadcast to the batch; assignment is one narrow map") {
+    val p = plan(graft.operators.Similarity.q169(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p)
+    // no cartesian fallback: the batch×centroid probe is the explicit
+    // broadcast nested loop over the tiny centroid side only
+    assert(!p.contains("CartesianProduct"), p)
   }
 }

@@ -12,16 +12,21 @@ import graft.Tables._
   * entity" step (itsmuriuki/airline_data_pipeline has only exact
   * drop_duplicates — clustering generalizes it to transitive near-dups).
   *
-  * Algorithm: iterative min-label propagation to a fixpoint — every node
-  * adopts the smallest label among itself and its neighbors until nothing
-  * changes. Converges in O(component diameter) rounds; near-dup clusters
-  * in real corpora are shallow (dup clusters are cliques or short chains),
-  * so 3-5 rounds is typical. Each round is one equi-join + one min
-  * aggregate; lineage is truncated per round (localCheckpoint) so the plan
-  * does not grow with iterations. At 100 TB the same loop runs with
-  * large-star/small-star edge rewriting (Kiveris et al., "Connected
-  * Components in MapReduce") to bound the per-round shuffle; the
-  * fixpoint-of-min-joins skeleton is identical.
+  * Algorithm: alternating large-star/small-star edge rewriting (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+  * each round every node hooks its neighbors onto the minimum of its
+  * neighborhood, which CONTRACTS the graph toward per-component stars in
+  * O(log² n) rounds (O(log n) observed) whatever the diameter. Round-8
+  * note: the previous min-label propagation converged in O(diameter)
+  * rounds, which a near-dup CHAIN (chunk-overlap corpora build them: A
+  * overlaps B overlaps C …) turns into a convergence failure at any
+  * bounded round budget; a one-hop pointer jump was measured advancing
+  * only ~2 hops/round on long structured cycles (see ClustersSpec's
+  * branchy-graph test, which pins exactly that regime). Each half-round
+  * is one aggregate + one equi-join + distinct; lineage is truncated per
+  * round (localCheckpoint) so the plan does not grow with iterations,
+  * and per-round shuffle volume is O(|E|) — never the transitive
+  * closure.
   */
 object Clusters {
 
@@ -50,35 +55,53 @@ object Clusters {
     val p = math.max(1, math.min(s.sessionState.conf.numShufflePartitions,
       (2 * e0.count() / 500000L).toInt + 1))
     graft.ScopedConf.withShufflePartitions(s, p) {
-      // One-time co-partition on the propagation key: every round's
-      // bi(a)=labels(id) join then reuses this layout (labels come out of
-      // a groupBy(id) with the same width) instead of re-shuffling the
-      // edge list per round.
-      val bi = e0
-        .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-        .repartition(p, col("a")).localCheckpoint(true)
-      var labels = bi.select(col("a").as("id")).distinct()
-        .withColumn("cluster", col("id"))
-        .localCheckpoint(true)
-      var converged = false
+      // Edges kept canonical as (hi, lo): larger endpoint first. Both
+      // star steps emit (x, m) with m strictly smaller, so canonical form
+      // is preserved for free after the initial normalization.
+      //
+      // large-star: every node u hooks its LARGER neighbors onto
+      // m = min(Γ(u) ∪ {u}) — run over the bidirectional neighborhood.
+      def largeStar(e: DataFrame): DataFrame = {
+        val bi = e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+        val m = bi.groupBy(col("u"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        bi.join(m, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .filter(col("hi") =!= col("lo")).distinct()
+      }
+      // small-star: every node u hooks its SMALLER neighbors (and itself)
+      // onto the minimum of that smaller neighborhood.
+      def smallStar(e: DataFrame): DataFrame = {
+        val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        e.join(m, Seq("hi"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionByName(m.select(col("hi"), col("m").as("lo")))
+          .filter(col("hi") =!= col("lo")).distinct()
+      }
+      var e = e0.select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .repartition(p, col("hi")).localCheckpoint(true)
+      var converged = e.isEmpty
       var i = 0
       while (!converged && i < maxIter) {
-        // Tag each node's own row so the round's aggregate carries BOTH the
-        // new min label and the previous one: convergence then reads the
-        // checkpointed round output (a cheap block scan) instead of paying
-        // a second labels-vs-labels join action per round.
-        val prop = bi.join(labels, bi("a") === labels("id"))
-          .select(col("b").as("id"), col("cluster"), lit(false).as("self"))
-        val next = labels.withColumn("self", lit(true)).unionByName(prop)
-          .groupBy(col("id")).agg(min(col("cluster")).as("cluster"),
-            min(when(col("self"), col("cluster"))).as("prev"))
-          .localCheckpoint(true)
-        converged = next.filter(col("cluster") < col("prev")).isEmpty
-        labels = next.select(col("id"), col("cluster"))
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        // fixpoint test: same edge multiset (counts equal + one-sided
+        // except empty). Post-contraction edge sets are O(nodes) rows.
+        converged = next.count() == e.count() && next.except(e).isEmpty
+        e = next
         i += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")
-      labels.select(col("cluster"), col("id"))
+      // at the fixpoint the edges are per-component stars (child, root)
+      // with root = the component minimum; roots label themselves
+      e.select(col("hi").as("id"), col("lo").as("cluster"))
+        .unionByName(e.select(col("lo").as("id"), col("lo").as("cluster")))
+        .distinct()
+        .select(col("cluster"), col("id"))
     }
   }
 

@@ -49,4 +49,45 @@ class ClustersSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("star contraction: a 2000-link chain converges within the default rounds") {
+    // Chunk-overlap corpora build CHAINS (A~B~C~…) whose diameter far
+    // exceeds any reasonable round budget; plain min-label propagation
+    // moves the root one hop per round (2000 rounds here — impossible at
+    // any bounded budget), while large-star/small-star contraction
+    // reaches every node in O(log n) rounds.
+    val n = 2000
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val out = Clusters.connectedComponents(chain)
+      .agg(countDistinct(col("cluster")), count(lit(1)), max(col("cluster")))
+      .collect()(0)
+    assert(out.getLong(0) == 1L, "one component")
+    assert(out.getLong(1) == n.toLong, "every node labeled")
+    assert(out.getLong(2) == 0L, "label is the chain min")
+  }
+
+  test("star contraction preserves labels on long-cycle structured graphs") {
+    // 300 nodes, arithmetic-progression edges that form LONG CYCLES — the
+    // regime where one-hop label propagation (even with a single pointer
+    // jump per round, measured ~2 hops/round) cannot converge in a
+    // bounded budget. Reference labeling via a driver-side union-find.
+    val ps = (0 until 600).map { k =>
+      val a = (k * 7919L) % 300
+      val b = (k * 104729L + 13) % 300
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    ps.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ps.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      .map(id => (id, find(id.toInt).toLong))
+    val got = Clusters.connectedComponents(edges(ps: _*))
+      .orderBy("id").select("id", "cluster").as[(Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSeq
+    assert(got == want.map(p => (p._1, p._2)))
+  }
 }

@@ -28,7 +28,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Video.queries ++
       graft.operators.Clusters.queries ++ graft.operators.Pack.queries ++
-      graft.streaming.EventsStream.queries
+      graft.streaming.EventsStream.queries ++
+      graft.streaming.MediaStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops, e.g.
@@ -42,5 +43,6 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Video.oracle ++
       graft.operators.Clusters.oracle ++ graft.operators.Pack.oracle ++
-      graft.streaming.EventsStream.oracle
+      graft.streaming.EventsStream.oracle ++
+      graft.streaming.MediaStream.oracle
 }

@@ -218,6 +218,27 @@ class StreamingSpec extends SparkTestBase {
     assert(unmatched.nonEmpty, "fixture must exercise the outer emission")
   }
 
+  test("q171: streaming perceptual dedup equals the batch distinct-hash set and screens re-encodes") {
+    import org.apache.spark.sql.functions.countDistinct
+    val streamed = graft.streaming.MediaStream.q171(spark, sfDir)
+      .collect().map(_.getString(0)).toSeq
+    // batch reference: decode the SAME variant universe and take the
+    // distinct perceptual hash set
+    val variants = graft.operators.Multimodal.pngVariantsTable(spark, sfDir)
+    val batch = variants.select(col("doc_id"), col("payload"))
+      .collect().map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        f"${graft.operators.Multimodal.aHash64(img)}%016X"
+      }.distinct.sorted.toSeq
+    assert(streamed == batch)
+    // the gate really screened something: the variant universe is larger
+    // than the surviving hash set (every tEXt re-encode collapses)
+    val universe = variants.count()
+    assert(streamed.size < universe,
+      s"no duplicates screened: ${streamed.size} of $universe")
+  }
+
   test("q155: streaming HLL state equals the batch single-pass sketch estimate") {
     val streamed = graft.streaming.EventsStream.q155(spark, sfDir)
       .collect().map(_.toSeq)

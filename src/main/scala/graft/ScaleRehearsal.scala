@@ -103,7 +103,8 @@ object ScaleRehearsal {
       "q159_blocklist", "q160_schema_drift", "q162_erasure_audit",
       "q163_weighted_sample", "q164_source_weighted_sample",
       "q165_avi_demux", "q166_ann_index_twin", "q167_video_dedup",
-      "q168_audio_dedup")
+      "q168_audio_dedup", "q169_index_maintain", "q170_multimodal_manifest",
+      "q171_media_stream")
     // q140 (hard negatives) is absent like q129/q134: its probe set is
     // tied to corpus ids only so the small fixture exercises it — the
     // replicated fixture would scale probes×corpus quadratically, while

@@ -25,11 +25,13 @@ object SparkEntry {
       Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
       Merge.queries ++ Scale.queries ++ Analytics.queries ++
       Layout.queries ++ Curation.queries ++
+      Importance.queries ++ LshPlanner.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Video.queries ++
+      Video.queries ++ graft.operators.Crossmodal.queries ++
       graft.operators.Clusters.queries ++ graft.operators.Pack.queries ++
       graft.streaming.EventsStream.queries ++
-      graft.streaming.MediaStream.queries
+      graft.streaming.MediaStream.queries ++
+      graft.streaming.VectorStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops, e.g.
@@ -40,9 +42,11 @@ object SparkEntry {
       Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
       Merge.oracle ++ Scale.oracle ++ Analytics.oracle ++
       Layout.oracle ++ Curation.oracle ++
+      Importance.oracle ++ LshPlanner.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      Video.oracle ++
+      Video.oracle ++ graft.operators.Crossmodal.oracle ++
       graft.operators.Clusters.oracle ++ graft.operators.Pack.oracle ++
       graft.streaming.EventsStream.oracle ++
-      graft.streaming.MediaStream.oracle
+      graft.streaming.MediaStream.oracle ++
+      graft.streaming.VectorStream.oracle
 }

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.OperatorCaches.TrackedDataset
+import graft.Tables._
+
+/** Data-selection operators that WEIGHT documents instead of dropping
+  * them — the importance-resampling / soft-dedup half of a curation stack
+  * (the hard-filter half lives in Curation/TextQueries/Dedup):
+  *
+  *  - q172: DSIR-style importance resampling (Xie et al. 2023, "Data
+  *    Selection for Language Models via Importance Resampling") — score
+  *    every raw doc by the log-likelihood ratio of a target-domain
+  *    unigram model vs the raw-corpus model, surface the top candidates.
+  *    The registered query uses EXACT word features (SQL-replayable); the
+  *    paper's hashed-feature variant is `dsirHashedScores` below with an
+  *    equivalence pin in ImportanceSpec (on a vocab this size the hash is
+  *    collision-free, so exact ≡ hashed — at a real corpus's vocab the
+  *    bucket count bounds model state instead of the vocabulary).
+  *  - q173: duplicate-discounted training weights — instead of dropping
+  *    clones (q32/q59), keep every doc and weight it 1/multiplicity so a
+  *    text repeated m times contributes one expected copy per epoch
+  *    (the "soft dedup" used when provenance must be preserved). Reports
+  *    the per-source effective-token budget that survives discounting.
+  *
+  * Float discipline (the q120 rules): every log is rounded to 1e-7
+  * fixed-point BIGINT per vocabulary ENTRY, contributions are integer
+  * tf × weight products summed as integers — order-independent and
+  * engine-exact; the only doubles are final shared-form divisions.
+  */
+object Importance {
+
+  /** See graft.ops.Scale.fanout (shared numbered-fanout helper). */
+  private def fanout(df: DataFrame, key: String): DataFrame =
+    Scale.fanout(df, key)
+
+  /** (doc_id, lang, source, w) — one row per word token occurrence. */
+  private def tokenStream(s: SparkSession, dir: String): DataFrame =
+    fanout(documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+
+  /** Per-vocabulary-entry DSIR weight in 1e-7 fixed point:
+    * ln p̂_target(w) − ln p̂_raw(w), both add-one smoothed over the SHARED
+    * vocabulary V (so unseen-in-target words get a well-defined penalty).
+    * `feature` maps the raw token column to the model's feature id —
+    * identity for the exact model, a bucket hash for the DSIR one.
+    *
+    * Scale shape: one groupBy on the feature domain (model fit), a 1-row
+    * broadcast of the totals — the model is never driver-side and never
+    * wider than the feature domain (buckets bound it for the hashed
+    * variant, the standard 100 TB configuration).
+    */
+  private def featureWeights(toks: DataFrame, feature: Column,
+      isTarget: Column): DataFrame = {
+    val vocab = toks
+      .select(feature.as("f"), isTarget.as("t"))
+      .groupBy(col("f"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val totals = vocab.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr("CAST(round((ln((ct + 1.0) / (nt + v)) - " +
+          "ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT)").as("w_e7"))
+  }
+
+  /** Per-doc DSIR score under `feature`: Σ_w tf·w_e7 (integer), plus the
+    * length-normalized per-token score. Join shape: doc-term counts join
+    * the weight table on the feature domain, then one doc_id groupBy —
+    * all linear, no collect. */
+  private def dsirScores(toks: DataFrame, feature: Column,
+      isTarget: Column): DataFrame = {
+    val docTf = toks.select(col("doc_id"), feature.as("f"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("tf"))
+    docTf.join(featureWeights(toks, feature, isTarget), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w_e7")).as("llr_e7"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** The hashed-feature DSIR model (the paper's actual construction):
+    * features are xxhash64 buckets, so model size is `buckets` regardless
+    * of vocabulary — the 100 TB path. ImportanceSpec pins top-k selection
+    * ≡ the exact model on the fixture (collision-free at 2^16 buckets). */
+  def dsirHashedScores(s: SparkSession, dir: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    val toks = tokenStream(s, dir)
+    dsirScores(toks, pmod(xxhash64(col("w")), lit(buckets.toLong)),
+      col("lang") === "en")
+  }
+
+  // ── q172: DSIR importance resampling — target = English docs, raw = the
+  //        whole corpus; rank every doc by the per-token target/raw
+  //        log-likelihood ratio and surface the 25 strongest candidates
+  //        (what the resampler would draw first). Exact word features so
+  //        DuckDB replays the entire model; the hashed twin above is the
+  //        bounded-state production form.
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val scores = dsirScores(tokenStream(s, dir), col("w"),
+      col("lang") === "en")
+    scores
+      .join(documents(s, dir).select(col("doc_id"), col("lang"),
+        col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("llr_e7"),
+        (col("llr_e7").cast("double") / col("n_tokens") / lit(1e7))
+          .as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val q172Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |dt AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |vb AS (SELECT w,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr
+      |  FROM tk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |    CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v FROM vb),
+      |wt AS (SELECT w,
+      |    CAST(round((ln((ct + 1.0) / (nt + v))
+      |      - ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT) AS w_e7
+      |  FROM vb CROSS JOIN tot),
+      |sc AS (SELECT dt.doc_id,
+      |    CAST(sum(dt.tf * wt.w_e7) AS BIGINT) AS llr_e7,
+      |    CAST(sum(dt.tf) AS BIGINT) AS n_tokens
+      |  FROM dt JOIN wt USING (w) GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.source, sc.n_tokens, sc.llr_e7,
+      |  CAST(sc.llr_e7 AS DOUBLE) / sc.n_tokens / 10000000.0 AS dsir_score
+      |FROM sc JOIN documents d USING (doc_id)
+      |ORDER BY dsir_score DESC, doc_id LIMIT 25""".stripMargin
+
+  // ── q173: duplicate-discounted training weights — each doc weighs
+  //        1/m where m = multiplicity of its NORMALIZED text (q59's
+  //        canonicalization), so every clone group contributes one
+  //        expected document per epoch without dropping provenance.
+  //        Per-source report: docs, docs inside clone groups, raw vs
+  //        effective (discounted) token budget. Shuffles carry digests
+  //        only (the Dedup convention) — text never moves twice.
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("source"),
+        sha2(graft.operators.Dedup.normalizeText(col("text")), 256)
+          .as("fp"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .trackedPersist()
+    val m = d.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+    d.join(m, Seq("fp"))
+      .select(col("source"), col("n_tokens"), col("m"),
+        expr("CAST(round(1000000.0 / m) AS BIGINT)").as("w_e6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_in_clone_groups"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("n_tokens") * col("w_e6")).as("eff_tokens_e6"))
+      .select(col("source"), col("n_docs"), col("n_in_clone_groups"),
+        col("raw_tokens"), col("eff_tokens_e6"),
+        (col("eff_tokens_e6").cast("double") / lit(1e6)).as("eff_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q173Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g')) AS nrm,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |m AS (SELECT nrm, count(*) AS m FROM d GROUP BY 1),
+      |j AS (SELECT d.source, d.n_tokens, m.m,
+      |    CAST(round(1000000.0 / m.m) AS BIGINT) AS w_e6
+      |  FROM d JOIN m USING (nrm))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_in_clone_groups,
+      |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+      |  CAST(sum(n_tokens * w_e6) AS BIGINT) AS eff_tokens_e6,
+      |  CAST(sum(n_tokens * w_e6) AS DOUBLE) / 1000000.0 AS eff_tokens
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_dsir_select" -> q172,
+    "q173_dup_discount" -> q173)
+
+  val oracle: Map[String, String] = Map(
+    "q172_dsir_select" -> q172Sql,
+    "q173_dup_discount" -> q173Sql)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Importance
+
+/** q172 DSIR importance resampling + q173 duplicate-discounted weights. */
+class ImportanceSpec extends SparkTestBase {
+
+  test("q172: hashed-feature DSIR model selects the same top-25 as the " +
+    "exact model (collision-free at 2^16 buckets on the fixture vocab)") {
+    val exact = Importance.q172(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hashed = Importance.dsirHashedScores(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id"), Seq("doc_id"))
+      .withColumn("dsir_score",
+        col("llr_e7").cast("double") / col("n_tokens") / lit(1e7))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hashed === exact)
+  }
+
+  test("q172: the model tilts toward its target distribution — mean " +
+    "per-token LLR positive for target-lang docs, negative for every " +
+    "other lang (the fixture langs share one vocabulary, so top-k label " +
+    "purity is NOT expected; the tilt is)") {
+    val scored = Importance.dsirHashedScores(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .withColumn("score",
+        col("llr_e7").cast("double") / col("n_tokens") / lit(1e7))
+      .groupBy("lang").agg(avg("score").as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(scored("en") > 0.0)
+    scored.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(m < 0.0, s"lang=$l")
+    }
+  }
+
+  test("q172: scores are length-normalized LLRs (integer fixed-point " +
+    "identity holds) in strict rank order") {
+    val rows = Importance.q172(spark, sfDir).collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      val n = r.getLong(3); val llr = r.getLong(4); val sc = r.getDouble(5)
+      assert(n > 0)
+      assert(sc === llr.toDouble / n / 1e7)
+    }
+    // descending with doc_id tie-break
+    val scores = rows.map(_.getDouble(5)).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+  }
+
+  test("q173: discounted budget never exceeds raw, equals raw exactly " +
+    "for clone-free sources, and covers every doc") {
+    val rows = Importance.q173(spark, sfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total ===
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val dupDocs = r.getLong(2)
+      val raw = r.getLong(3); val effE6 = r.getLong(4)
+      assert(effE6 <= raw * 1000000L)
+      if (dupDocs == 0) assert(effE6 === raw * 1000000L)
+      assert(r.getDouble(5) === effE6.toDouble / 1e6)
+    }
+  }
+
+  test("q173: a clone group of size m contributes ~one copy of its " +
+    "tokens (constructed corpus)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s1"),
+      (3L, "alpha beta gamma", "s1"),
+      (4L, "delta epsilon", "s1")).toDF("doc_id", "text", "source")
+    // inline the operator body over a constructed frame via temp fixture
+    val d = docs.select(col("source"),
+      sha2(graft.operators.Dedup.normalizeText(col("text")), 256).as("fp"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+    val m = d.groupBy("fp").agg(count(lit(1)).as("m"))
+    val eff = d.join(m, Seq("fp"))
+      .select((col("n_tokens") *
+        expr("CAST(round(1000000.0 / m) AS BIGINT)")).as("e"))
+      .agg(sum("e")).head.getLong(0)
+    // 3 clones of 3 tokens → 3 × 333333 × 3? no: each of the 3 docs
+    // carries 3 tokens × w(1/3)=333333 → 2999997; plus the unique doc
+    // 2 × 1000000. Exact integer expectation:
+    assert(eff === 3L * 3L * 333333L + 2L * 1000000L)
+  }
+}

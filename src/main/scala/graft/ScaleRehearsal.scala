@@ -104,7 +104,14 @@ object ScaleRehearsal {
       "q163_weighted_sample", "q164_source_weighted_sample",
       "q165_avi_demux", "q166_ann_index_twin", "q167_video_dedup",
       "q168_audio_dedup", "q169_index_maintain", "q170_multimodal_manifest",
-      "q171_media_stream")
+      "q171_media_stream",
+      "q172_dsir_select", "q173_dup_discount", "q174_lsh_planner",
+      "q176_crossmodal_dedup", "q177_model_maintain", "q178_stream_dsir")
+    // q175 (streaming embedding decontam) is absent like q129/q134: the
+    // replica key shift is ≡ 0 mod 50, so the broadcast eval side scales
+    // WITH the corpus here — the operator's contract is a FIXED eval set
+    // over a growing stream (its linear half, the per-vector screen, is
+    // the same kernel q37 rehearses).
     // q140 (hard negatives) is absent like q129/q134: its probe set is
     // tied to corpus ids only so the small fixture exercises it — the
     // replicated fixture would scale probes×corpus quadratically, while

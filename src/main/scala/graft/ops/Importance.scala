@@ -85,6 +85,11 @@ object Importance {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Exact-feature per-doc scores (doc_id, llr_e7, n_tokens) — the batch
+    * reference ImportanceSpec checks the streaming gate against. */
+  def dsirScoresExact(s: SparkSession, dir: String): DataFrame =
+    dsirScores(tokenStream(s, dir), col("w"), col("lang") === "en")
+
   /** The hashed-feature DSIR model (the paper's actual construction):
     * features are xxhash64 buckets, so model size is `buckets` regardless
     * of vocabulary — the 100 TB path. ImportanceSpec pins top-k selection
@@ -189,11 +194,136 @@ object Importance {
       |  CAST(sum(n_tokens * w_e6) AS DOUBLE) / 1000000.0 AS eff_tokens
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ── q177: importance-model MAINTENANCE — the counts behind the DSIR
+  //        weights are a mergeable sketch (plain integer sums), so the
+  //        model updates incrementally: history counts live as a parquet
+  //        artifact (docs with doc_id % 3 ≠ 0), the new batch
+  //        (doc_id % 3 = 0) contributes only ITS token counts, and the
+  //        merge is one full-outer sum — the corpus is never rescanned.
+  //        Output is the full updated model (word, counts, weight); the
+  //        oracle recomputes it FROM SCRATCH over the whole corpus, so
+  //        the driver hash proves incremental ≡ full (the q127/q148
+  //        maintenance discipline applied to a learned selection model).
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val counts = (df: DataFrame) => df
+      .select(col("w").as("f"), (col("lang") === "en").as("t"))
+      .groupBy(col("f"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val history = graft.Fixtures.path("dsirmodel", dir)(
+      counts(tokenStream(s, dir).where(col("doc_id") % 3 =!= 0)))
+    val batch = counts(tokenStream(s, dir).where(col("doc_id") % 3 === 0))
+    val merged = s.read.parquet(history)
+      .unionByName(batch)
+      .groupBy(col("f"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+    val totals = merged.agg(sum(col("ct")).as("nt"),
+      sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    merged.crossJoin(broadcast(totals))
+      .select(col("f").as("w"), col("ct"), col("cr"),
+        expr("CAST(round((ln((ct + 1.0) / (nt + v)) - " +
+          "ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT)").as("w_e7"))
+      .orderBy(col("w"))
+  }
+
+  val q177Sql: String =
+    """WITH tk AS (
+      |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |    AS w
+      |  FROM documents),
+      |vb AS (SELECT w,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr
+      |  FROM tk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |    CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v FROM vb)
+      |SELECT w, ct, cr,
+      |  CAST(round((ln((ct + 1.0) / (nt + v))
+      |    - ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT) AS w_e7
+      |FROM vb CROSS JOIN tot ORDER BY w""".stripMargin
+
+  // ── q178: streaming DSIR gate — score documents at INGEST against a
+  //        FROZEN importance model broadcast as one map row (the
+  //        production deployment shape: the model is fit offline, the
+  //        stream only reads it). The gate is STATELESS: tokens fold
+  //        through the map with a codegen'd aggregate — no streaming
+  //        aggregation, no state store; output keys by doc_id so the
+  //        result is micro-batch-invariant. Model state is bounded by
+  //        the OBSERVED feature set (≤ bucket count in the hashed
+  //        production form; the registered query keeps exact words so
+  //        DuckDB replays the scores bit-for-bit).
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val model = featureWeights(tokenStream(s, dir), col("w"),
+      col("lang") === "en")
+      .agg(map_from_entries(collect_list(struct(col("f"), col("w_e7"))))
+        .as("m"))
+    val base = documents(s, dir)
+      .select(col("doc_id"),
+        expr("timestamp_micros(doc_id * 1000000)").as("ts"), col("text"))
+    val fixDir = graft.Fixtures.path("docscore", dir)(base)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val qn = "q178_stream_dsir_sink"
+    s.catalog.dropTempView(qn)
+    val scored = s.readStream.schema(schema).parquet(fixDir)
+      .withColumn("_k", lit(1))
+      .join(model.withColumn("_k", lit(1)), Seq("_k"))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("a"),
+        col("m"))
+      .select(col("doc_id"), size(col("a")).cast("long").as("n_tokens"),
+        expr("aggregate(a, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + coalesce(m[x], CAST(0 AS BIGINT)))")
+          .as("llr_e7"))
+      .select(col("doc_id"), col("n_tokens"), col("llr_e7"),
+        when(col("llr_e7") > 0, 1L).otherwise(0L).as("selected"))
+    val query = scored.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qn).orderBy(col("doc_id"))
+  }
+
+  val q178Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |dt AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |vb AS (SELECT w,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr
+      |  FROM tk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |    CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v FROM vb),
+      |wt AS (SELECT w,
+      |    CAST(round((ln((ct + 1.0) / (nt + v))
+      |      - ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT) AS w_e7
+      |  FROM vb CROSS JOIN tot),
+      |sc AS (SELECT dt.doc_id,
+      |    CAST(sum(dt.tf * wt.w_e7) AS BIGINT) AS llr_e7,
+      |    CAST(sum(dt.tf) AS BIGINT) AS n_tokens
+      |  FROM dt JOIN wt USING (w) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(sc.n_tokens, 0) AS n_tokens,
+      |  coalesce(sc.llr_e7, 0) AS llr_e7,
+      |  CAST(CASE WHEN coalesce(sc.llr_e7, 0) > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS selected
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_dsir_select" -> q172,
-    "q173_dup_discount" -> q173)
+    "q173_dup_discount" -> q173,
+    "q177_model_maintain" -> q177,
+    "q178_stream_dsir" -> q178)
 
   val oracle: Map[String, String] = Map(
     "q172_dsir_select" -> q172Sql,
-    "q173_dup_discount" -> q173Sql)
+    "q173_dup_discount" -> q173Sql,
+    "q177_model_maintain" -> q177Sql,
+    "q178_stream_dsir" -> q178Sql)
 }

@@ -87,4 +87,33 @@ class ImportanceSpec extends SparkTestBase {
     // 2 × 1000000. Exact integer expectation:
     assert(eff === 3L * 3L * 333333L + 2L * 1000000L)
   }
+
+  test("q177: incrementally maintained model covers the whole corpus " +
+    "vocabulary with full-corpus counts (merge lost nothing)") {
+    val model = Importance.q177(spark, sfDir).collect()
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    val expected = vocab.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(model.map(_.getString(0)).toSet === expected.keySet)
+    model.foreach { r =>
+      assert(r.getLong(2) === expected(r.getString(0)),
+        s"cr mismatch for '${r.getString(0)}'")
+      assert(r.getLong(1) <= r.getLong(2)) // target counts ⊆ raw counts
+    }
+  }
+
+  test("q178: streaming gate scores ≡ the batch exact-feature model " +
+    "(same llr per doc, whatever micro-batching ran)") {
+    val streamed = Importance.q178(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Importance.dsirScoresExact(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(streamed.filter(_._2._1 > 0) === batch)
+    // selected ⇔ llr positive
+    Importance.q178(spark, sfDir).collect().foreach { r =>
+      assert((r.getLong(3) === 1L) === (r.getLong(2) > 0L))
+    }
+  }
 }

@@ -277,4 +277,24 @@ class PlanSpec extends SparkTestBase {
     // broadcast nested loop over the tiny centroid side only
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q172/q177: DSIR model totals broadcast as one row; the top-25 " +
+    "selection never full-sorts") {
+    val p = plan(graft.ops.Importance.q172(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val p77 = plan(graft.ops.Importance.q177(spark, sfDir))
+    assert(p77.contains("BroadcastExchange"), p77)
+    assert(!p77.contains("CartesianProduct"), p77)
+  }
+
+  test("q173: multiplicity join shuffles sha-256 digests only — unused " +
+    "document columns die at the scan") {
+    val p = plan(graft.ops.Importance.q173(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // ReadSchema pruning: only (source, text) leave the parquet scan
+    assert(!p.contains("n_chars"), "q173 must not read unused columns\n" + p)
+    assert(!p.contains("doc_id"), "q173 must not read unused columns\n" + p)
+  }
 }

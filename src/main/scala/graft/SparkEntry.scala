@@ -28,6 +28,7 @@ object SparkEntry {
       Importance.queries ++ LshPlanner.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Video.queries ++ graft.operators.Crossmodal.queries ++
+      graft.operators.DedupAudit.queries ++
       graft.operators.Clusters.queries ++ graft.operators.Pack.queries ++
       graft.streaming.EventsStream.queries ++
       graft.streaming.MediaStream.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       Importance.oracle ++ LshPlanner.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Video.oracle ++ graft.operators.Crossmodal.oracle ++
+      graft.operators.DedupAudit.oracle ++
       graft.operators.Clusters.oracle ++ graft.operators.Pack.oracle ++
       graft.streaming.EventsStream.oracle ++
       graft.streaming.MediaStream.oracle ++

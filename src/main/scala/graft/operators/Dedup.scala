@@ -109,8 +109,8 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
   /** Distinct (id, shingle) pairs; token array staged before windowing. */
-  private def distinctTokens(docs: DataFrame, textCol: String, idCol: String,
-      gram: Int = 1): DataFrame =
+  private[graft] def distinctTokens(docs: DataFrame, textCol: String,
+      idCol: String, gram: Int = 1): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
         explode(shinglesFromTokens(col("_toks"), gram)).as("t"))

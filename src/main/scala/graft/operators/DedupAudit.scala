@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Near-dup OPERATING-POINT audit — the measurement companion of the
+  * q174 banding planner: the planner PREDICTS what a banding geometry
+  * catches, this operator MEASURES it on the corpus. Candidate pairs
+  * from a DuckDB-replayable MinHash banding (q51's 8-slice sha-256
+  * signature, 4 bands × 2 rows, here over the same trigram shingles the
+  * truth uses) are scored against exact trigram-Jaccard ground truth,
+  * and precision / recall / predicted-catch land side by side per
+  * threshold — the recall@10-style honesty of q158 applied to dedup.
+  *
+  * Contraction discipline: everything runs on UNIQUE texts (textGroups
+  * reps) — clone multiplicities would inflate both sets quadratically
+  * and say nothing about the banding. Exact all-pairs truth is the
+  * documented audit-only side (the q72/q54 family); the candidate side
+  * is the production-shaped banded equi-join.
+  */
+object DedupAudit {
+
+  // ── q179: LSH dedup audit — per threshold τ: |truth|, |candidates|,
+  //        true positives, precision, recall, and the q174-style
+  //        analytic prediction for this geometry (b=4, r=2) at s=τ.
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
+    val (repPairs, _) = Dedup.repPairStats(groups, 3)
+    val truth = repPairs.select(col("id_a"), col("id_b"), col("jaccard"))
+    // trigram shingles of the rep texts — the SAME feature space as the
+    // truth, so the audit isolates the banding, not the tokenization
+    val toks = Dedup.distinctTokens(
+      groups.select(col("rep").as("doc_id"), col("_text").as("text")),
+      "text", "doc_id", 3)
+    val slices = (0 until 8).map(i =>
+      min(expr(s"substring(sha2(t, 256), ${i * 8 + 1}, 8)")).as(s"m$i"))
+    val sigs = toks.groupBy(col("doc_id")).agg(slices.head, slices.tail: _*)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bh")))
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val ann = truth
+      .join(cand.withColumn("is_cand", lit(1L)), Seq("id_a", "id_b"),
+        "full_outer")
+      .select(coalesce(col("jaccard"), lit(0.0)).as("jacc"),
+        coalesce(col("is_cand"), lit(0L)).as("is_cand"))
+    val taus = Seq(0.3, 0.5, 0.7).toDF("tau")
+    ann.crossJoin(broadcast(taus))
+      .groupBy(col("tau"))
+      .agg(
+        sum(when(col("jacc") >= col("tau"), 1L).otherwise(0L)).as("n_truth"),
+        sum(col("is_cand")).as("n_cand"),
+        sum(when(col("jacc") >= col("tau") && col("is_cand") === 1L, 1L)
+          .otherwise(0L)).as("tp"))
+      .select(col("tau"), col("n_truth"), col("n_cand"), col("tp"),
+        when(col("n_cand") > 0, col("tp").cast("double") / col("n_cand"))
+          .as("prec"),
+        when(col("n_truth") > 0, col("tp").cast("double") / col("n_truth"))
+          .as("recall"),
+        expr("round((1.0 - pow(1.0 - pow(tau, 2), 4)) * 10000) / 10000.0")
+          .as("pred_catch"))
+      .orderBy(col("tau"))
+  }
+
+  val q179Sql: String =
+    """WITH d AS (SELECT text, min(doc_id) AS doc_id FROM documents
+      |  GROUP BY text),
+      |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM d),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |        ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      |              for i in range(1, len(toks) - 1)]
+      |      END) AS t
+      |    FROM tok)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |tp0 AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      |  FROM sh x JOIN sh y ON x.t = y.t AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |tj AS (
+      |  SELECT id_a, id_b, shared / (sa.n + sb.n - shared) AS jacc
+      |  FROM tp0
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
+      |  FROM sh GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM sigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sigs),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM buckets x JOIN buckets y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |ann AS (
+      |  SELECT coalesce(tj.jacc, 0.0) AS jacc,
+      |    CASE WHEN cand.id_a IS NULL THEN 0 ELSE 1 END AS is_cand
+      |  FROM tj FULL OUTER JOIN cand USING (id_a, id_b)),
+      |tt AS (SELECT unnest([0.3, 0.5, 0.7]) AS tau),
+      |agg AS (
+      |  SELECT tau,
+      |    CAST(sum(CASE WHEN jacc >= tau THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_truth,
+      |    CAST(sum(is_cand) AS BIGINT) AS n_cand,
+      |    CAST(sum(CASE WHEN jacc >= tau AND is_cand = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp
+      |  FROM ann CROSS JOIN tt GROUP BY tau)
+      |SELECT tau, n_truth, n_cand, tp,
+      |  CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END AS prec,
+      |  CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END AS recall,
+      |  round((1.0 - pow(1.0 - pow(tau, 2), 4)) * 10000) / 10000.0
+      |    AS pred_catch
+      |FROM agg ORDER BY tau""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_lsh_audit" -> q179)
+
+  val oracle: Map[String, String] = Map(
+    "q179_lsh_audit" -> q179Sql)
+}

@@ -315,15 +315,93 @@ object Importance {
       |FROM documents d LEFT JOIN sc USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ── q180: SELECTION capstone — the per-doc sampling-weight card a
+  //        training run actually consumes, composing the three
+  //        independent signals this family provides: duplicate discount
+  //        (q173's 1/multiplicity), hard quality bar (the shared
+  //        fixed-point logit behind q133/q139/q149), and target-domain
+  //        tilt (q172's DSIR LLR). A doc samples at weight 1/m iff it
+  //        clears BOTH gates; everything else carries weight 0 but stays
+  //        in the card (auditable, like q147's ledger). Every component
+  //        is integer fixed-point, so the whole card hash-oracles.
+  //        Scale shape: three independent linear relations (digest
+  //        groupBy, narrow logit projection, token-domain model) joined
+  //        back on doc_id — no new shuffle classes beyond its parts.
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val base = docs.select(col("doc_id"), col("source"),
+      sha2(graft.operators.Dedup.normalizeText(col("text")), 256).as("fp"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+      graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
+    val m = base.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+    val dsir = dsirScoresExact(s, dir).select(col("doc_id"), col("llr_e7"))
+    base.join(m, Seq("fp"))
+      .join(dsir, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("m"),
+        col("logit_1e4"), coalesce(col("llr_e7"), lit(0L)).as("llr_e7"))
+      .withColumn("selected",
+        when(col("logit_1e4") >= 20000L && col("llr_e7") > 0L, 1L)
+          .otherwise(0L))
+      .withColumn("weight_e6",
+        when(col("selected") === 1L,
+          expr("CAST(round(1000000.0 / m) AS BIGINT)")).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val q180Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\t\n\f\r ]', '', 'g'), '[\t\n\f\r ]+', ' ', 'g')) AS nrm,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    20000 + 15*len(regexp_extract_all(text, '\S+'))
+      |      + 400*len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b'))
+      |      - 250*len(regexp_extract_all(text, '[.,!?;:]'))
+      |      - 120*len(regexp_extract_all(text, '[0-9]'))
+      |      - 600*len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS logit_1e4
+      |  FROM documents),
+      |mm AS (SELECT nrm, count(*) AS m FROM b GROUP BY 1),
+      |tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |dt AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |vb AS (SELECT w,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr
+      |  FROM tk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+      |    CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v FROM vb),
+      |wt AS (SELECT w,
+      |    CAST(round((ln((ct + 1.0) / (nt + v))
+      |      - ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT) AS w_e7
+      |  FROM vb CROSS JOIN tot),
+      |sc AS (SELECT dt.doc_id,
+      |    CAST(sum(dt.tf * wt.w_e7) AS BIGINT) AS llr_e7
+      |  FROM dt JOIN wt USING (w) GROUP BY 1),
+      |card AS (
+      |  SELECT b.doc_id, b.source, b.n_tokens, mm.m, b.logit_1e4,
+      |    coalesce(sc.llr_e7, 0) AS llr_e7
+      |  FROM b JOIN mm USING (nrm) LEFT JOIN sc USING (doc_id))
+      |SELECT doc_id, source, n_tokens, m, logit_1e4, llr_e7,
+      |  CAST(CASE WHEN logit_1e4 >= 20000 AND llr_e7 > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS selected,
+      |  CASE WHEN logit_1e4 >= 20000 AND llr_e7 > 0
+      |    THEN CAST(round(1000000.0 / m) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS weight_e6
+      |FROM card ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_dsir_select" -> q172,
     "q173_dup_discount" -> q173,
     "q177_model_maintain" -> q177,
-    "q178_stream_dsir" -> q178)
+    "q178_stream_dsir" -> q178,
+    "q180_selection_build" -> q180)
 
   val oracle: Map[String, String] = Map(
     "q172_dsir_select" -> q172Sql,
     "q173_dup_discount" -> q173Sql,
     "q177_model_maintain" -> q177Sql,
-    "q178_stream_dsir" -> q178Sql)
+    "q178_stream_dsir" -> q178Sql,
+    "q180_selection_build" -> q180Sql)
 }

@@ -116,4 +116,25 @@ class ImportanceSpec extends SparkTestBase {
       assert((r.getLong(3) === 1L) === (r.getLong(2) > 0L))
     }
   }
+
+  test("q180: the capstone card composes its parts verbatim — weights " +
+    "gate on BOTH signals, and the llr column is q172's exact model") {
+    val card = Importance.q180(spark, sfDir).collect()
+    assert(card.length === Tables.documents(spark, sfDir).count())
+    card.foreach { r =>
+      val (m, logit, llr) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val (sel, w) = (r.getLong(6), r.getLong(7))
+      assert((sel === 1L) === (logit >= 20000L && llr > 0L))
+      if (sel == 1L) assert(w === math.round(1000000.0 / m))
+      else assert(w === 0L)
+    }
+    // both gates bite on this fixture: selected strictly between 0 and all
+    val nSel = card.count(_.getLong(6) == 1L)
+    assert(nSel > 0 && nSel < card.length)
+    val exact = Importance.dsirScoresExact(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    card.foreach { r =>
+      assert(r.getLong(5) === exact.getOrElse(r.getLong(0), 0L))
+    }
+  }
 }

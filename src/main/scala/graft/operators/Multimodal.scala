@@ -862,7 +862,8 @@ object Multimodal {
       .join(near, Seq("ahash"), "left")
       .withColumn("near_hashes", coalesce(col("near_hashes"), lit(0L)))
       .filter(col("n_images") > 1 || col("near_hashes") > 0)
-      .select(col("media_id"), hex(col("ahash")).as("ahash_hex"),
+      .select(col("media_id"),
+        lpad(hex(col("ahash")), 16, "0").as("ahash_hex"),
         col("n_images"), (col("media_id") === col("rep_id")).as("is_rep"),
         col("near_hashes"))
       .orderBy(col("media_id"))
@@ -1027,6 +1028,108 @@ object Multimodal {
       |JOIN afp USING (doc_id) JOIN vsig USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // Oracle for q156: replays the variant population (base ∪ pixel-
+  // identical re-encode twins ∪ first-byte-inverted perturbed twins),
+  // the decoder's aHash observation (the q107/q170 hex-LUT honesty
+  // model: dims from id%6, 64 samples by the integer-division grid,
+  // mean threshold), then the banding and Hamming mechanics with exact
+  // integer arithmetic — the signed 64-bit hash is assembled from its
+  // bytes with BIGINT place values (power() doubles lose bits ≥ 2^53),
+  // band values come from byte pairs (no shift-semantics dependence),
+  // and xor/bit_count give the pairwise Hamming distances.
+  val q156Sql: String =
+    """WITH lut AS (
+      |  SELECT i AS v, upper(lpad(hex(i),2,'0')) AS hp
+      |  FROM generate_series(0,255) t(i)),
+      |media AS (
+      |  SELECT doc_id AS media_id, doc_id AS src_id, 0 AS pert
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, doc_id, 0 FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, doc_id, 1 FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |dd AS (
+      |  SELECT m.media_id, m.pert, d.text,
+      |    CASE ((m.src_id % 6) + 6) % 6 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |      WHEN 2 THEN 16 WHEN 3 THEN 2 WHEN 4 THEN 32 ELSE 1 END AS w,
+      |    CASE ((m.src_id % 6) + 6) % 6 WHEN 0 THEN 4 WHEN 1 THEN 8
+      |      WHEN 2 THEN 2 WHEN 3 THEN 16 WHEN 4 THEN 1 ELSE 32 END AS h
+      |  FROM media m JOIN documents d ON d.doc_id = m.src_id),
+      |pix AS (
+      |  SELECT dd.media_id, g.p,
+      |    CASE WHEN dd.pert = 1 AND g.p = 0 THEN 255 - lut.v
+      |      ELSE lut.v END AS v
+      |  FROM dd CROSS JOIN generate_series(0,31) g(p)
+      |  JOIN lut ON lut.hp = upper(substring(sha256(dd.text), g.p*2+1, 2))),
+      |samp AS (
+      |  SELECT dd.media_id, g.i, px.v
+      |  FROM dd CROSS JOIN generate_series(0,63) g(i)
+      |  JOIN pix px ON px.media_id = dd.media_id
+      |    AND px.p = ((g.i // 8) * dd.h // 8) * dd.w
+      |      + ((g.i % 8) * dd.w // 8)),
+      |bits AS (
+      |  SELECT s.media_id, s.i,
+      |    CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS b
+      |  FROM samp s JOIN (
+      |    SELECT media_id, sum(v) AS total FROM samp GROUP BY 1) t
+      |    USING (media_id)),
+      |bytes AS (
+      |  SELECT media_id, i // 8 AS k,
+      |    CAST(sum(b * power(2, i % 8)) AS BIGINT) AS byte
+      |  FROM bits GROUP BY 1, 2),
+      |hhex AS (
+      |  SELECT media_id,
+      |    string_agg(upper(lpad(hex(byte),2,'0')), '' ORDER BY k DESC)
+      |      AS ahash_hex
+      |  FROM bytes GROUP BY 1),
+      |hval AS (
+      |  SELECT media_id, CAST(sum(
+      |    CASE k
+      |      WHEN 7 THEN (byte - CASE WHEN byte >= 128 THEN 256 ELSE 0 END)
+      |        * 72057594037927936
+      |      WHEN 6 THEN byte * 281474976710656
+      |      WHEN 5 THEN byte * 1099511627776
+      |      WHEN 4 THEN byte * 4294967296
+      |      WHEN 3 THEN byte * 16777216
+      |      WHEN 2 THEN byte * 65536
+      |      WHEN 1 THEN byte * 256
+      |      ELSE byte END) AS BIGINT) AS ahash
+      |  FROM bytes GROUP BY 1),
+      |grp AS (
+      |  SELECT ahash, count(*) AS n_images, min(media_id) AS rep_id
+      |  FROM hval GROUP BY 1),
+      |bexp AS (
+      |  SELECT h.ahash, g.b,
+      |    lo.byte + hi.byte * 256 AS v
+      |  FROM (SELECT ahash, min(media_id) AS media_id FROM hval
+      |        GROUP BY 1) h
+      |  CROSS JOIN generate_series(0,3) g(b)
+      |  JOIN bytes lo ON lo.media_id = h.media_id AND lo.k = g.b * 2
+      |  JOIN bytes hi ON hi.media_id = h.media_id AND hi.k = g.b * 2 + 1),
+      |cand AS (
+      |  SELECT DISTINCT x.ahash AS ha, y.ahash AS hb
+      |  FROM bexp x JOIN bexp y
+      |    ON x.b = y.b AND x.v = y.v AND x.ahash < y.ahash),
+      |ham AS (
+      |  SELECT ha, hb FROM cand
+      |  WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND 6),
+      |near AS (
+      |  SELECT ahash, count(DISTINCT other) AS near_hashes FROM (
+      |    SELECT ha AS ahash, hb AS other FROM ham
+      |    UNION ALL SELECT hb, ha FROM ham)
+      |  GROUP BY 1)
+      |SELECT v.media_id, x.ahash_hex, g.n_images,
+      |  v.media_id = g.rep_id AS is_rep,
+      |  coalesce(n.near_hashes, 0) AS near_hashes
+      |FROM hval v
+      |JOIN hhex x USING (media_id)
+      |JOIN grp g USING (ahash)
+      |LEFT JOIN near n USING (ahash)
+      |WHERE g.n_images > 1 OR coalesce(n.near_hashes, 0) > 0
+      |ORDER BY v.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_multimodal_manifest" -> q170,
     "q40_multimodal_meta" -> q40,
@@ -1046,5 +1149,6 @@ object Multimodal {
     "q109_png_resize" -> q109Sql,
     "q110_wav_decode" -> q110Sql,
     "q111_frame_stream" -> q111Sql,
+    "q156_image_phash" -> q156Sql,
     "q168_audio_dedup" -> q168Sql)
 }

@@ -1355,6 +1355,85 @@ object TextQueries {
       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_kept
       |FROM k GROUP BY source, label ORDER BY source, label""".stripMargin
 
+  // ── generated DuckDB oracles for the BPE LOOP (q118/q122) — the last
+  //        corpus-derived-state queries without a driver hash. The loop
+  //        unrolls: round k's CTEs derive pair counts from round k−1's
+  //        marker-wrapped piece strings (chr(31) around every piece — the
+  //        EXACT representation bpeEncodeStats merges with, so DuckDB's
+  //        left-to-right non-overlapping replace() reproduces the greedy
+  //        merge bit-for-bit), pick the argmax pair with the engine's
+  //        (n DESC, l, r) tie-break, and rewrite the strings. 10 rounds →
+  //        10 CTE blocks, generated by one loop below.
+  private def bpeMergeCtes(rounds: Int): String = {
+    val M = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH tk AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |v0 AS (
+      |  SELECT w, count(*) AS freq FROM tk GROUP BY w
+      |  ORDER BY freq DESC, w LIMIT 65536),
+      |s0 AS (
+      |  SELECT w, freq,
+      |    regexp_replace(w, '(.)', $M || '\\1' || $M, 'g') AS seq
+      |  FROM v0)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+      |p$k AS (
+      |  SELECT pieces[i] AS l, pieces[i + 1] AS r,
+      |    CAST(sum(freq) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT freq, pieces,
+      |      unnest(generate_series(1, len(pieces) - 1)) AS i
+      |    FROM (SELECT freq,
+      |      string_split(substring(seq, 2, len(seq) - 2), $M || $M)
+      |        AS pieces FROM s${k - 1}))
+      |  GROUP BY 1, 2),
+      |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+      |s$k AS (
+      |  SELECT w, freq,
+      |    replace(seq, $M || m.l || $M || $M || m.r || $M,
+      |      $M || m.l || m.r || $M) AS seq
+      |  FROM s${k - 1} CROSS JOIN m$k m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val q118Sql: String = bpeMergeCtes(10) + "\n" +
+    (1 to 10).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left", """ +
+        s"""r AS "right", n FROM m$k""")
+      .mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+
+  val q122Sql: String = {
+    val M = "chr(31)"
+    val sw = s""",
+      |sw AS (
+      |  SELECT source, w, count(*) AS n FROM (
+      |    SELECT source,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT w, regexp_replace(w, '(.)', $M || '\\1' || $M, 'g') AS seq
+      |  FROM (SELECT DISTINCT w FROM sw))""".stripMargin
+    val enc = (1 to 10).map(k => s""",
+      |e$k AS (
+      |  SELECT w,
+      |    replace(seq, $M || m.l || $M || $M || m.r || $M,
+      |      $M || m.l || m.r || $M) AS seq
+      |  FROM e${k - 1} CROSS JOIN m$k m)""".stripMargin).mkString
+    bpeMergeCtes(10) + sw + enc + s"""
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+      |  CAST(sum(n * len(w)) AS BIGINT) AS n_chars_tok,
+      |  CAST(sum(n * ((len(seq) - len(w)) // 2)) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(n * len(w)) AS DOUBLE)
+      |    / sum(n * ((len(seq) - len(w)) // 2)) * 10000) / 10000.0
+      |    AS compression
+      |FROM sw JOIN e10 USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_quality_sample" -> q145,
     "q142_hybrid_rrf" -> q142,
@@ -1392,6 +1471,8 @@ object TextQueries {
     "q138_mixed_lang" -> q138Sql,
     "q120_lm_perplexity" -> q120Sql,
     "q121_bpe_apply1" -> q121Sql,
+    "q118_bpe_merges" -> q118Sql,
+    "q122_bpe_encode" -> q122Sql,
     "q119_split_drift" -> q119Sql,
     "q117_bpe_pairs" -> q117Sql,
     "q116_domain_tokens" -> q116Sql,

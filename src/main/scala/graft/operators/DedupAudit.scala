@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.OperatorCaches.TrackedDataset
 import graft.Tables._
 
 /** Near-dup OPERATING-POINT audit — the measurement companion of the
@@ -28,13 +29,26 @@ object DedupAudit {
   def q179(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
-    val (repPairs, _) = Dedup.repPairStats(groups, 3)
-    val truth = repPairs.select(col("id_a"), col("id_b"), col("jaccard"))
-    // trigram shingles of the rep texts — the SAME feature space as the
-    // truth, so the audit isolates the banding, not the tokenization
+    // ONE shingle relation feeds both sides (persisted: truth self-join
+    // x/y + sizes + the signature aggregate all read it) — the audit's
+    // candidate and truth legs must share a feature space anyway, so
+    // sharing the physical stage is free correctness AND one less
+    // regexp+explode pass over the rep texts
     val toks = Dedup.distinctTokens(
       groups.select(col("rep").as("doc_id"), col("_text").as("text")),
       "text", "doc_id", 3)
+      .trackedPersist()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = toks.as("x")
+      .join(toks.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared") / (col("n_a") + col("n_b") - col("shared")))
+          .as("jaccard"))
     val slices = (0 until 8).map(i =>
       min(expr(s"substring(sha2(t, 256), ${i * 8 + 1}, 8)")).as(s"m$i"))
     val sigs = toks.groupBy(col("doc_id")).agg(slices.head, slices.tail: _*)

@@ -143,9 +143,59 @@ object DedupAudit {
       |    AS pred_catch
       |FROM agg ORDER BY tau""".stripMargin
 
+  /** (doc_id, band, bh) band-bucket rows of the q51 sha geometry — the
+    * physical content of an LSH INDEX over `docs`. */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sigs = Dedup.minhashShaSignatures(docs, "text", "doc_id")
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bh")))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  // ── q181: LSH band-index MAINTENANCE — the index q106's incremental
+  //        screen presupposes, maintained instead of rebuilt: history
+  //        band rows live as a parquet artifact (docs with doc_id % 3
+  //        ≠ 0, built once), a new batch (doc_id % 3 = 0) contributes
+  //        only ITS signature scan, and the updated index is the plain
+  //        union — signatures are per-doc, so maintenance needs no
+  //        merge logic at all (the cheapest possible incremental
+  //        contract, worth PROVING rather than assuming). The oracle
+  //        recomputes every band row from scratch over the whole
+  //        corpus, so the driver hash proves incremental ≡ full — the
+  //        q177/q148 discipline applied to the dedup index itself.
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val hist = graft.Fixtures.path("bandindex", dir)(
+      bandRows(docs.where(col("doc_id") % 3 =!= 0)))
+    s.read.parquet(hist)
+      .unionByName(bandRows(docs.where(col("doc_id") % 3 === 0)))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  val q181Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
+      |  FROM toks GROUP BY doc_id),
+      |buckets AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS bh FROM sigs
+      |  UNION ALL SELECT doc_id, 1, m2 || '|' || m3 FROM sigs
+      |  UNION ALL SELECT doc_id, 2, m4 || '|' || m5 FROM sigs
+      |  UNION ALL SELECT doc_id, 3, m6 || '|' || m7 FROM sigs)
+      |SELECT doc_id, band, bh FROM buckets ORDER BY doc_id, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q179_lsh_audit" -> q179)
+    "q179_lsh_audit" -> q179,
+    "q181_band_index_maintain" -> q181)
 
   val oracle: Map[String, String] = Map(
-    "q179_lsh_audit" -> q179Sql)
+    "q179_lsh_audit" -> q179Sql,
+    "q181_band_index_maintain" -> q181Sql)
 }

@@ -36,4 +36,21 @@ class DedupAuditSpec extends SparkTestBase {
     // clone groups → thousands of member pairs)
     assert(at05.getLong(2) < 100)
   }
+
+  test("q181: the maintained band index covers every doc with exactly " +
+    "4 well-formed band rows (history artifact + batch delta partition " +
+    "the corpus)") {
+    val idx = DedupAudit.q181(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(idx.length === docs * 4)
+    val byDoc = idx.groupBy(_.getLong(0))
+    assert(byDoc.size.toLong === docs)
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(0, 1, 2, 3))
+    }
+    idx.foreach { r =>
+      val bh = r.getString(2)
+      assert(bh.length === 17 && bh(8) === '|', bh)
+    }
+  }
 }

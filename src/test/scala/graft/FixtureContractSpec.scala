@@ -62,4 +62,22 @@ class FixtureContractSpec extends SparkTestBase {
       assert(missing.isEmpty, s"$t missing expected columns: $missing (has $have)")
     }
   }
+
+  test("drift-prone element types hold: embeddings stay array<float32>, " +
+    "ids stay long (the encodings every ANN expression and media " +
+    "fixture keys on)") {
+    Tables.embeddings(spark, sfDir).schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => ()
+      case other => fail(s"embedding must be array<float>, got $other — " +
+        "cosine kernels and the ::DOUBLE[] oracle casts assume float32")
+    }
+    assert(Tables.embeddings(spark, sfDir).schema("vec_id").dataType
+      == LongType)
+    assert(Tables.documents(spark, sfDir).schema("doc_id").dataType
+      == LongType)
+    assert(Tables.documents(spark, sfDir).schema("text").dataType
+      == StringType)
+    assert(Tables.events(spark, sfDir).schema("value").dataType
+      == DoubleType)
+  }
 }

@@ -391,17 +391,63 @@ object Importance {
       |    ELSE CAST(0 AS BIGINT) END AS weight_e6
       |FROM card ORDER BY doc_id""".stripMargin
 
+  // ── q182: INCREMENTAL dup-discount maintenance — q173's weights
+  //        updated by a batch without rescanning history text. State is
+  //        the per-(source, group) integer partials — doc count + token
+  //        sum keyed by the normalized-text digest — persisted as a
+  //        parquet artifact for the history two-thirds; the batch third
+  //        contributes one scan, the merge is pure integer sums, and the
+  //        cross-source group multiplicity re-derives from the merged
+  //        partials (docs in a group share its weight, so the rollup
+  //        needs group-level sums only — per-doc rows never reload).
+  //        Oracle: q173's SQL VERBATIM — the driver hash proves
+  //        incremental ≡ full recompute (the q148/q177 discipline; the
+  //        maintenance trio is now model + index + weights).
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val byGroup = (df: DataFrame) => df
+      .select(col("source"),
+        sha2(graft.operators.Dedup.normalizeText(col("text")), 256)
+          .as("fp"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    val docs = documents(s, dir)
+    val hist = graft.Fixtures.path("dupstate", dir)(
+      byGroup(docs.where(col("doc_id") % 3 =!= 0)))
+    val merged = s.read.parquet(hist)
+      .unionByName(byGroup(docs.where(col("doc_id") % 3 === 0)))
+      .groupBy(col("source"), col("fp"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("toks")).as("toks"))
+      .trackedPersist()
+    val m = merged.groupBy(col("fp")).agg(sum(col("n_docs")).as("m"))
+    merged.join(m, Seq("fp"))
+      .select(col("source"), col("n_docs"), col("toks"), col("m"),
+        expr("CAST(round(1000000.0 / m) AS BIGINT)").as("w_e6"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(when(col("m") > 1, col("n_docs")).otherwise(0L))
+          .as("n_in_clone_groups"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(col("toks") * col("w_e6")).as("eff_tokens_e6"))
+      .select(col("source"), col("n_docs"), col("n_in_clone_groups"),
+        col("raw_tokens"), col("eff_tokens_e6"),
+        (col("eff_tokens_e6").cast("double") / lit(1e6)).as("eff_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_dsir_select" -> q172,
     "q173_dup_discount" -> q173,
     "q177_model_maintain" -> q177,
     "q178_stream_dsir" -> q178,
-    "q180_selection_build" -> q180)
+    "q180_selection_build" -> q180,
+    "q182_dup_discount_delta" -> q182)
 
   val oracle: Map[String, String] = Map(
     "q172_dsir_select" -> q172Sql,
     "q173_dup_discount" -> q173Sql,
     "q177_model_maintain" -> q177Sql,
     "q178_stream_dsir" -> q178Sql,
-    "q180_selection_build" -> q180Sql)
+    "q180_selection_build" -> q180Sql,
+    "q182_dup_discount_delta" -> q173Sql)
 }

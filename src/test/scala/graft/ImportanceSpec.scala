@@ -117,6 +117,13 @@ class ImportanceSpec extends SparkTestBase {
     }
   }
 
+  test("q182: incrementally maintained weights equal the full q173 " +
+    "recompute row-for-row (state partials merge lost nothing)") {
+    val full = Importance.q173(spark, sfDir).collect().map(_.toSeq).toSeq
+    val inc = Importance.q182(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(inc === full)
+  }
+
   test("q180: the capstone card composes its parts verbatim — weights " +
     "gate on BOTH signals, and the llr column is q172's exact model") {
     val card = Importance.q180(spark, sfDir).collect()

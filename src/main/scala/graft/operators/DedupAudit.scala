@@ -49,14 +49,13 @@ object DedupAudit {
       .select(col("id_a"), col("id_b"),
         (col("shared") / (col("n_a") + col("n_b") - col("shared")))
           .as("jaccard"))
+    // digest staged ONCE per shingle row (the minhashShaSignatures
+    // discipline — 8 inline sha2 calls per row otherwise)
+    val dig = toks.withColumn("_d", sha2(col("t"), 256))
     val slices = (0 until 8).map(i =>
-      min(expr(s"substring(sha2(t, 256), ${i * 8 + 1}, 8)")).as(s"m$i"))
-    val sigs = toks.groupBy(col("doc_id")).agg(slices.head, slices.tail: _*)
-    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-      concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bh")))
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      min(substring(col("_d"), i * 8 + 1, 8)).as(s"m$i"))
+    val sigs = dig.groupBy(col("doc_id")).agg(slices.head, slices.tail: _*)
+    val buckets = bucketsFromSigs(sigs)
     val cand = buckets.as("x")
       .join(buckets.as("y"), col("x.band") === col("y.band") &&
         col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
@@ -143,15 +142,20 @@ object DedupAudit {
       |    AS pred_catch
       |FROM agg ORDER BY tau""".stripMargin
 
-  /** (doc_id, band, bh) band-bucket rows of the q51 sha geometry — the
-    * physical content of an LSH INDEX over `docs`. */
-  private def bandRows(docs: DataFrame): DataFrame = {
-    val sigs = Dedup.minhashShaSignatures(docs, "text", "doc_id")
+  /** The ONE 4×2 band-geometry builder: (doc_id, band, bh) bucket rows
+    * from an (m0..m7) signature frame — q179's candidate leg and q181's
+    * index rows must stay the same geometry by construction. */
+  private def bucketsFromSigs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
       concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bh")))
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
+
+  /** (doc_id, band, bh) band-bucket rows of the q51 sha geometry — the
+    * physical content of an LSH INDEX over `docs`. */
+  private def bandRows(docs: DataFrame): DataFrame =
+    bucketsFromSigs(Dedup.minhashShaSignatures(docs, "text", "doc_id"))
 
   // ── q181: LSH band-index MAINTENANCE — the index q106's incremental
   //        screen presupposes, maintained instead of rebuilt: history

@@ -54,21 +54,37 @@ object Importance {
     * wider than the feature domain (buckets bound it for the hashed
     * variant, the standard 100 TB configuration).
     */
-  private def featureWeights(toks: DataFrame, feature: Column,
-      isTarget: Column): DataFrame = {
-    val vocab = toks
-      .select(feature.as("f"), isTarget.as("t"))
+  /** The ONE fixed-point weight formula (1e-7 units) behind the whole
+    * family — q172/q177/q178/q180 and their four SQL oracles must change
+    * together with this string. Expects columns (ct, cr, nt, nr, v). */
+  private[graft] val WeightE7Expr: String =
+    "CAST(round((ln((ct + 1.0) / (nt + v)) - " +
+      "ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT)"
+
+  /** Smoothed target/raw counts per feature — the model-fit groupBy
+    * shared by featureWeights (full model) and q177 (history/batch
+    * partials; mergeable by plain integer sums). */
+  private[graft] def featureCounts(toks: DataFrame, feature: Column,
+      isTarget: Column): DataFrame =
+    toks.select(feature.as("f"), isTarget.as("t"))
       .groupBy(col("f"))
       .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
-    val totals = vocab.agg(
+
+  /** Totals broadcast + weight projection over a counts frame. */
+  private[graft] def weightsFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
       count(lit(1)).as("v"))
-    vocab.crossJoin(broadcast(totals))
-      .select(col("f"),
-        expr("CAST(round((ln((ct + 1.0) / (nt + v)) - " +
-          "ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT)").as("w_e7"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("f"), col("ct"), col("cr"),
+        expr(WeightE7Expr).as("w_e7"))
   }
+
+  private def featureWeights(toks: DataFrame, feature: Column,
+      isTarget: Column): DataFrame =
+    weightsFromCounts(featureCounts(toks, feature, isTarget))
+      .select(col("f"), col("w_e7"))
 
   /** Per-doc DSIR score under `feature`: Σ_w tf·w_e7 (integer), plus the
     * length-normalized per-token score. Join shape: doc-term counts join
@@ -107,10 +123,8 @@ object Importance {
   //        (what the resampler would draw first). Exact word features so
   //        DuckDB replays the entire model; the hashed twin above is the
   //        bounded-state production form.
-  def q172(s: SparkSession, dir: String): DataFrame = {
-    val scores = dsirScores(tokenStream(s, dir), col("w"),
-      col("lang") === "en")
-    scores
+  def q172(s: SparkSession, dir: String): DataFrame =
+    dsirScoresExact(s, dir)
       .join(documents(s, dir).select(col("doc_id"), col("lang"),
         col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
@@ -119,7 +133,6 @@ object Importance {
           .as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(25)
-  }
 
   val q172Sql: String =
     """WITH tk AS (
@@ -205,24 +218,17 @@ object Importance {
   //        the driver hash proves incremental ≡ full (the q127/q148
   //        maintenance discipline applied to a learned selection model).
   def q177(s: SparkSession, dir: String): DataFrame = {
-    val counts = (df: DataFrame) => df
-      .select(col("w").as("f"), (col("lang") === "en").as("t"))
-      .groupBy(col("f"))
-      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
+    val counts = (df: DataFrame) =>
+      featureCounts(df, col("w"), col("lang") === "en")
     val history = graft.Fixtures.path("dsirmodel", dir)(
       counts(tokenStream(s, dir).where(col("doc_id") % 3 =!= 0)))
-    val batch = counts(tokenStream(s, dir).where(col("doc_id") % 3 === 0))
     val merged = s.read.parquet(history)
-      .unionByName(batch)
+      .unionByName(
+        counts(tokenStream(s, dir).where(col("doc_id") % 3 === 0)))
       .groupBy(col("f"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
-    val totals = merged.agg(sum(col("ct")).as("nt"),
-      sum(col("cr")).as("nr"), count(lit(1)).as("v"))
-    merged.crossJoin(broadcast(totals))
-      .select(col("f").as("w"), col("ct"), col("cr"),
-        expr("CAST(round((ln((ct + 1.0) / (nt + v)) - " +
-          "ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT)").as("w_e7"))
+    weightsFromCounts(merged)
+      .select(col("f").as("w"), col("ct"), col("cr"), col("w_e7"))
       .orderBy(col("w"))
   }
 
@@ -255,10 +261,14 @@ object Importance {
   def q178(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
+    // FROZEN for real: the 1-row model materializes eagerly BEFORE the
+    // stream starts — without this the whole corpus-wide fit would
+    // re-execute on every micro-batch of the stream-static join.
     val model = featureWeights(tokenStream(s, dir), col("w"),
       col("lang") === "en")
       .agg(map_from_entries(collect_list(struct(col("f"), col("w_e7"))))
         .as("m"))
+      .localCheckpoint(true)
     val base = documents(s, dir)
       .select(col("doc_id"),
         expr("timestamp_micros(doc_id * 1000000)").as("ts"), col("text"))

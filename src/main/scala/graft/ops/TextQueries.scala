@@ -1392,9 +1392,10 @@ object TextQueries {
       |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
       |s$k AS (
       |  SELECT w, freq,
-      |    replace(seq, $M || m.l || $M || $M || m.r || $M,
-      |      $M || m.l || m.r || $M) AS seq
-      |  FROM s${k - 1} CROSS JOIN m$k m)""".stripMargin
+      |    CASE WHEN m.l IS NULL THEN seq
+      |      ELSE replace(seq, $M || m.l || $M || $M || m.r || $M,
+      |        $M || m.l || m.r || $M) END AS seq
+      |  FROM s${k - 1} LEFT JOIN m$k m ON true)""".stripMargin
     }
     sb.toString
   }
@@ -1417,12 +1418,19 @@ object TextQueries {
       |e0 AS (
       |  SELECT w, regexp_replace(w, '(.)', $M || '\\1' || $M, 'g') AS seq
       |  FROM (SELECT DISTINCT w FROM sw))""".stripMargin
+    // LEFT JOIN ON true (not CROSS JOIN): when the corpus has fewer than
+    // 10 learnable merges, m_k is EMPTY and a cross join would collapse
+    // every later round — and the final result — to zero rows, while the
+    // engine folds only the merges that exist. The NULL guard keeps the
+    // piece strings unchanged through exhausted rounds, exactly like the
+    // engine's early-stop.
     val enc = (1 to 10).map(k => s""",
       |e$k AS (
       |  SELECT w,
-      |    replace(seq, $M || m.l || $M || $M || m.r || $M,
-      |      $M || m.l || m.r || $M) AS seq
-      |  FROM e${k - 1} CROSS JOIN m$k m)""".stripMargin).mkString
+      |    CASE WHEN m.l IS NULL THEN seq
+      |      ELSE replace(seq, $M || m.l || $M || $M || m.r || $M,
+      |        $M || m.l || m.r || $M) END AS seq
+      |  FROM e${k - 1} LEFT JOIN m$k m ON true)""".stripMargin).mkString
     bpeMergeCtes(10) + sw + enc + s"""
       |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
       |  CAST(sum(n * len(w)) AS BIGINT) AS n_chars_tok,

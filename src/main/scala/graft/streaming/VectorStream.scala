@@ -32,6 +32,9 @@ object VectorStream {
       .where(col("vec_id") % 50 === 0)
       .agg(collect_list(struct(col("vec_id").as("eid"),
         col("embedding").as("ev"))).as("evals"))
+      // eager 1-row materialization: the reference set is built ONCE,
+      // not re-scanned per micro-batch of the stream-static join
+      .localCheckpoint(true)
 
   /** The gate itself (stream- or batch-composable): max cosine of each
     * incoming vector against the reference set, quarantine flag at the

@@ -407,14 +407,37 @@ object Dedup {
 
   // q34: MinHash-LSH candidate near-dup pairs (est_jaccard ≥ 0.5) on the
   //      same doc_id<100 block as q33, so approximate (q34) and exact
-  //      (q33) are directly comparable. No SQL oracle (xxhash64 isn't
-  //      reproducible in DuckDB) → rows-only check; recall vs the q33
-  //      oracle is asserted in DedupSpec.
+  //      (q33) are directly comparable. Oracle-green since round 9: the
+  //      generated Xxh64Sql oracle replays xxhash64 + the seeded
+  //      permutations in DuckDB bit-for-bit; recall vs the q33 exact
+  //      oracle stays asserted in DedupSpec.
   def q34(s: SparkSession, dir: String): DataFrame =
     minhashCandidates(documents(s, dir).filter(col("doc_id") < 100),
         "text", "doc_id")
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** DuckDB oracle for the PRODUCTION xxhash64 MinHash (q34/q106) — the
+    * generated-SQL replay of the exact seeded pipeline (see Xxh64Sql).
+    * Candidates are gated on band-tuple equality (≡ the bucket-hash
+    * equi-join modulo 64-bit collisions) and the estimate is k/64 —
+    * binary-exact, no float-parity scheme needed. Converted from
+    * rows-only in round 9. */
+  private def minhashOracleSql(docSrc: String, pairCond: String,
+      aCol: String, bCol: String): String =
+    s"""WITH ${graft.sql.Xxh64Sql.minhashSigsCtes(docSrc, coeffs, P)},
+       |xpairs AS (
+       |  SELECT x.doc_id AS $aCol, y.doc_id AS $bCol,
+       |    ${graft.sql.Xxh64Sql.estExpr("x", "y", NumHashes)} AS est_jaccard
+       |  FROM xsigs x JOIN xsigs y
+       |    ON $pairCond
+       |   AND ${graft.sql.Xxh64Sql.bandMatch("x", "y", NumHashes, BandRows)})
+       |SELECT * FROM xpairs WHERE est_jaccard >= 0.5
+       |ORDER BY $aCol, $bCol""".stripMargin
+
+  val q34Sql: String = minhashOracleSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id < 100",
+    "x.doc_id < y.doc_id", "id_a", "id_b")
 
   // ── sha256 MinHash (cross-engine-reproducible variant) ─────────────────
 
@@ -740,10 +763,11 @@ object Dedup {
       |       (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0 >= 0.5
       |ORDER BY new_id, hist_id""".stripMargin
 
-  // q106: the PRODUCTION incremental screen on q103's split (xxhash64 —
-  //       rows-only like q34; the sha twin q103 is the oracle-verified
-  //       mechanism). Registered so the bench/rehearsal record carries
-  //       the form a 100 TB run would actually execute.
+  // q106: the PRODUCTION incremental screen on q103's split (xxhash64,
+  //       64 perms / 16 bands). Oracle-green since round 9: the DuckDB
+  //       oracle replays the full seeded pipeline via Xxh64Sql (one sig
+  //       chain over all docs — a signature is side-independent, so the
+  //       cross split moves into the pair join predicate).
   def q106(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
     incrementalNearDup(
@@ -752,6 +776,10 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("new_id"), col("hist_id"))
   }
+
+  val q106Sql: String = minhashOracleSql(
+    "SELECT doc_id, text FROM documents",
+    "x.doc_id >= 400 AND y.doc_id < 400", "new_id", "hist_id")
 
   // ── q105: split-leakage audit — after the deterministic train/val/test
   //         assignment (q97's salted-hash split), screen the val shard
@@ -1528,8 +1556,12 @@ object Dedup {
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
 
-  val q57Sql: String =
-    """WITH quality AS (
+  /** The trainingPrep replay (quality → exact dedup → trigram-jaccard
+    * near-dup drop → sha id filter) as a reusable CTE fragment ending in
+    * `prepped` — shared by q57Sql and Pack.q108Sql so the two oracles
+    * can never drift. */
+  private[graft] val trainingPrepCtes: String =
+    """quality AS (
       |  SELECT * FROM documents
       |  WHERE round((least(n_chars / 500.0, 1.0) * 0.5
       |       + least(len(regexp_extract_all(text, '\S+')) / 80.0, 1.0) * 0.3
@@ -1557,12 +1589,17 @@ object Dedup {
       |  SELECT DISTINCT id_b AS doc_id FROM pairs
       |  JOIN sizes sa ON id_a = sa.doc_id
       |  JOIN sizes sb ON id_b = sb.doc_id
-      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5)
+      |  WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+      |prepped AS (
+      |  SELECT * FROM exact
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |    AND substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1) < '4')""".stripMargin
+
+  val q57Sql: String =
+    s"""WITH $trainingPrepCtes
       |SELECT doc_id, lang,
-      |  len(regexp_extract_all(text, '\S+')) AS n_tokens
-      |FROM exact
-      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
-      |  AND substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+      |  len(regexp_extract_all(text, '\\S+')) AS n_tokens
+      |FROM prepped
       |ORDER BY doc_id""".stripMargin
 
   // ── q58: stratified per-key sampling — exactly n docs PER LANGUAGE,
@@ -2043,6 +2080,8 @@ object Dedup {
     "q60_winnowing_pairs" -> q60Sql,
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
+    "q34_dedup_minhash" -> q34Sql,
+    "q106_incremental_prod" -> q106Sql,
     "q51_minhash_sha" -> q51Sql,
     "q103_incremental_neardup" -> q103Sql,
     "q105_split_leakage" -> q105Sql,

@@ -333,10 +333,13 @@ object Pack {
   //        pack → size-targeted shard write), then reads the written
   //        shards BACK and reports the per-split reconciliation: the
   //        builder's returned counts next to what is actually on disk.
-  //        Rows-only by nature (the near-dup screens are MinHash-banded,
-  //        not SQL-expressible); the checked properties are determinism
-  //        (the driver diffs two Verify runs) and docs/seqs equality
-  //        between the returned counts and the read-back shards.
+  //        Oracle-green since round 9: every selection stage (quality →
+  //        exact dedup → trigram-jaccard drop → sha split → sha-MinHash
+  //        leak screen) and the greedy pack replay in DuckDB, so the
+  //        oracle predicts n_docs/n_seqs AND the read-back columns (a
+  //        disk-vs-computed mismatch would surface as a hash failure).
+  //        n_files (physical size-targeted shard count) is the one
+  //        non-replayable output — moved to PackSpec's pin.
   def q108(s: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_tbuild_" +
@@ -350,16 +353,86 @@ object Pack {
       capacity = 512, targetFileBytes = 8L * 1024 * 1024,
       leakThreshold = 0.9)
     val rows = out.toSeq.sortBy(_._1).map {
-      case (split, (nDocs, nSeqs, nFiles)) =>
+      case (split, (nDocs, nSeqs, _)) =>
         val back = s.read.parquet(s"$path/$split")
         val agg = back.agg(
           coalesce(sum(col("n_docs")), lit(0L)).as("docs"),
           count(lit(1)).as("seqs")).collect()(0)
-        (split, nDocs, nSeqs, nFiles, agg.getLong(0), agg.getLong(1))
+        (split, nDocs, nSeqs, agg.getLong(0), agg.getLong(1))
     }
     import s.implicits._
-    rows.toDF("split", "n_docs", "n_seqs", "n_files",
+    rows.toDF("split", "n_docs", "n_seqs",
       "docs_in_shards", "seqs_in_shards").orderBy(col("split"))
+  }
+
+  /** Full DuckDB replay of trainingBuild's counts: the shared
+    * trainingPrep CTEs (Dedup.trainingPrepCtes), the sha256 split, the
+    * 8-perm sha-MinHash leak screen at threshold 0.9 (with 8 perms that
+    * means all 8 slices agree — est 1.0 — but the band gate and the
+    * ≥ 0.9 comparison are replayed verbatim anyway), and the greedy
+    * pack walk (q92's recursive CTE, partitioned by split AND source,
+    * capacity 512). docs/seqs_in_shards are predicted equal to the
+    * computed counts — that IS the reconciliation contract. */
+  val q108Sql: String = {
+    val est = "((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + " +
+      "(sa.m2 = sb.m2)::INT + (sa.m3 = sb.m3)::INT + " +
+      "(sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT + " +
+      "(sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0"
+    val bands = (0 until 4).map(b =>
+      s"(sa.m${2 * b} = sb.m${2 * b} AND sa.m${2 * b + 1} = sb.m${2 * b + 1})")
+      .mkString("(", " OR ", ")")
+    s"""WITH RECURSIVE ${graft.operators.Dedup.trainingPrepCtes},
+      |sp AS (
+      |  SELECT *,
+      |    CASE WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM prepped),
+      |ptoks AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+      |  FROM sp),
+      |psigs AS (
+      |  SELECT doc_id,
+      |    min(substring(sha256(t), 1, 8)) AS m0, min(substring(sha256(t), 9, 8)) AS m1,
+      |    min(substring(sha256(t), 17, 8)) AS m2, min(substring(sha256(t), 25, 8)) AS m3,
+      |    min(substring(sha256(t), 33, 8)) AS m4, min(substring(sha256(t), 41, 8)) AS m5,
+      |    min(substring(sha256(t), 49, 8)) AS m6, min(substring(sha256(t), 57, 8)) AS m7
+      |  FROM ptoks GROUP BY doc_id),
+      |leaked AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM sp b
+      |  JOIN psigs sa ON sa.doc_id = b.doc_id
+      |  JOIN psigs sb ON $bands
+      |  JOIN sp h ON h.doc_id = sb.doc_id AND h.split = 'train'
+      |  WHERE b.split != 'train' AND $est >= 0.9),
+      |kept AS (
+      |  SELECT * FROM sp
+      |  WHERE split = 'train'
+      |     OR doc_id NOT IN (SELECT doc_id FROM leaked)),
+      |t AS (
+      |  SELECT split, source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY split, source ORDER BY doc_id) AS rn
+      |  FROM kept),
+      |packed AS (
+      |  SELECT split, source, doc_id, n_tokens, rn,
+      |    CAST(0 AS BIGINT) AS seq_no, n_tokens AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.split, t.source, t.doc_id, t.n_tokens, t.rn,
+      |    CASE WHEN p.fill + t.n_tokens > 512 THEN p.seq_no + 1 ELSE p.seq_no END,
+      |    CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      |  FROM packed p JOIN t
+      |    ON t.split = p.split AND t.source = p.source AND t.rn = p.rn + 1),
+      |nseqs AS (
+      |  SELECT split, count(*) AS n_seqs FROM (
+      |    SELECT DISTINCT split, source, seq_no FROM packed)
+      |  GROUP BY split),
+      |ndocs AS (SELECT split, count(*) AS n_docs FROM kept GROUP BY split)
+      |SELECT d.split, d.n_docs, s.n_seqs,
+      |  d.n_docs AS docs_in_shards, s.n_seqs AS seqs_in_shards
+      |FROM ndocs d JOIN nseqs s USING (split)
+      |ORDER BY d.split""".stripMargin
   }
 
   // ── q125: contiguous fixed-window packing accounting — the GPT-style
@@ -535,5 +608,6 @@ object Pack {
     "q125_pack_windows" -> q125Sql,
     "q92_pack_sequences" -> q92Sql,
     "q93_snapshot_diff" -> q93Sql,
-    "q99_mix_schedule" -> q99Sql)
+    "q99_mix_schedule" -> q99Sql,
+    "q108_training_build" -> q108Sql)
 }

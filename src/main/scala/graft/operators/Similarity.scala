@@ -592,7 +592,17 @@ object Similarity {
     val encoded = pqEncode(e, books).select(col("vec_id"), col("v"), col("codes"))
     // ADC lookup tables per query, computed where the queries live (the
     // driver): lut[mi][ci] = ‖q_mi − c_mi,ci‖² over the normalized query.
-    val qRows = queries.select(col("qid"), col("qv")).collect()
+    // BOUNDED collect (same contract as the paging/PQ-sample/BPE-vocab
+    // collects): the probe set is an audit-sized query batch, and the LUTs
+    // are broadcast — a million-query batch would serialize on the driver
+    // AND blow the broadcast. Callers with bulk query loads should shard
+    // the batch or join queries distributively (IVF/LSH paths).
+    val MaxQueryBatch = 4096
+    val qRows = queries.select(col("qid"), col("qv"))
+      .limit(MaxQueryBatch + 1).collect()
+    require(qRows.length <= MaxQueryBatch,
+      s"annPq query batch exceeds $MaxQueryBatch rows - the driver-side " +
+        "ADC LUT path is for bounded probe sets; shard the batch instead")
     val luts = qRows.map { r =>
       val q = r.getSeq[Double](1).toArray
       val norm = math.sqrt(q.map(x => x * x).sum)

@@ -56,7 +56,17 @@ object Importance {
     */
   /** The ONE fixed-point weight formula (1e-7 units) behind the whole
     * family — q172/q177/q178/q180 and their four SQL oracles must change
-    * together with this string. Expects columns (ct, cr, nt, nr, v). */
+    * together with this string. Expects columns (ct, cr, nt, nr, v).
+    *
+    * Token-regex carve-out (ADVICE r8): every `\S+` token count in this
+    * family (and q28/q130/q149's convention it follows) pairs a Java
+    * regex with a DuckDB-RE2 oracle. Java `\s` includes vertical tab
+    * (\x0B); RE2's does not — so a \x0B-bearing document would count
+    * differently on the two sides. The corpus contract for the whole
+    * oracle suite is therefore "no \x0B in text" (true of the fixtures
+    * and of normalizeText-cleaned corpora, which strip control chars);
+    * new oracle-checked queries needing \x0B-robustness should use the
+    * explicit class `[^\t\n\f\r ]+` on both sides instead. */
   private[graft] val WeightE7Expr: String =
     "CAST(round((ln((ct + 1.0) / (nt + v)) - " +
       "ln((cr + 1.0) / (nr + v))) * 10000000) AS BIGINT)"

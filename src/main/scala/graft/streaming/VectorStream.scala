@@ -82,6 +82,10 @@ object VectorStream {
     s.table(qn).orderBy(col("vec_id"))
   }
 
+  // LEFT JOIN (not CROSS) so the empty-reference edge agrees with the
+  // Spark gate: an empty eval set must pass every vector with NULL
+  // max_cos / quarantined=0 on BOTH sides (a CROSS JOIN against an empty
+  // ev would emit zero rows while the gate emits all — ADVICE r8).
   val q175Sql: String =
     """WITH ev AS (
       |  SELECT embedding::DOUBLE[] AS evv FROM embeddings
@@ -90,7 +94,7 @@ object VectorStream {
       |  SELECT e.vec_id,
       |    max(round(list_cosine_similarity(e.embedding::DOUBLE[], ev.evv)
       |      * 10000) / 10000.0) AS max_cos
-      |  FROM embeddings e CROSS JOIN ev GROUP BY e.vec_id)
+      |  FROM embeddings e LEFT JOIN ev ON TRUE GROUP BY e.vec_id)
       |SELECT vec_id, max_cos,
       |  CAST(CASE WHEN max_cos >= 0.9999 THEN 1 ELSE 0 END AS BIGINT)
       |    AS quarantined

@@ -109,12 +109,19 @@ class PackSpec extends SparkTestBase {
     }
     // shards read back: doc counts inside sequences reconcile per split
     // (a split can legitimately come back empty at tiny scale)
-    for ((name, (nDocs, nSeqs, _)) <- out) {
+    for ((name, (nDocs, nSeqs, nFiles)) <- out) {
       val back = spark.read.parquet(s"$dir/build/$name")
       assert(back.count() == nSeqs, name)
       val total = back.agg(coalesce(sum(col("n_docs")), lit(0L)))
         .collect()(0).getLong(0)
       assert(total == nDocs, name)
+      // n_files left q108's oracle-checked output in round 9 (physical
+      // parquet sizes aren't DuckDB-replayable) — pin it here instead:
+      // the returned count must match what is actually on disk.
+      val onDisk = new java.io.File(s"$dir/build/$name").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(onDisk == nFiles, s"$name n_files")
+      if (nSeqs > 0) assert(nFiles >= 1, s"$name has seqs but no files")
     }
     assert(out.values.map(_._1).sum > 0, "all splits empty")
   }

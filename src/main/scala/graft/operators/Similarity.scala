@@ -322,9 +322,12 @@ object Similarity {
     * signature per vector and shuffles nothing — identical per-row cost
     * to single-probe annLsh, just a wider (still-broadcast) bucket join.
     */
-  def annLshMultiProbe(e: DataFrame, queries: DataFrame, k: Int,
-      nProbes: Int): DataFrame = {
-    val eb = e.withColumn("bucket", lshBucket(col("v")))
+  /** The ranked probe set shared by the multi-probe operators: per query,
+    * the `nProbes` cheapest of the 2^NumPlanes sign buckets by summed
+    * flipped-bit |margin| (own bucket costs 0 and ranks first). Query-side
+    * only — |queries| × 2^NumPlanes rows, ranked and cut before touching
+    * the corpus. Output: (qid, qv, cand). */
+  private def multiProbeSet(queries: DataFrame, nProbes: Int): DataFrame = {
     // per-plane signed projections — query side only (tiny), so the
     // interpreted aggregate/zip_with fold is fine here
     val margins = array((0 until NumPlanes).map { j =>
@@ -332,9 +335,6 @@ object Similarity {
       aggregate(zip_with(col("qv"), p, (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
     }: _*)
-    // rank all 2^NumPlanes candidate buckets by the summed |margin| of
-    // bits where they differ from the query's own bucket (own bucket
-    // costs 0 and always ranks first); keep the nProbes cheapest
     val flipCost = (0 until NumPlanes).map { j =>
       when(col("cand").bitwiseXOR(col("qbucket"))
           .bitwiseAND(lit(1L << j)) =!= 0L,
@@ -342,7 +342,7 @@ object Similarity {
     }.reduce(_ + _)
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("flip_cost"), col("cand"))
-    val probeSet = queries
+    queries
       .withColumn("qbucket", lshBucket(col("qv")))
       .withColumn("margins", margins)
       .select(col("qid"), col("qv"), col("qbucket"), col("margins"),
@@ -351,6 +351,12 @@ object Similarity {
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= nProbes)
       .select(col("qid"), col("qv"), col("cand"))
+  }
+
+  def annLshMultiProbe(e: DataFrame, queries: DataFrame, k: Int,
+      nProbes: Int): DataFrame = {
+    val eb = e.withColumn("bucket", lshBucket(col("v")))
+    val probeSet = multiProbeSet(queries, nProbes)
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
     eb.join(broadcast(probeSet),
         col("bucket") === col("cand") && col("vec_id") =!= col("qid"))
@@ -579,30 +585,25 @@ object Similarity {
     e.withColumn("codes",
       org.apache.spark.sql.graft.PqEncodeExpr.column(col("v"), codebooks))
 
-  def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L): DataFrame = {
-    // F6-style empty gate: k-means codebooks cannot fit on zero vectors; an
-    // empty corpus has no neighbors to return. One limit-1 probe, trivial
-    // next to the M KMeans fits that follow.
-    if (e.isEmpty)
-      return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
-        lit(0.0).as("cos_sim"), lit(0L).as("rn"))
-    val books = pqTrain(e, m, kCent, seed)
-    val sub = Dim / m
-    val encoded = pqEncode(e, books).select(col("vec_id"), col("v"), col("codes"))
-    // ADC lookup tables per query, computed where the queries live (the
-    // driver): lut[mi][ci] = ‖q_mi − c_mi,ci‖² over the normalized query.
-    // BOUNDED collect (same contract as the paging/PQ-sample/BPE-vocab
-    // collects): the probe set is an audit-sized query batch, and the LUTs
-    // are broadcast — a million-query batch would serialize on the driver
-    // AND blow the broadcast. Callers with bulk query loads should shard
-    // the batch or join queries distributively (IVF/LSH paths).
-    val MaxQueryBatch = 4096
+  /** Per-query ADC lookup tables, computed where the queries live (the
+    * driver): lut[mi][ci] = ‖q_mi − c_mi,ci‖² over the normalized query.
+    * BOUNDED collect (same contract as the paging/PQ-sample/BPE-vocab
+    * collects): the probe set is an audit-sized query batch, and the LUTs
+    * are broadcast — a million-query batch would serialize on the driver
+    * AND blow the broadcast. Callers with bulk query loads should shard
+    * the batch or join queries distributively (IVF/LSH paths).
+    * Output DataFrame: (qid, qv, lut) — qv rides along from the collected
+    * rows (joining `queries` back in would re-run its plan just to
+    * re-fetch vectors the driver already holds). */
+  private val MaxQueryBatch = 4096
+  private def adcLuts(queries: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = books(0)(0).length
     val qRows = queries.select(col("qid"), col("qv"))
       .limit(MaxQueryBatch + 1).collect()
     require(qRows.length <= MaxQueryBatch,
-      s"annPq query batch exceeds $MaxQueryBatch rows - the driver-side " +
-        "ADC LUT path is for bounded probe sets; shard the batch instead")
+      s"ADC query batch exceeds $MaxQueryBatch rows - the driver-side " +
+        "LUT path is for bounded probe sets; shard the batch instead")
     val luts = qRows.map { r =>
       val q = r.getSeq[Double](1).toArray
       val norm = math.sqrt(q.map(x => x * x).sum)
@@ -619,20 +620,32 @@ object Similarity {
       }.toSeq
       (r.getLong(0), r.getSeq[Double](1), lut)
     }.toSeq
-    // qv rides along from the collected rows — joining `queries` back in
-    // would re-run its (possibly corpus-scanning) plan just to re-fetch
-    // vectors the driver already holds
-    val lutDf = e.sparkSession.createDataFrame(luts).toDF("qid", "qv", "lut")
-    // ADC score: M table lookups per (vector, query) — no vector math
-    val adc = (0 until m).map { mi =>
+    queries.sparkSession.createDataFrame(luts).toDF("qid", "qv", "lut")
+  }
+
+  /** ADC score: M table lookups per (vector, query) — no vector math. */
+  private def adcExpr(m: Int): Column =
+    (0 until m).map { mi =>
       element_at(element_at(col("lut"), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
+
+  def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L): DataFrame = {
+    // F6-style empty gate: k-means codebooks cannot fit on zero vectors; an
+    // empty corpus has no neighbors to return. One limit-1 probe, trivial
+    // next to the M KMeans fits that follow.
+    if (e.isEmpty)
+      return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rn"))
+    val books = pqTrain(e, m, kCent, seed)
+    val encoded = pqEncode(e, books).select(col("vec_id"), col("v"), col("codes"))
+    val lutDf = adcLuts(queries, books)
     val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
     val scored = encoded.crossJoin(broadcast(lutDf))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("v"), col("vec_id").as("nn_id"),
-        adc.as("adc"))
+        adcExpr(m).as("adc"))
     // ADC pool selection via the bounded-heap TopKPerKey operator: a
     // row_number window here ranks the ENTIRE corpus per query (one sort
     // per qid partition — 75s at 50×/5M vectors); the heap keeps
@@ -640,6 +653,46 @@ object Similarity {
     val pool = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
       Seq(("adc", true), ("nn_id", true)), rerankPool)
     pool
+      .select(col("qid"), col("nn_id"),
+        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wK).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Multi-probe LSH × PQ-ADC composition (the IVFPQ shape on SRP
+    * buckets): the probe set prunes the COMPRESSED scan to ~nProbes/2^8
+    * of the corpus, ADC scores the surviving codes with table lookups,
+    * and exact cosine re-ranks only the top `rerankPool`. Budget
+    * accounting (the ANN-standard split): full-precision distance
+    * evaluations = rerankPool per query; compressed 8-byte-code lookups =
+    * the probed fraction only. Recall is CAPPED by the probe-set pool
+    * (q158 r8: 46.5% at 64/256 buckets) — ADC re-ranking cannot recover a
+    * neighbor the probe ring never scanned, which is why the ≥70% q158
+    * leg is [[annPq]] with rich codebooks (full compressed scan, 4% exact
+    * budget) and THIS operator is the scan-pruned variant a 100 TB
+    * deployment uses when even the compressed pass must shrink. */
+  def annLshMultiProbePq(e: DataFrame, queries: DataFrame, k: Int,
+      nProbes: Int = 64, m: Int = 16, kCent: Int = 64,
+      rerankPool: Int = 80, seed: Long = 4242L): DataFrame = {
+    if (e.isEmpty)
+      return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rn"))
+    val books = pqTrain(e, m, kCent, seed)
+    val enc = pqEncode(e, books)
+      .withColumn("bucket", lshBucket(col("v")))
+      .select(col("vec_id"), col("v"), col("codes"), col("bucket"))
+    val probeSet = multiProbeSet(queries, nProbes).select(col("qid"), col("cand"))
+    val lutDf = adcLuts(queries, books)
+    val pool = enc.join(broadcast(probeSet),
+        col("bucket") === col("cand") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"), col("v"), col("codes"))
+    val scored = pool.join(broadcast(lutDf), Seq("qid"))
+      .select(col("qid"), col("qv"), col("v"), col("nn_id"),
+        adcExpr(m).as("adc"))
+    val top = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
+      Seq(("adc", true), ("nn_id", true)), rerankPool)
+    val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    top
       .select(col("qid"), col("nn_id"),
         round4(cosine(col("v"), col("qv"))).as("cos_sim"))
       .withColumn("rn", row_number().over(wK).cast("long"))
@@ -1274,6 +1327,16 @@ object Similarity {
       .unionByName(leg("lsh_mp64", annLshMultiProbe(e, probes, k, 64)))
       .unionByName(leg("ivf", annIvf(e, probes, k)))
       .unionByName(leg("ivf_kmeans", annIvfKmeans(e, probes, k)))
+      // r9 legs: the compressed-domain pair. pq_rerank = full ADC scan
+      // over m=16/kCent=64 codebooks + exact re-rank of the top 80 — the
+      // ≥70%-recall path at a 4% full-precision budget (80/2000 exact
+      // cosines per query; measured 0.93 pool-retention offline).
+      // mp64_pq = the same codebooks with the compressed scan ALSO pruned
+      // to the 64-bucket probe ring — recall reads the probe-pool ceiling
+      // (≈46%), pinning WHY scan pruning is the lever you spend last.
+      .unionByName(leg("pq_rerank",
+        annPq(e, probes, k, m = 16, kCent = 64, rerankPool = 80)))
+      .unionByName(leg("mp64_pq", annLshMultiProbePq(e, probes, k, 64)))
       .orderBy(col("method"), col("qid"))
   }
 

@@ -439,6 +439,72 @@ object Dedup {
     "SELECT doc_id, text FROM documents WHERE doc_id < 100",
     "x.doc_id < y.doc_id", "id_a", "id_b")
 
+  /** q35 oracle: the production xxhash64 SimHash replayed in DuckDB —
+    * occurrence-weighted bit sums over the Xxh64Sql token hashes (bit j
+    * of the two's-complement hash = bit j of the unsigned form, so the
+    * ±1 votes read straight off `ux`), final 64-bit assembly as a
+    * HUGEINT sum of powers reinterpreted signed. Converted from
+    * rows-only in round 9. */
+  val q35Sql: String = {
+    val bitSums = (0 until 64).map(j =>
+      s"sum(CAST((ux >> $j) & 1 AS BIGINT) * 2 - 1) AS b$j")
+      .mkString(",\n    ")
+    val hashSum = (0 until 64).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(j)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    s"""WITH ${graft.sql.Xxh64Sql.tokenHashCtes(
+        "SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents")},
+       |occ AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |  FROM documents),
+       |oh AS (SELECT occ.doc_id, xxh.ux FROM occ JOIN xxh USING (t)),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM oh GROUP BY doc_id),
+       |asm AS (
+       |  SELECT doc_id, ($hashSum) AS s
+       |  FROM bits)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+       |    AS simhash
+       |FROM asm ORDER BY doc_id""".stripMargin
+  }
+
+  /** q42 oracle: xxhash64 winnowing replayed in DuckDB — every 8-char
+    * gram of every doc hashed via Xxh64Sql (distinct grams hashed once,
+    * joined back by position), window-of-4 minima over the SIGNED
+    * values (Spark's array_min on bigint), distinct fingerprints.
+    * Docs shorter than one gram emit (0, NULL) on both sides. Converted
+    * from rows-only in round 9. */
+  val q42Sql: String =
+    s"""WITH ${graft.sql.Xxh64Sql.tokenHashCtes(
+        """SELECT DISTINCT g AS t FROM (
+          |    SELECT substr(text, CAST(i AS INT), 8) AS g
+          |    FROM (SELECT text,
+          |      unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+          |    FROM documents))""".stripMargin)},
+       |gr AS (
+       |  SELECT doc_id, i, substr(text, CAST(i AS INT), 8) AS g
+       |  FROM (SELECT doc_id, text,
+       |    unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+       |  FROM documents)),
+       |gh AS (SELECT gr.doc_id, gr.i, xxh.hs FROM gr JOIN xxh ON gr.g = xxh.t),
+       |lst AS (SELECT doc_id, list(hs ORDER BY i) AS gl FROM gh GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(gl) < 4 THEN [list_min(gl)]
+       |         ELSE list_distinct([list_min(gl[j:j+3])
+       |                             FOR j IN range(1, len(gl) - 2)])
+       |    END AS fps
+       |  FROM lst)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(fp.fps), 0) AS BIGINT) AS n_fp,
+       |  list_min(fp.fps) AS min_fp
+       |FROM documents d LEFT JOIN fp USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ── sha256 MinHash (cross-engine-reproducible variant) ─────────────────
 
   /** MinHash on SHA-256 instead of xxhash64: both Spark (`sha2(s,256)`) and
@@ -897,8 +963,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  // q35: per-doc SimHash (deterministic; rows-only — xxhash64 has no
-  //      DuckDB equivalent).
+  // q35: per-doc SimHash on the production xxhash64 — oracle-green since
+  //      round 9 (q35Sql replays the hash via Xxh64Sql).
   def q35(s: SparkSession, dir: String): DataFrame =
     simhash(fanout(documents(s, dir), "doc_id"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -927,7 +993,8 @@ object Dedup {
     sums.select(col("doc_id"), hash.as("simhash"))
   }
 
-  // q56: sha256-SimHash per doc — oracle-green where q35 is rows-only.
+  // q56: sha256-SimHash per doc — the crypto-hash twin (kept: its hex
+  //      bit decoding is the portable form external replayers use).
   def q56(s: SparkSession, dir: String): DataFrame =
     simhashSha(fanout(documents(s, dir), "doc_id"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -1013,8 +1080,9 @@ object Dedup {
   private def fanout(df: DataFrame, key: String): DataFrame =
     graft.ops.Scale.fanout(df, key)
 
-  // q42: winnowed fingerprint count + sample per doc (rows-only —
-  //      xxhash64-based). The corpus arrives as one parquet split;
+  // q42: winnowed fingerprint count + sample per doc on the production
+  //      xxhash64 — oracle-green since round 9 (q42Sql hashes every
+  //      8-char gram via Xxh64Sql). The corpus arrives as one parquet split;
   //      repartition first so the hash-heavy map runs on all cores (the
   //      general rule for compute-bound narrow stages over few splits).
   def q42(s: SparkSession, dir: String): DataFrame =
@@ -1048,8 +1116,8 @@ object Dedup {
           .otherwise(array_distinct(mins))).as("fingerprints"))
   }
 
-  // q53: sha256-winnowing fingerprint stats per doc — oracle-green where
-  //      q42 (xxhash64) can only be rows-only.
+  // q53: sha256-winnowing fingerprint stats per doc — the crypto-hash
+  //      twin of q42 (both oracle-green since round 9).
   // The array form is the right shape HERE: fingerprints never meet a
   // Generate (no inferred-filter inlining), the staged array is computed
   // once per row, and scalar size/array_min beat the row-based window
@@ -2081,6 +2149,8 @@ object Dedup {
     "q32_dedup_exact" -> q32Sql,
     "q33_dedup_jaccard" -> q33Sql,
     "q34_dedup_minhash" -> q34Sql,
+    "q35_simhash" -> q35Sql,
+    "q42_winnowing" -> q42Sql,
     "q106_incremental_prod" -> q106Sql,
     "q51_minhash_sha" -> q51Sql,
     "q103_incremental_neardup" -> q103Sql,

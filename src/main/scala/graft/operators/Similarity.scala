@@ -502,7 +502,13 @@ object Similarity {
         if (nsq == 0.0) v
         else { val s = 1.0 / math.sqrt(nsq); v.map(_ * s) }
       }
-    (0 until m).map { mi =>
+    // The M per-subspace fits are independent and driver-local — run them
+    // in parallel (50× lesson: 16 subspaces × 64 cents × 65k samples × 10
+    // Lloyd iters is ~10B sequential multiply-adds; the fits were the
+    // whole cost of the rich-codebook q158 legs). Deterministic: each
+    // subspace keeps its own seed and the result order is by index.
+    import scala.collection.parallel.CollectionConverters._
+    (0 until m).par.map { mi =>
       lloyd(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k,
         iters = 10, seed = seed + mi)
     }.toArray
@@ -597,14 +603,14 @@ object Similarity {
     * re-fetch vectors the driver already holds). */
   private val MaxQueryBatch = 4096
   private def adcLuts(queries: DataFrame,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]]): Seq[(Long, Seq[Double], Seq[Seq[Double]])] = {
     val sub = books(0)(0).length
     val qRows = queries.select(col("qid"), col("qv"))
       .limit(MaxQueryBatch + 1).collect()
     require(qRows.length <= MaxQueryBatch,
       s"ADC query batch exceeds $MaxQueryBatch rows - the driver-side " +
         "LUT path is for bounded probe sets; shard the batch instead")
-    val luts = qRows.map { r =>
+    qRows.map { r =>
       val q = r.getSeq[Double](1).toArray
       val norm = math.sqrt(q.map(x => x * x).sum)
       val qn = if (norm != 0.0) q.map(_ / norm) else q
@@ -620,39 +626,76 @@ object Similarity {
       }.toSeq
       (r.getLong(0), r.getSeq[Double](1), lut)
     }.toSeq
-    queries.sparkSession.createDataFrame(luts).toDF("qid", "qv", "lut")
   }
 
-  /** ADC score: M table lookups per (vector, query) — no vector math. */
-  private def adcExpr(m: Int): Column =
+  /** The (qid, qv) frame for exact re-rank — tiny, broadcastable. */
+  private def queryVecDf(s: SparkSession,
+      luts: Seq[(Long, Seq[Double], Seq[Seq[Double]])]): DataFrame =
+    s.createDataFrame(luts.map { case (qid, qv, _) => (qid, qv) })
+      .toDF("qid", "qv")
+
+  /** ADC score from the FLAT LUT LITERAL: M array lookups per (vector,
+    * query), offset = qidx·m·k + mi·k + code. The LUTs ride the plan as
+    * ONE typedlit array — never as a join-side column: the 50× probe
+    * measured the broadcast-join form at 11s for a 2M-row scan because
+    * every materialized join row copied the 8 KB LUT field (16 GB of
+    * memcpy); the literal form reads it in place and the whole scan
+    * stays inside one codegen stage at ~1s. Bounded by MaxQueryBatch
+    * (33 MB of plan literal at the cap — the same bytes the broadcast
+    * carried, shipped once per stage in the task binary). Expects
+    * columns (codes, qidx). */
+  private def adcLitExpr(luts: Seq[(Long, Seq[Double], Seq[Seq[Double]])],
+      m: Int, kc: Int): Column = {
+    val flat: Seq[Double] = luts.flatMap(_._3.flatten)
+    val flatLit = typedlit(flat)
     (0 until m).map { mi =>
-      element_at(element_at(col("lut"), mi + 1),
-        element_at(col("codes"), mi + 1) + 1)
+      element_at(flatLit,
+        col("qidx") * (m * kc) + lit(mi * kc) +
+          element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
+  }
 
   def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L): DataFrame = {
+      kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L,
+      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     // F6-style empty gate: k-means codebooks cannot fit on zero vectors; an
     // empty corpus has no neighbors to return. One limit-1 probe, trivial
     // next to the M KMeans fits that follow.
     if (e.isEmpty)
       return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
         lit(0.0).as("cos_sim"), lit(0L).as("rn"))
-    val books = pqTrain(e, m, kCent, seed)
-    val encoded = pqEncode(e, books).select(col("vec_id"), col("v"), col("codes"))
-    val lutDf = adcLuts(queries, books)
-    val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
-    val scored = encoded.crossJoin(broadcast(lutDf))
+    val books = trained.getOrElse(pqTrain(e, m, kCent, seed))
+    // The compressed scan stays NARROW: (vec_id, codes) only. The 50×
+    // rehearsal measured the wide form (qv + v riding every scored row
+    // into the TopKPerKey heaps) at 44s where the ADC scan itself costs
+    // 1.3s — the srpCandidatePairs discipline (never drag vectors
+    // through a pruning stage) applies to compressed scans too.
+    val encoded = pqEncode(e, books).select(col("vec_id"), col("codes"))
+    val luts = adcLuts(queries, books)
+    val scored = encoded
+      .select(col("vec_id"), col("codes"),
+        posexplode(typedlit(luts.map(_._1))).as(Seq("qidx", "qid")))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("v"), col("vec_id").as("nn_id"),
-        adcExpr(m).as("adc"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        adcLitExpr(luts, m, kCent).as("adc"))
     // ADC pool selection via the bounded-heap TopKPerKey operator: a
     // row_number window here ranks the ENTIRE corpus per query (one sort
     // per qid partition — 75s at 50×/5M vectors); the heap keeps
     // rerankPool rows per (qid, partition) and shuffles only those.
     val pool = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
       Seq(("adc", true), ("nn_id", true)), rerankPool)
-    pool
+    rerankExact(e, pool, queryVecDf(e.sparkSession, luts), k)
+  }
+
+  /** Exact-cosine re-rank of a bounded (qid, nn_id) pool: vectors
+    * re-attach AFTER pruning — the pool broadcasts against one corpus
+    * scan, query vectors come from the (tiny) query frame. */
+  private def rerankExact(e: DataFrame, pool: DataFrame, lutDf: DataFrame,
+      k: Int): DataFrame = {
+    val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    e.select(col("vec_id").as("nn_id"), col("v"))
+      .join(broadcast(pool.select(col("qid"), col("nn_id"))), Seq("nn_id"))
+      .join(broadcast(lutDf.select(col("qid"), col("qv"))), Seq("qid"))
       .select(col("qid"), col("nn_id"),
         round4(cosine(col("v"), col("qv"))).as("cos_sim"))
       .withColumn("rn", row_number().over(wK).cast("long"))
@@ -673,30 +716,31 @@ object Similarity {
     * deployment uses when even the compressed pass must shrink. */
   def annLshMultiProbePq(e: DataFrame, queries: DataFrame, k: Int,
       nProbes: Int = 64, m: Int = 16, kCent: Int = 64,
-      rerankPool: Int = 80, seed: Long = 4242L): DataFrame = {
+      rerankPool: Int = 80, seed: Long = 4242L,
+      trained: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     if (e.isEmpty)
       return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
         lit(0.0).as("cos_sim"), lit(0L).as("rn"))
-    val books = pqTrain(e, m, kCent, seed)
+    val books = trained.getOrElse(pqTrain(e, m, kCent, seed))
+    // narrow scan discipline as in annPq: (vec_id, codes, bucket) only —
+    // no vector, no LUT column, ever rides a pruning stage
     val enc = pqEncode(e, books)
       .withColumn("bucket", lshBucket(col("v")))
-      .select(col("vec_id"), col("v"), col("codes"), col("bucket"))
+      .select(col("vec_id"), col("codes"), col("bucket"))
     val probeSet = multiProbeSet(queries, nProbes).select(col("qid"), col("cand"))
-    val lutDf = adcLuts(queries, books)
-    val pool = enc.join(broadcast(probeSet),
+    val luts = adcLuts(queries, books)
+    // qid → LUT index as a literal map; the LUTs themselves ride as the
+    // flat literal (see adcLitExpr), so the probe-gating equi-join moves
+    // only (qid, cand) — nothing wide on either side
+    val qidxMap = typedlit(luts.map(_._1).zipWithIndex.toMap)
+    val scored = enc.join(broadcast(probeSet),
         col("bucket") === col("cand") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nn_id"), col("v"), col("codes"))
-    val scored = pool.join(broadcast(lutDf), Seq("qid"))
-      .select(col("qid"), col("qv"), col("v"), col("nn_id"),
-        adcExpr(m).as("adc"))
+      .select(col("qid"), col("vec_id").as("nn_id"), col("codes"),
+        element_at(qidxMap, col("qid")).as("qidx"))
+      .select(col("qid"), col("nn_id"), adcLitExpr(luts, m, kCent).as("adc"))
     val top = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
       Seq(("adc", true), ("nn_id", true)), rerankPool)
-    val wK = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
-    top
-      .select(col("qid"), col("nn_id"),
-        round4(cosine(col("v"), col("qv"))).as("cos_sim"))
-      .withColumn("rn", row_number().over(wK).cast("long"))
-      .filter(col("rn") <= k)
+    rerankExact(e, top, queryVecDf(e.sparkSession, luts), k)
   }
 
   // q98: PQ-ADC ANN (rows-only: learned codebooks aren't expressible in
@@ -1334,9 +1378,19 @@ object Similarity {
       // mp64_pq = the same codebooks with the compressed scan ALSO pruned
       // to the 64-bucket probe ring — recall reads the probe-pool ceiling
       // (≈46%), pinning WHY scan pruning is the lever you spend last.
-      .unionByName(leg("pq_rerank",
-        annPq(e, probes, k, m = 16, kCent = 64, rerankPool = 80)))
-      .unionByName(leg("mp64_pq", annLshMultiProbePq(e, probes, k, 64)))
+      .unionByName {
+        // ONE m=16/kCent=64 codebook fit shared by both compressed legs
+        // (each would otherwise pay the full driver-side Lloyd pass —
+        // the 50× rehearsal measured the duplicate fit as the query's
+        // dominant cost).
+        val books =
+          if (e.isEmpty) None else Some(pqTrain(e, m = 16, k = 64))
+        leg("pq_rerank",
+          annPq(e, probes, k, m = 16, kCent = 64, rerankPool = 80,
+            trained = books))
+          .unionByName(leg("mp64_pq",
+            annLshMultiProbePq(e, probes, k, 64, trained = books)))
+      }
       .orderBy(col("method"), col("qid"))
   }
 

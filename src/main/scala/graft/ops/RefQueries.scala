@@ -364,17 +364,30 @@ object RefQueries {
 
   // ── q15: seeded deterministic sample (O7) — sampling.py:17-24
   //         (`df.sample(n=2000, random_state=42)` then sort by date).
-  //         rand(42) is deterministic for a fixed input partitioning; no
-  //         SQL oracle (rows-only check). At 100 TB: this exact-n pattern
-  //         (sort by rand, take n) is a TakeOrderedAndProject — a
+  //         Round 9: the rank key is now xxhash64(o_orderkey) instead of
+  //         rand(42) — rand's per-partition seeding made the sample
+  //         depend on the input PARTITIONING (a real 100 TB defect: a
+  //         repartitioned rerun silently draws a different sample),
+  //         while a key hash is a pure function of the row. Same seeded
+  //         exact-n semantics, now partition-invariant AND oracle-exact
+  //         (Xxh64Sql.longHashCtes replays the hash). At 100 TB: the
+  //         sort-by-hash take-n is a TakeOrderedAndProject — a
   //         distributed tournament top-k, not a full sort.
   def q15(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
-      .withColumn("_r", rand(42))
-      .orderBy(col("_r"))
+      .withColumn("_r", xxhash64(col("o_orderkey")))
+      .orderBy(col("_r"), col("o_orderkey"))
       .limit(200)
       .drop("_r")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val q15Sql: String =
+    s"""WITH ${graft.sql.Xxh64Sql.longHashCtes(
+        "SELECT o_orderkey AS k FROM orders")},
+      |picked AS (
+      |  SELECT o.* FROM orders o JOIN xlh ON o.o_orderkey = xlh.k
+      |  ORDER BY xlh.hs, o.o_orderkey LIMIT 200)
+      |SELECT * FROM picked ORDER BY o_orderdate, o_orderkey""".stripMargin
 
   // ── q46: pivot — status-count matrix per carrier (groupBy.pivot; the
   //        warehouse form of the reference's value_counts tables). Pinned
@@ -476,6 +489,7 @@ object RefQueries {
     "q52_seeded_hash_sample" -> q52)
 
   val oracle: Map[String, String] = Map(
+    "q15_seeded_sample" -> q15Sql,
     "q46_pivot" -> q46Sql,
     "q47_rollup" -> q47Sql,
     "q48_hash_sample" -> q48Sql,

@@ -103,10 +103,34 @@ object Xxh64Sql {
        |xxC AS (SELECT t, ${mul(xor("a2", shr("a2", 29)), P3)} AS a4 FROM xxB),
        |xxD AS (SELECT t, ${xor("a4", shr("a4", 32))} AS ux FROM xxC),
        |xxh AS (
-       |  SELECT t, CAST(((CASE WHEN ux >= 9223372036854775808
+       |  SELECT t, ux,
+       |    CAST(CASE WHEN ux >= 9223372036854775808
+       |      THEN ${hug("ux")} - $H ELSE ${hug("ux")} END AS BIGINT) AS hs,
+       |    CAST(((CASE WHEN ux >= 9223372036854775808
        |      THEN ${hug("ux")} - $H ELSE ${hug("ux")} END
        |      % 2147483647 + 2147483647) % 2147483647) AS BIGINT) AS h0
        |  FROM xxD)""".stripMargin
+  }
+
+  /** CTE chain computing Spark's `xxhash64` over a single BIGINT column
+    * (the XXH64.hashLong path, seed 42): h = seed+P5+8, one 8-byte round
+    * over the value's little-endian word (= the unsigned value itself),
+    * avalanche. `srcSql` must select one BIGINT column `k`; the chain
+    * ends in `xlh(k, hs)` with hs = the signed Spark hash. Same staging
+    * discipline as tokenHashCtes (inlining is exponential). */
+  def longHashCtes(srcSql: String): String = {
+    val S0 = "2870177450012600311" // 42 + P5 + 8
+    val u = u64(s"(CASE WHEN k < 0 THEN ${hug("k")} + $H ELSE ${hug("k")} END)")
+    s"""xl0 AS (SELECT k, $u AS u FROM ($srcSql)),
+       |xl1 AS (SELECT k, ${mul(rot(mul("u", P2), 31), P1)} AS r FROM xl0),
+       |xl2 AS (SELECT k, ${add(mul(rot(xor(s"CAST($S0 AS UBIGINT)", "r"), 27), P1), P4)} AS h FROM xl1),
+       |xl3 AS (SELECT k, ${mul(xor("h", shr("h", 33)), P2)} AS a2 FROM xl2),
+       |xl4 AS (SELECT k, ${mul(xor("a2", shr("a2", 29)), P3)} AS a4 FROM xl3),
+       |xl5 AS (SELECT k, ${xor("a4", shr("a4", 32))} AS ux FROM xl4),
+       |xlh AS (
+       |  SELECT k, CAST(CASE WHEN ux >= 9223372036854775808
+       |    THEN ${hug("ux")} - $H ELSE ${hug("ux")} END AS BIGINT) AS hs
+       |  FROM xl5)""".stripMargin
   }
 
   /** Per-doc 64-permutation MinHash signature CTE `xsigs(doc_id, m0..m63)`

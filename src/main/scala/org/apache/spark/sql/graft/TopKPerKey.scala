@@ -39,17 +39,31 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** Two-phase execution (the map-side-combine discipline applied to
+  * top-k): a PARTIAL node (no distribution requirement) reduces every
+  * input partition to ≤ keys·k rows with local heaps, then the FINAL
+  * node (ClusteredDistribution ⇒ one hash exchange, inserted by
+  * EnsureRequirements) merges the per-partition survivors. Without the
+  * partial phase the exchange carries the operator's ENTIRE input and —
+  * worse — low-cardinality keys (20 query ids, 16 shards…) collapse
+  * onto that many reducer threads: the r9 leg probe measured 10.4s for
+  * a 2M-row / 20-key pool selection that the two-phase form does in
+  * ~1s. The heap logic is its own combiner, so both phases share one
+  * implementation. */
 case class TopKPerKeyExec(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each key's rows so one bounded heap sees them all. */
+  /** Final phase co-locates each key's surviving rows; the partial
+    * phase runs wherever its input already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupLocal = groupExprs
@@ -91,7 +105,8 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(g, o, k, child) =>
-      TopKPerKeyExec(g, o, k, planLater(child)) :: Nil
+      TopKPerKeyExec(g, o, k, partial = false,
+        TopKPerKeyExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

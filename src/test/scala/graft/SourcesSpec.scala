@@ -190,8 +190,12 @@ class SourcesSpec extends SparkTestBase {
 
   test("S5/S6: real-Postgres round-trip (auto-skips without POSTGRES_URL)") {
     // Parity gap carried since round 1: the reference's sink is Postgres
-    // (dags/flight_data_pipeline.py:78-122) but this container ships no
-    // server. When an environment provides POSTGRES_URL
+    // (dags/flight_data_pipeline.py:78-122). Round-9 audit: this
+    // container DOES ship a postgres 15 server (psql/pg_ctl), but no
+    // org.postgresql JDBC driver jar exists anywhere on disk and the
+    // environment is zero-egress — so Spark cannot speak to it and the
+    // gate remains the driver jar, not the server. When an environment
+    // provides both the driver on the classpath and POSTGRES_URL
     // (jdbc:postgresql://...; credentials via POSTGRES_USER/PASSWORD),
     // the same writeJdbc/readJdbc pair must round-trip against it —
     // green either way, real parity when the environment allows.

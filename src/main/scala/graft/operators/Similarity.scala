@@ -634,26 +634,18 @@ object Similarity {
     s.createDataFrame(luts.map { case (qid, qv, _) => (qid, qv) })
       .toDF("qid", "qv")
 
-  /** ADC score from the FLAT LUT LITERAL: M array lookups per (vector,
-    * query), offset = qidx·m·k + mi·k + code. The LUTs ride the plan as
-    * ONE typedlit array — never as a join-side column: the 50× probe
-    * measured the broadcast-join form at 11s for a 2M-row scan because
-    * every materialized join row copied the 8 KB LUT field (16 GB of
-    * memcpy); the literal form reads it in place and the whole scan
-    * stays inside one codegen stage at ~1s. Bounded by MaxQueryBatch
-    * (33 MB of plan literal at the cap — the same bytes the broadcast
-    * carried, shipped once per stage in the task binary). Expects
-    * columns (codes, qidx). */
+  /** ADC score via the fused AdcScoreExpr: the flat LUT matrix rides as
+    * a codegen REFERENCE OBJECT — never as a plan literal (a 20k-double
+    * typedlit tripled q158's sf0.1 wall purely in driver-side plan
+    * rendering/analysis) and never as a join-side column (the broadcast
+    * form copied the 8 KB LUT field into every materialized scored row —
+    * 16 GB of memcpy at 50×). Bounded by MaxQueryBatch. Expects columns
+    * (codes, qidx). */
   private def adcLitExpr(luts: Seq[(Long, Seq[Double], Seq[Seq[Double]])],
-      m: Int, kc: Int): Column = {
-    val flat: Seq[Double] = luts.flatMap(_._3.flatten)
-    val flatLit = typedlit(flat)
-    (0 until m).map { mi =>
-      element_at(flatLit,
-        col("qidx") * (m * kc) + lit(mi * kc) +
-          element_at(col("codes"), mi + 1) + 1)
-    }.reduce(_ + _)
-  }
+      m: Int, kc: Int): Column =
+    org.apache.spark.sql.graft.AdcScoreExpr.column(
+      col("codes"), col("qidx"),
+      luts.flatMap(_._3.flatten).toArray, m, kc)
 
   def annPq(e: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       kCent: Int = 16, rerankPool: Int = 40, seed: Long = 4242L,

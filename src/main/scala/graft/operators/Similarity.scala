@@ -847,14 +847,42 @@ object Similarity {
     annIvf(e, q, k = 3).orderBy(col("qid"), col("rn"))
   }
 
-  // q38: LSH ANN for the first 5 query vectors (rows-only: bucket
-  //      membership depends on the seeded hyperplanes, not expressible in
-  //      the DuckDB oracle; recall vs brute force is asserted in tests).
+  // q38: LSH ANN for the first 5 query vectors. Oracle-green since
+  //      round 9: the seeded hyperplanes are deterministic CONSTANTS, so
+  //      the oracle embeds their shortest-roundtrip decimal forms as
+  //      literals and replays each sign bit as the same left-to-right
+  //      dot-product fold SrpSignatureExpr generates (identical IEEE
+  //      evaluation order ⇒ identical doubles ⇒ identical strict-`>0`
+  //      signs); recall vs brute force stays asserted in tests.
   def q38(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     annLsh(e, q, 3).orderBy(col("qid"), col("rn"))
+  }
+
+  val q38Sql: String = {
+    def dot(p: Int): String =
+      (0 until Dim).map(i => s"v[${i + 1}]*(${planes(p)(i)})")
+        .mkString(" + ")
+    val bucket = (0 until NumPlanes).map(p =>
+      s"(CASE WHEN ${dot(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucket AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT q.qid, x.vec_id AS nn_id,
+       |    round(list_cosine_similarity(x.v, q.qv) * 10000) / 10000.0 AS cos_sim
+       |  FROM b x JOIN q ON x.bucket = q.qb AND x.vec_id != q.qid),
+       |ranked AS (
+       |  SELECT qid, nn_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM sims)
+       |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin
   }
 
   // ── q77: inter-cluster centroid cosine matrix — "how distinct are my
@@ -1415,6 +1443,7 @@ object Similarity {
     "q115_int8_quant" -> q115Sql,
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,
+    "q38_ann_lsh" -> q38Sql,
     "q77_centroid_cosine" -> q77Sql,
     "q39_knn_batch" -> q39Sql,
     "q61_srp_twin" -> q61Sql)

@@ -1488,9 +1488,12 @@ object Dedup {
   }
 
   // q70: Bloom-sketch decontamination on the q64 slices — same eval/corpus
-  //      split and gram width, the scale-path twin. Rows-only by nature
-  //      (a Bloom sketch is not expressible in DuckDB); deterministic
-  //      (fixed sketch seed), and DedupSpec pins the containment
+  //      split and gram width, the scale-path twin. Oracle-green since
+  //      round 9: the V2 BloomFilter is replayed RELATIONALLY in DuckDB
+  //      (BloomSql — Murmur3 hashLong pair, the hi·2³¹ + i·lo scatter,
+  //      the optimal-geometry formulas, bit set = a distinct-position
+  //      relation), so even the filter's false-positive over-drops are
+  //      reproduced bit-for-bit. DedupSpec still pins the containment
   //      relationship to the exact q64 semantics.
   def q70(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
@@ -1499,6 +1502,40 @@ object Dedup {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** q70's oracle: the whole Bloom pipeline as one statement — gram
+    * hashes via Xxh64Sql, the V2 filter via BloomSql, the bit array as a
+    * distinct-position relation, mightContain as "all of the gram's
+    * distinct positions present". */
+  val q70Sql: String =
+    s"""WITH xtok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |dg AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+       |        ELSE [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')
+       |              FOR i IN range(1, len(toks) - 2)]
+       |      END) AS t
+       |    FROM xtok)),
+       |${graft.sql.Xxh64Sql.tokenHashCtes("SELECT DISTINCT t FROM dg")},
+       |dh AS (SELECT dg.doc_id, xxh.hs FROM dg JOIN xxh USING (t)),
+       |egh AS (SELECT DISTINCT hs FROM dh WHERE doc_id % 97 = 0),
+       |${graft.sql.BloomSql.geometryCte("SELECT count(*) AS n FROM egh", 1e-6)},
+       |${graft.sql.BloomSql.murmurPairCtes("SELECT DISTINCT hs FROM dh")},
+       |${graft.sql.BloomSql.positionsCte},
+       |bits AS (SELECT DISTINCT p FROM pos JOIN egh USING (hs)),
+       |gstat AS (
+       |  SELECT pos.hs, count(DISTINCT pos.p) AS np, count(DISTINCT b.p) AS nhit
+       |  FROM pos LEFT JOIN bits b ON b.p = pos.p GROUP BY pos.hs),
+       |gramok AS (SELECT hs FROM gstat WHERE np = nhit),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM dh JOIN gramok USING (hs)
+       |  WHERE doc_id % 97 != 0)
+       |SELECT doc_id, lang FROM documents
+       |WHERE doc_id % 97 != 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+       |ORDER BY doc_id""".stripMargin
 
   // ── chunk-level (paragraph-style) exact dedup ──────────────────────────
 
@@ -2150,6 +2187,7 @@ object Dedup {
     "q33_dedup_jaccard" -> q33Sql,
     "q34_dedup_minhash" -> q34Sql,
     "q35_simhash" -> q35Sql,
+    "q70_bloom_decontam" -> q70Sql,
     "q42_winnowing" -> q42Sql,
     "q106_incremental_prod" -> q106Sql,
     "q51_minhash_sha" -> q51Sql,

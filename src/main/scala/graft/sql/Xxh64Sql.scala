@@ -46,14 +46,26 @@ object Xxh64Sql {
     s"(${u64(s"((${hug(x)} * ${1L << r}) % $H)")} | ($x >> ${64 - r}))"
 
   /** CTE chain mapping a vocabulary of tokens to
-    * `xxh(t, h0)` where h0 = pmod(xxhash64(t), 2^31-1) — the exact value
-    * Dedup.minhashSignatures computes per distinct token.
+    * `xxh(t, ux, hs, h0)` — the unsigned/signed Spark `xxhash64(t)` and
+    * h0 = pmod(hash, 2^31-1), the exact values Dedup's seeded operators
+    * compute per distinct token.
     * `vocabSrc` must select a single column `t` (the distinct tokens).
+    *
+    * Covers n < 64 bytes: the short path (n < 32) plus ONE 4-lane stripe
+    * round (32 ≤ n < 64 — 4-word shingles reach 33+ bytes). The
+    * continuation words after the stripe reuse the short path's step
+    * structure at base offset (n//32)*32; the 4-byte and tail-byte
+    * offsets are base-independent ((n//8)*8 and n − n%4). n ≥ 64 hits
+    * the error() tripwire — a second stripe round would need the loop.
     */
   def tokenHashCtes(vocabSrc: String): String = {
-    // little-endian 64-bit word from bytes at 0-based offset o (cols: bys, n)
+    // little-endian 64-bit word from bytes at FIXED 0-based offset o
     def word(o: Int): String = u64("(" +
       (0 until 8).map(j => s"${hug(s"bys[${o + j + 1}]")} * ${java.math.BigInteger.valueOf(256L).pow(j)}")
+        .mkString(" + ") + ")")
+    // little-endian 64-bit word at base-relative offset 8k (base = (n//32)*32)
+    def wordAt(k: Int): String = u64("(" +
+      (0 until 8).map(j => s"${hug(s"bys[(n//32)*32 + ${8 * k + j + 1}]")} * ${java.math.BigInteger.valueOf(256L).pow(j)}")
         .mkString(" + ") + ")")
     // little-endian 32-bit word at the post-words offset (n//8)*8
     val i4 = "(" + (0 until 4)
@@ -61,36 +73,74 @@ object Xxh64Sql {
       .mkString(" + ") + ")"
     val wordStep = (h: String, g: String) => // h ^= rnd(0,w); h=rot27*P1+P4 (g = P1*rot31(P2*w))
       add(mul(rot(xor(h, g), 27), P1), P4)
+    // XXH64 accumulator seeds for seed=42 as 2^64 residues
+    val M = java.math.BigInteger.ONE.shiftLeft(64)
+    def c(v: java.math.BigInteger) = v.mod(M).toString
+    val bi = (s: String) => new java.math.BigInteger(s)
+    val v1c = c(bi("42").add(bi(P1)).add(bi(P2)))
+    val v2c = c(bi("42").add(bi(P2)))
+    val v3c = "42"
+    val v4c = c(bi("42").subtract(bi(P1)))
+    // stripe round: acc' = P1 * rot31(acc + w*P2)
+    def strRound(accConst: String, w: String) =
+      mul(rot(add(accConst, mul(w, P2)), 31), P1)
+    // merge round: h' = (h XOR (P1*rot31(P2*v))) * P1 + P4
+    def mergeRound(h: String, g: String) =
+      add(mul(xor(h, g), P1), P4)
     s"""xxv AS ($vocabSrc),
        |xx0 AS (
        |  SELECT t, octet_length(encode(t)) AS n, hex(encode(t)) AS hx FROM xxv),
        |xx1 AS (
-       |  SELECT t, CASE WHEN n >= 32
-       |      THEN error('xxh64 oracle bound: token >= 32 bytes') ELSE n END AS n,
+       |  SELECT t, CASE WHEN n >= 64
+       |      THEN error('xxh64 oracle bound: token >= 64 bytes') ELSE n END AS n,
        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1)
        |      FOR i IN range(0, octet_length(encode(t))) ] AS bys
        |  FROM xx0),
        |xx2 AS (
        |  SELECT t, n,
-       |    CASE WHEN n >= 8  THEN ${word(0)} ELSE 0::UBIGINT END AS w0,
-       |    CASE WHEN n >= 16 THEN ${word(8)} ELSE 0::UBIGINT END AS w1,
-       |    CASE WHEN n >= 24 THEN ${word(16)} ELSE 0::UBIGINT END AS w2,
+       |    CASE WHEN n >= (n//32)*32 + 8  THEN ${wordAt(0)} ELSE 0::UBIGINT END AS w0,
+       |    CASE WHEN n >= (n//32)*32 + 16 THEN ${wordAt(1)} ELSE 0::UBIGINT END AS w1,
+       |    CASE WHEN n >= (n//32)*32 + 24 THEN ${wordAt(2)} ELSE 0::UBIGINT END AS w2,
+       |    CASE WHEN n >= 32 THEN ${word(0)} ELSE 0::UBIGINT END AS s0,
+       |    CASE WHEN n >= 32 THEN ${word(8)} ELSE 0::UBIGINT END AS s1,
+       |    CASE WHEN n >= 32 THEN ${word(16)} ELSE 0::UBIGINT END AS s2,
+       |    CASE WHEN n >= 32 THEN ${word(24)} ELSE 0::UBIGINT END AS s3,
        |    CASE WHEN n % 8 >= 4 THEN ${u64(i4)} ELSE 0::UBIGINT END AS i4,
        |    CASE WHEN n % 4 > 0 THEN CAST(bys[n - n % 4 + 1] AS UBIGINT) ELSE 0::UBIGINT END AS tb0,
        |    CASE WHEN n % 4 > 1 THEN CAST(bys[n - n % 4 + 2] AS UBIGINT) ELSE 0::UBIGINT END AS tb1,
        |    CASE WHEN n % 4 > 2 THEN CAST(bys[n - n % 4 + 3] AS UBIGINT) ELSE 0::UBIGINT END AS tb2
        |  FROM xx1),
+       |xxS1 AS (
+       |  SELECT t, n, w0, w1, w2, i4, tb0, tb1, tb2,
+       |    ${strRound(s"$v1c::UBIGINT", "s0")} AS va1,
+       |    ${strRound(s"$v2c::UBIGINT", "s1")} AS va2,
+       |    ${strRound(s"$v3c::UBIGINT", "s2")} AS va3,
+       |    ${strRound(s"$v4c::UBIGINT", "s3")} AS va4
+       |  FROM xx2),
+       |xxS2 AS (
+       |  SELECT t, n, w0, w1, w2, i4, tb0, tb1, tb2,
+       |    ${add(add(rot("va1", 1), rot("va2", 7)), add(rot("va3", 12), rot("va4", 18)))} AS hm0,
+       |    ${mul(rot(mul("va1", P2), 31), P1)} AS gm1,
+       |    ${mul(rot(mul("va2", P2), 31), P1)} AS gm2,
+       |    ${mul(rot(mul("va3", P2), 31), P1)} AS gm3,
+       |    ${mul(rot(mul("va4", P2), 31), P1)} AS gm4
+       |  FROM xxS1),
+       |xxS3 AS (SELECT *, ${mergeRound("hm0", "gm1")} AS hm1 FROM xxS2),
+       |xxS4 AS (SELECT *, ${mergeRound("hm1", "gm2")} AS hm2 FROM xxS3),
+       |xxS5 AS (SELECT *, ${mergeRound("hm2", "gm3")} AS hm3 FROM xxS4),
+       |xxS6 AS (SELECT *, ${mergeRound("hm3", "gm4")} AS hm4 FROM xxS5),
        |xx3 AS (
-       |  SELECT t, n, i4, tb0, tb1, tb2,
+       |  SELECT t, n, w0, w1, w2, i4, tb0, tb1, tb2,
        |    ${mul(rot(mul("w0", P2), 31), P1)} AS g0,
        |    ${mul(rot(mul("w1", P2), 31), P1)} AS g1,
        |    ${mul(rot(mul("w2", P2), 31), P1)} AS g2,
-       |    ${u64(s"(($SeedP5 + n) % $H)")} AS ha
-       |  FROM xx2),
-       |xx4 AS (SELECT *, CASE WHEN n >= 8  THEN ${wordStep("ha", "g0")} ELSE ha END AS h1 FROM xx3),
-       |xx5 AS (SELECT *, CASE WHEN n >= 16 THEN ${wordStep("h1", "g1")} ELSE h1 END AS h2 FROM xx4),
-       |xx6 AS (SELECT *, CASE WHEN n >= 24 THEN ${wordStep("h2", "g2")} ELSE h2 END AS h3 FROM xx5),
+       |    CASE WHEN n >= 32 THEN ${add("hm4", "n")}
+       |         ELSE ${u64(s"(($SeedP5 + n) % $H)")} END AS ha
+       |  FROM xxS6),
+       |xx4 AS (SELECT *, CASE WHEN n >= (n//32)*32 + 8  THEN ${wordStep("ha", "g0")} ELSE ha END AS h1 FROM xx3),
+       |xx5 AS (SELECT *, CASE WHEN n >= (n//32)*32 + 16 THEN ${wordStep("h1", "g1")} ELSE h1 END AS h2 FROM xx4),
+       |xx6 AS (SELECT *, CASE WHEN n >= (n//32)*32 + 24 THEN ${wordStep("h2", "g2")} ELSE h2 END AS h3 FROM xx5),
        |xx7 AS (SELECT *, CASE WHEN n % 8 >= 4
        |    THEN ${add(mul(rot(xor("h3", mul("i4", P1)), 23), P2), P3)} ELSE h3 END AS h4 FROM xx6),
        |xx8 AS (SELECT *, CASE WHEN n % 4 > 0

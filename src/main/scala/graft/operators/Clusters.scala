@@ -282,7 +282,7 @@ object Clusters {
     // pruned to the survivor semi-join) only where near-dup pairing
     // genuinely needs it.
     val proj = docs.select(col("doc_id"), col("source"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
         sha2(col("text"), 256).as("digest"))
       .trackedPersist()
     val keepExact = Dedup.exactDedupIdsByDigest(proj, "digest", "doc_id")
@@ -383,7 +383,7 @@ object Clusters {
   def q147(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
     val proj = docs.select(col("doc_id"), col("source"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
         graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
       .trackedPersist()
     // ONE digest collapse serves both the exact-rep derivation and the
@@ -490,7 +490,7 @@ object Clusters {
     val finalLabels = touched.unionByName(direct).unionByName(untouched)
     // ledger assembly, exactly q147's shape
     val proj = docs.select(col("doc_id"), col("source"),
-      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
       graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
     val exactRepPerDoc = groups
       .select(explode(col("members")).as("doc_id"), col("rep").as("exact_rep"))

@@ -1658,7 +1658,7 @@ object Dedup {
   def q57(s: SparkSession, dir: String): DataFrame =
     trainingPrep(documents(s, dir))
       .select(col("doc_id"), col("lang"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
 
   /** The trainingPrep replay (quality → exact dedup → trigram-jaccard
@@ -1846,7 +1846,7 @@ object Dedup {
   def q83(s: SparkSession, dir: String): DataFrame = {
     val t = documents(s, dir)
       .select(col("source"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
     val scored = t.withColumn("_s",
       round(sqrt(col("n_tokens")) * sqrt(sqrt(col("n_tokens"))) * 1000000)
@@ -2107,7 +2107,7 @@ object Dedup {
     // pass per doc is the cheap side of that trade.
     val g = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
         tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("n_tokens"),
         explode(shinglesFromTokens(col("_toks"), 8)).as("t"))

@@ -887,7 +887,7 @@ object Multimodal {
     val spark = s
     import spark.implicits._
     val toks = documents(s, dir).select(col("doc_id"),
-      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
     val imgs = pngMediaTable(s, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

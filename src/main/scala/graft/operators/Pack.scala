@@ -50,7 +50,7 @@ object Pack {
     val sized = docs.select(
         col(groupCol).cast("string").as("source"),
         col(idCol).cast("long").as("doc_id"),
-        regexp_count(col(textCol), lit("\\S+")).cast("long").as("n_tokens"))
+        regexp_count(col(textCol), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
       .as[PackIn]
     sized.groupByKey(_.source)
       .flatMapSortedGroups($"doc_id") { (src, it) =>
@@ -506,7 +506,7 @@ object Pack {
   //         is a single scan with a partial agg on each executor.
   def q131(s: SparkSession, dir: String): DataFrame = {
     import graft.Tables.documents
-    val n = org.apache.spark.sql.functions.regexp_count(col("text"), lit("\\S+")).cast("long")
+    val n = org.apache.spark.sql.functions.regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long")
     graft.ops.Scale.fanout(documents(s, dir), "doc_id")
       .select(
         when(n <= 32, 32L).when(n <= 64, 64L).when(n <= 128, 128L)
@@ -558,7 +558,7 @@ object Pack {
     import graft.Tables.documents
     val perSource = graft.ops.Scale.fanout(documents(s, dir), "doc_id")
       .select(col("source"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n"))
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n"))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_tokens"))
       .filter(col("n_tokens") > 0)

@@ -39,8 +39,8 @@ object Curation {
     val m = documents(s, dir).select(
       col("source"),
       col("n_chars"),
-      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"),
-      regexp_count(col("text"), lit("\\S")).cast("long").as("n_nonspace"),
+      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]")).cast("long").as("n_nonspace"),
       regexp_count(col("text"), lit("[#@%^*_~|]")).cast("long").as("n_sym"),
       regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
       regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long").as("n_caps"),
@@ -148,7 +148,7 @@ object Curation {
   def q151(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_words"),
         regexp_count(col("text"), lit(graft.ops.TextQueries.SubtokenPattern))
           .cast("long").as("n_subtok"))
       .groupBy(col("lang"), col("source"))
@@ -372,7 +372,7 @@ object Curation {
   def q163(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), col("source"),
-        greatest(regexp_count(col("text"), lit("\\S+")).cast("long"), lit(1L))
+        greatest(regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"), lit(1L))
           .as("w"),
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
           " AS BIGINT) + 1").as("u"))
@@ -401,7 +401,7 @@ object Curation {
   def q164(s: SparkSession, dir: String): DataFrame = {
     val scored = documents(s, dir)
       .select(col("doc_id"), col("source"),
-        greatest(regexp_count(col("text"), lit("\\S+")).cast("long"), lit(1L))
+        greatest(regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"), lit(1L))
           .as("w"),
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
           " AS BIGINT) + 1").as("u"))

@@ -15,14 +15,20 @@ import graft.Tables._
   */
 object TextQueries {
 
-  /** Whitespace tokens as an array column (empty-safe). */
+  /** Whitespace tokens as an array column (empty-safe). Whitespace is the
+    * EXPLICIT class [\t\n\f\r ] rather than \s — Java's \s includes
+    * vertical tab (\x0B), RE2's does not, so \s would silently diverge
+    * from the DuckDB oracle on a \x0B-bearing document (the
+    * Dedup.normalizeText discipline; every token-count site in the repo
+    * uses the same class, pinned by EdgeSpec). */
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+    filter(split(c, "[\\t\\n\\f\\r ]+"), t => length(t) > 0)
 
   /** BPE-ish subword pattern: runs of ≤4 alphanumerics, digit runs, or a
     * single non-space symbol — a cheap stand-in for a BPE tokenizer's piece
-    * count (same regex in Java and RE2, so DuckDB oracles it). */
-  val SubtokenPattern = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"
+    * count (explicit whitespace class, not \s: identical in Java and RE2,
+    * so DuckDB oracles it bit-for-bit even on \x0B input). */
+  val SubtokenPattern = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\t\\n\\f\\r ]"
 
   /** See graft.ops.Scale.fanout (shared numbered-fanout helper). */
   private def fanout(df: DataFrame, key: String): DataFrame =
@@ -34,7 +40,7 @@ object TextQueries {
     * q133 table + the four SQL oracles together. */
   def qualityLogit(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lit(20000L) +
-      regexp_count(text, lit("\\S+")) * 15L +
+      regexp_count(text, lit("[^\\t\\n\\f\\r ]+")) * 15L +
       regexp_count(text, lit("\\b(the|a|of|and|to|in)\\b")) * 400L -
       regexp_count(text, lit("[.,!?;:]")) * 250L -
       regexp_count(text, lit("[0-9]")) * 120L -
@@ -47,7 +53,7 @@ object TextQueries {
     documents(s, dir)
       .select(
         col("lang"), col("n_chars"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
         regexp_count(col("text"), lit(SubtokenPattern)).cast("long").as("n_subtokens"),
         regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("n_punct"),
         regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long").as("n_stop"))
@@ -161,7 +167,7 @@ object TextQueries {
     * length, token count, and stopword signals; round4'd so both engines
     * agree bit-for-bit. Shared by q45 and the q57 training-prep pipeline. */
   def qualityScore: org.apache.spark.sql.Column = {
-    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val nTokens = regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long")
     val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long")
     val score =
       least(col("n_chars") / 500.0, lit(1.0)) * 0.5 +
@@ -171,7 +177,7 @@ object TextQueries {
   }
 
   def q45(s: SparkSession, dir: String): DataFrame = {
-    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val nTokens = regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long")
     documents(s, dir)
       .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
         qualityScore.as("quality_score"))
@@ -364,7 +370,7 @@ object TextQueries {
     documents(s, dir)
       .select(col("source"), col("lang"), col("n_chars"),
         sha2(col("text"), 256).as("fp"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
@@ -956,7 +962,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         explode(map(
           lit("bias"), lit(1L),
-          lit("tokens"), regexp_count(col("text"), lit("\\S+")).cast("long"),
+          lit("tokens"), regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"),
           lit("stop"), regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long"),
           lit("punct"), regexp_count(col("text"), lit("[.,!?;:]")).cast("long"),
           lit("digit"), regexp_count(col("text"), lit("[0-9]")).cast("long"),
@@ -1014,7 +1020,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val d = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"), col("source"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
         qualityLogit(col("text")).cast("long").as("logit_1e4"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("logit_1e4").desc, col("doc_id"))
@@ -1310,7 +1316,7 @@ object TextQueries {
     val u = substring(md5(col("doc_id").cast("string")), 1, 1)
     fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"), col("source"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
         when(logit >= 23000L, "hi").when(logit >= 21200L, "mid")
           .otherwise("lo").as("label"),
         u.as("u"))

@@ -34,7 +34,7 @@ case class WordNGrams(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val toks = v.asInstanceOf[UTF8String].toString
-      .split("\\s+").filter(_.nonEmpty)
+      .split("[\\t\\n\\f\\r ]+").filter(_.nonEmpty)
     if (n <= 1) {
       toks.iterator.map(t => InternalRow(UTF8String.fromString(t)))
     } else if (toks.length < n) {

@@ -34,4 +34,53 @@ class EdgeSpec extends SparkTestBase {
       Tables.orders(spark, emptyDir), "o_orderdate", "o_orderkey", None, 10)
     assert(p.rows.isEmpty && p.total == 0 && p.nextCursor.isEmpty)
   }
+
+  // Java's \s matches vertical tab (\x0B); RE2's (DuckDB's regex engine)
+  // does not. Every token-count/tokenize site therefore uses the explicit
+  // class [\t\n\f\r ] — this pins the RE2 semantics on the one codepoint
+  // where the engines disagree: "a\x0Bb" is ONE token, not two.
+  test("vertical-tab doc: token counting matches RE2, not Java \\s") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val doc = "a\u000Bb c\td\ne"
+    val df = Seq(doc).toDF("text")
+    // RE2 '\S+' over the doc: ["a\x0Bb", "c", "d", "e"] → 4 tokens
+    val nTok = df.select(
+      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"))
+      .head.getLong(0)
+    assert(nTok == 4L, s"expected 4 RE2 tokens, got $nTok")
+    val toks = df.select(graft.ops.TextQueries.tokens(col("text")))
+      .head.getSeq[String](0)
+    assert(toks == Seq("a\u000Bb", "c", "d", "e"), toks.toString)
+    // subtoken pattern: \x0B is a non-alnum symbol in BOTH engines now
+    val nSub = df.select(
+      regexp_count(col("text"), lit(graft.ops.TextQueries.SubtokenPattern))
+        .cast("long")).head.getLong(0)
+    assert(nSub == 6L, s"expected 6 subtokens (5 letters + \\x0B), got $nSub")
+    // the native generator tokenizes with the same class
+    val grams = df.select(
+      org.apache.spark.sql.graft.WordNGrams.column(col("text"), 1))
+      .collect().map(_.getString(0)).toSeq
+    assert(grams == Seq("a\u000Bb", "c", "d", "e"), grams.toString)
+  }
+
+  // An EMPTY eval/reference set must PASS every vector (NULL max_cos,
+  // quarantined = 0) — the oracle's LEFT JOIN shape. evalSet is a global
+  // collect_list aggregate, so it yields one row with an empty array (not
+  // zero rows), and the constant-key join keeps every vector alive.
+  test("empty eval set: decontamination gate passes all vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vectors = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val evals = graft.streaming.VectorStream.evalSet(spark, emptyDir)
+    assert(evals.count() == 1L, "evalSet must be a 1-row aggregate even when empty")
+    val out = graft.streaming.VectorStream.screen(vectors, evals)
+      .orderBy(col("vec_id")).collect()
+    assert(out.length == 2, s"every vector must survive; got ${out.length}")
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("max_cos"))),
+      "empty reference set → NULL max_cos")
+    assert(out.forall(_.getLong(2) == 0L), "empty reference set → nothing quarantined")
+  }
 }

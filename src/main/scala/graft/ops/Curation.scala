@@ -181,42 +181,70 @@ object Curation {
       |FROM a ORDER BY lang, source""".stripMargin
 
   // ── q152: sketch-mergeable distinct users — the incremental-distinct
-  //         shape at 100 TB: per (event_type, day) HLL sketches built in
-  //         one pass (partial-aggregated map-side), then MERGED per
-  //         event_type without re-touching the raw events — exactly how a
-  //         warehouse maintains daily sketch rollups and answers "distinct
-  //         users this month" by union, not recount. Output carries the
-  //         HLL estimate next to the exact distinct so the dump shows the
-  //         error; rows-only (DuckDB has no Datasketches HLL) — the
-  //         estimate is a deterministic function of the input set, and
-  //         CurationSpec pins the ±5% envelope against the exact side.
+  //         shape at 100 TB: per (event_type, day) HLL register relations
+  //         built in one pass (bucket/rank from the production xxhash64,
+  //         max partial-aggregated map-side), then MERGED per event_type
+  //         with a second max — without re-touching the raw events.
+  //         Exactly how a warehouse maintains daily sketch rollups and
+  //         answers "distinct users this month" by union, not recount.
+  //         Output carries the estimate next to the exact distinct so the
+  //         dump shows the error. Sketches are graft.ops.Rhll registers —
+  //         plain rows, not opaque Datasketches bytes — so the DuckDB
+  //         oracle replays the whole pipeline hash-exactly
+  //         (Xxh64Sql.longHashCtes → HllSql); CurationSpec additionally
+  //         pins the ±5% envelope against the exact side.
   def q152(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-    val daily = ev.groupBy(col("event_type"), col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = daily.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
-        count(lit(1)).as("n_days"))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    merged.join(exact, Seq("event_type"))
+    val hashed = ev.select(col("event_type"), col("day"),
+      xxhash64(col("user_id")).as("h"))
+    val daily = hashed
+      .select(col("event_type"), col("day"),
+        Rhll.bucket(col("h")).as("bucket"), Rhll.rank(col("h")).as("r0"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("r0")).as("r"))
+    val merged = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val est = Rhll.estimate(merged, Seq("event_type"), 52, "est_users")
+    val meta = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"),
+        countDistinct(col("user_id")).as("exact_users"))
+    meta.join(est, Seq("event_type"))
       .select(col("event_type"), col("n_days"), col("est_users"),
         col("exact_users"))
       .orderBy(col("event_type"))
   }
 
+  val q152Sql: String = {
+    val hash = graft.sql.Xxh64Sql.longHashCtes(
+      "SELECT DISTINCT user_id AS k FROM events")
+    val sketch = graft.sql.HllSql.sketchCtes("hll",
+      "SELECT e.event_type, xl5.ux AS u FROM events e JOIN xl5 ON e.user_id = xl5.k",
+      Seq("event_type"), 52, "est_users")
+    s"""WITH $hash,
+       |$sketch,
+       |meta AS (
+       |  SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       |    count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY event_type)
+       |SELECT m.event_type, m.n_days, h.est_users, m.exact_users
+       |FROM meta m JOIN hll h USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ── q153: PERSISTED sketch ledger — q152's incremental production form:
-  //         daily HLL sketches are WRITTEN to parquet (binary sketch
-  //         column) as the ledger, and the newest day arrives later as a
-  //         batch whose sketch is unioned against the ledger READ BACK
-  //         from disk — distinct-users-to-date updated per day without
-  //         ever re-touching historical raw events (the q82/q148 ledger
-  //         discipline, approximate-state edition). At 100 TB the ledger
-  //         is (types × days) rows of ~1-4 KB sketches — kilobytes per
-  //         day — while the raw events it summarizes never need to exist
-  //         again. Rows-only (no HLL in DuckDB); CurationSpec pins
-  //         union-through-parquet ≡ one global sketch over all events.
+  //         daily HLL register relations are WRITTEN to parquet (plain
+  //         (type, day, bucket, r) rows) as the ledger, and the newest day
+  //         arrives later as a batch whose registers are max-merged against
+  //         the ledger READ BACK from disk — distinct-users-to-date updated
+  //         per day without ever re-touching historical raw events (the
+  //         q82/q148 ledger discipline, approximate-state edition). At
+  //         100 TB the ledger is (types × days × ≤4096) tiny rows —
+  //         kilobytes per day — while the raw events it summarizes never
+  //         need to exist again. Registers are Rhll rows, so the DuckDB
+  //         oracle replays both the before- and after-merge estimates
+  //         hash-exactly; CurationSpec pins union-through-parquet ≡ one
+  //         global sketch over all events.
   def q153(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
@@ -229,57 +257,141 @@ object Curation {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("event_type", StringType),
           StructField("n_days_ledger", LongType),
-          StructField("est_before", LongType),
-          StructField("est_after", LongType))))
+          StructField("est_before", DoubleType),
+          StructField("est_after", DoubleType))))
     }
     val maxDay = maxRow.getDate(0)
+    def regs(rows: DataFrame): DataFrame = rows
+      .select(col("event_type"), col("day"),
+        xxhash64(col("user_id")).as("h"))
+      .select(col("event_type"), col("day"),
+        Rhll.bucket(col("h")).as("bucket"), Rhll.rank(col("h")).as("r0"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("r0")).as("r"))
     val ledgerDir = graft.Fixtures.path("hllledger", dir)(
-      ev.filter(col("day") < lit(maxDay))
-        .groupBy(col("event_type"), col("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      regs(ev.filter(col("day") < lit(maxDay))))
     val ledger = s.read.parquet(ledgerDir)
-    val batch = ev.filter(col("day") === lit(maxDay))
-      .groupBy(col("event_type"), col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val before = ledger.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days_ledger"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_before"))
-    val after = ledger.unionByName(batch).groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_after"))
+    val batch = regs(ev.filter(col("day") === lit(maxDay)))
+    val before = Rhll.estimate(
+        ledger.groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r")),
+        Seq("event_type"), 52, "est_before")
+      .join(ledger.groupBy(col("event_type"))
+        .agg(countDistinct(col("day")).as("n_days_ledger")), Seq("event_type"))
+    val after = Rhll.estimate(
+      ledger.unionByName(batch)
+        .groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r")),
+      Seq("event_type"), 52, "est_after")
     before.join(after, Seq("event_type"))
       .select(col("event_type"), col("n_days_ledger"), col("est_before"),
         col("est_after"))
       .orderBy(col("event_type"))
   }
 
+  val q153Sql: String = {
+    val hash = graft.sql.Xxh64Sql.longHashCtes(
+      "SELECT DISTINCT user_id AS k FROM events")
+    val before = graft.sql.HllSql.sketchCtes("bh",
+      "SELECT event_type, u FROM ue WHERE day < (SELECT maxday FROM mx)",
+      Seq("event_type"), 52, "est_before")
+    val after = graft.sql.HllSql.sketchCtes("ah",
+      "SELECT event_type, u FROM ue",
+      Seq("event_type"), 52, "est_after")
+    s"""WITH $hash,
+       |mx AS (SELECT max(CAST(ts AS DATE)) AS maxday FROM events),
+       |ue AS (
+       |  SELECT e.event_type, CAST(e.ts AS DATE) AS day, xl5.ux AS u
+       |  FROM events e JOIN xl5 ON e.user_id = xl5.k),
+       |$before,
+       |$after,
+       |meta AS (
+       |  SELECT event_type, count(DISTINCT day) AS n_days_ledger
+       |  FROM ue WHERE day < (SELECT maxday FROM mx) GROUP BY event_type)
+       |SELECT m.event_type, m.n_days_ledger, b.est_before, a.est_after
+       |FROM meta m JOIN bh b USING (event_type) JOIN ah a USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ── q154: sketch-based source-overlap matrix — the 100 TB path for
   //         q72's exact overlap audit (whose pairwise gram join is
   //         documented audit-only): each source's distinct-document set is
-  //         summarized ONCE into an HLL sketch of text digests, and every
-  //         source pair is then estimated from the KB-sized sketches via
-  //         inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) with the scalar
-  //         hll_union — the corpus is scanned exactly once however many
+  //         summarized ONCE into an HLL register relation of 60-bit text
+  //         digests (md5 prefix — replayable in DuckDB, unlike xxhash64
+  //         over arbitrary-length text), and every source pair is then
+  //         estimated from the ≤4096-row sketches via inclusion–exclusion
+  //         (|A∩B| = |A|+|B|−|A∪B|) with the union as a per-pair register
+  //         max-merge — the corpus is scanned exactly once however many
   //         sources exist, and the pair matrix never touches raw data.
-  //         Rows-only (no HLL in DuckDB); CurationSpec pins the estimates
-  //         against the exact digest-intersection on the test corpus.
+  //         Oracle-exact via HllSql; CurationSpec additionally pins the
+  //         estimates against the exact digest-intersection.
   def q154(s: SparkSession, dir: String): DataFrame = {
-    val sk = documents(s, dir)
-      .select(col("source"), xxhash64(col("text")).as("fp"))
-      .groupBy(col("source"))
-      .agg(hll_sketch_agg(col("fp")).as("sk"))
-    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
-    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
-    // sources number in the dozens: the sketch table broadcasts, the pair
-    // expansion is |sources|² rows of binary columns, never corpus-sized
-    a.join(broadcast(b), col("src_a") < col("src_b"))
-      .select(col("src_a"), col("src_b"),
-        hll_sketch_estimate(col("sk_a")).as("est_a"),
-        hll_sketch_estimate(col("sk_b")).as("est_b"),
-        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
-          .as("est_union"))
-      .withColumn("est_inter",
-        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+    // 60-bit digest: md5 hex prefix, identical in DuckDB via '0x' cast;
+    // bucket = top 12 bits → rank over the remaining 48
+    val fp = expr(
+      "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+    val regs = documents(s, dir)
+      .select(col("source"), fp.as("fp"))
+      .select(col("source"), Rhll.bucket(col("fp"), 48).as("bucket"),
+        Rhll.rank(col("fp"), 48).as("r0"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("r0")).as("r"))
+    val perSrc = Rhll.estimate(regs, Seq("source"), 48, "est")
+    // sources number in the dozens: the pair frame broadcasts; pair
+    // registers are |pairs| × ≤4096 rows, never corpus-sized
+    val srcs = regs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") < col("src_b"))
+    val pairRegs = broadcast(pairs)
+      .join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .unionByName(broadcast(pairs)
+        .join(regs.withColumnRenamed("source", "src_b"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("bucket"), col("r")))
+      .select(col("src_a"), col("src_b"), col("bucket"), col("r"))
+      .groupBy(col("src_a"), col("src_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val union = Rhll.estimate(pairRegs, Seq("src_a", "src_b"), 48, "est_union")
+    union
+      .join(broadcast(perSrc.select(col("source").as("src_a"),
+        col("est").as("est_a"))), Seq("src_a"))
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("est").as("est_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(round((col("est_a") + col("est_b") - col("est_union"))
+          * 10000) / 10000.0, lit(0.0)).as("est_inter"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q154Sql: String = {
+    val perSrc = graft.sql.HllSql.sketchCtes("se",
+      "SELECT source, CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS u FROM documents",
+      Seq("source"), 48, "est")
+    val pairEst = graft.sql.HllSql.estimateCtes("pe", "pregs",
+      Seq("src_a", "src_b"), 48, "est_union")
+    s"""WITH $perSrc,
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |pregs0 AS (
+       |  SELECT p.src_a, p.src_b, r.bucket, r.r
+       |  FROM pairs p JOIN se_regs r ON r.source = p.src_a
+       |  UNION ALL
+       |  SELECT p.src_a, p.src_b, r.bucket, r.r
+       |  FROM pairs p JOIN se_regs r ON r.source = p.src_b),
+       |pregs AS (
+       |  SELECT src_a, src_b, bucket, max(r) AS r
+       |  FROM pregs0 GROUP BY src_a, src_b, bucket),
+       |$pairEst
+       |SELECT p.src_a, p.src_b, ea.est AS est_a, eb.est AS est_b,
+       |  pu.est_union,
+       |  greatest(round((ea.est + eb.est - pu.est_union) * 10000) / 10000.0,
+       |    0.0) AS est_inter
+       |FROM pairs p
+       |JOIN se ea ON ea.source = p.src_a
+       |JOIN se eb ON eb.source = p.src_b
+       |JOIN pe pu ON pu.src_a = p.src_a AND pu.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
   }
 
   // ── q159: blocklist filtering via JOIN, not regex — content filtering
@@ -447,5 +559,8 @@ object Curation {
     "q149_gopher_rules" -> q149Sql,
     "q150_domain_cap" -> q150Sql,
     "q151_token_fertility" -> q151Sql,
+    "q152_hll_users" -> q152Sql,
+    "q153_sketch_ledger" -> q153Sql,
+    "q154_overlap_sketch" -> q154Sql,
     "q159_blocklist" -> q159Sql)
 }

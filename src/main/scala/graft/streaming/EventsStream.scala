@@ -503,30 +503,51 @@ object EventsStream {
       |FROM u ORDER BY verdict, fp""".stripMargin
 
   // ── q155: streaming SKETCH rollup — distinct users per (day, type)
-  //         estimated by an HLL sketch maintained as STREAMING STATE:
-  //         each micro-batch folds its rows into the per-group sketch, so
-  //         state per group is a fixed ~KB regardless of how many events
-  //         the day saw — the streaming face of q152's batch rollup, and
-  //         the bounded-state alternative to exact streaming
-  //         count-distinct (whose state grows with cardinality). HLL
-  //         insertion is order-independent, so the end-of-stream estimate
-  //         equals the batch single-pass sketch bit-for-bit
-  //         (StreamingSpec pins it); rows-only for the driver (no HLL in
-  //         DuckDB).
+  //         estimated by HLL registers maintained as STREAMING STATE:
+  //         each micro-batch max-merges its rows' (bucket, rank) into the
+  //         per-(window, type, bucket) register, so state per group is a
+  //         fixed ≤4096 rows regardless of how many events the day saw —
+  //         the streaming face of q152's batch rollup, and the
+  //         bounded-state alternative to exact streaming count-distinct
+  //         (whose state grows with cardinality). max-merge is
+  //         order-independent, so the end-of-stream registers equal the
+  //         batch single-pass sketch bit-for-bit (StreamingSpec pins it);
+  //         registers are graft.ops.Rhll rows, so the DuckDB oracle
+  //         replays the estimate hash-exactly.
   def q155(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q155_stream_hll_sink"
     s.catalog.dropTempView(qn)
+    val h = xxhash64(col("user_id"))
     val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-        .as("est_users"))
+      .select(col("ts"), col("event_type"),
+        graft.ops.Rhll.bucket(h).as("bucket"),
+        graft.ops.Rhll.rank(h).as("r0"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("bucket"))
+      .agg(max(col("r0")).as("r"))
       .select(col("window.start").cast("date").as("day"), col("event_type"),
-        col("est_users"))
+        col("bucket"), col("r"))
     val query = agg.writeStream.format("memory").queryName(qn)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    s.table(qn).orderBy(col("day"), col("event_type"))
+    // finishing estimate over the end-of-stream registers (batch side —
+    // the sink IS the sketch; the estimate is a report over it)
+    graft.ops.Rhll.estimate(s.table(qn), Seq("day", "event_type"), 52,
+        "est_users")
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q155Sql: String = {
+    val hash = graft.sql.Xxh64Sql.longHashCtes(
+      "SELECT DISTINCT user_id AS k FROM events")
+    val sketch = graft.sql.HllSql.sketchCtes("dh",
+      "SELECT CAST(e.ts AS DATE) AS day, e.event_type, xl5.ux AS u " +
+        "FROM events e JOIN xl5 ON e.user_id = xl5.k",
+      Seq("day", "event_type"), 52, "est_users")
+    s"""WITH $hash,
+       |$sketch
+       |SELECT day, event_type, est_users FROM dh
+       |ORDER BY day, event_type""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -544,6 +565,7 @@ object EventsStream {
   /** Identical rollups to batch q24/q43/q78 → identical oracle SQL. */
   val oracle: Map[String, String] = Map(
     "q161_stream_outer" -> q161Sql,
+    "q155_stream_hll" -> q155Sql,
     "q146_stream_gate" -> q146Sql,
     "q126_stream_enrich" -> q126Sql,
     "q62_events_hourly_stream" -> graft.ops.Events.q24Sql,

@@ -60,9 +60,9 @@ class CurationSpec extends SparkTestBase {
     val out = ops.Curation.q152(spark, sfDir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val est = r.getAs[Long]("est_users")
+      val est = r.getAs[Double]("est_users")
       val exact = r.getAs[Long]("exact_users")
-      assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+      assert(math.abs(est - exact) <= math.max(1.0, exact / 20.0),
         s"${r.getString(0)}: est $est vs exact $exact")
     }
   }
@@ -73,24 +73,37 @@ class CurationSpec extends SparkTestBase {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
     val nDays = ev.select(col("day")).distinct().count()
-    val global = ev.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val global = globalEstimate(ev.select(col("event_type"), col("user_id")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     out.foreach { r =>
       // the ledger holds every day but "today"
       assert(r.getAs[Long]("n_days_ledger") == nDays - 1)
       // merging the parquet-round-tripped ledger with the fresh batch must
-      // equal the single-pass global sketch — serialized state is mergeable
-      assert(r.getAs[Long]("est_after") == global(r.getString(0)))
-      assert(r.getAs[Long]("est_before") <= r.getAs[Long]("est_after"))
+      // equal the single-pass global sketch — persisted registers are
+      // mergeable state
+      assert(r.getAs[Double]("est_after") == global(r.getString(0)))
+      assert(r.getAs[Double]("est_before") <= r.getAs[Double]("est_after"))
     }
+  }
+
+  /** Single-pass Rhll estimate per event_type — the reference the merged /
+    * ledgered / streamed variants must all equal bit-for-bit. */
+  private def globalEstimate(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = xxhash64(col("user_id"))
+    ops.Rhll.estimate(
+      ev.select(col("event_type"), ops.Rhll.bucket(h).as("bucket"),
+          ops.Rhll.rank(h).as("r0"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r0")).as("r")),
+      Seq("event_type"), 52, "est")
   }
 
   test("q154: sketch overlap estimates track the exact digest intersection") {
     val out = ops.Curation.q154(spark, sfDir).collect()
     assert(out.nonEmpty)
     val d = Tables.documents(spark, sfDir)
-      .select(col("source"), xxhash64(col("text")).as("fp")).distinct()
+      .select(col("source"), md5(col("text")).as("fp")).distinct()
     val exact = d.as("a").join(d.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
@@ -98,11 +111,11 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     out.foreach { r =>
       val key = (r.getString(0), r.getString(1))
-      val est = r.getAs[Long]("est_inter")
+      val est = r.getAs[Double]("est_inter")
       val ex = exact.getOrElse(key, 0L)
       // HLL differencing is noisier than plain counting: allow 10% of the
       // union or ±3 absolute, whichever is larger
-      val slack = math.max(3L, r.getAs[Long]("est_union") / 10)
+      val slack = math.max(3.0, r.getAs[Double]("est_union") / 10)
       assert(math.abs(est - ex) <= slack, s"$key est $est exact $ex")
     }
   }
@@ -153,11 +166,10 @@ class CurationSpec extends SparkTestBase {
   test("q152: daily sketches merge to the same estimate as one global sketch") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"))
-    val global = ev.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val global = globalEstimate(ev)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     val merged = ops.Curation.q152(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getAs[Long]("est_users"))).toMap
+      .map(r => (r.getString(0), r.getAs[Double]("est_users"))).toMap
     assert(merged == global)
   }
 }

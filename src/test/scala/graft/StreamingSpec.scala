@@ -242,11 +242,17 @@ class StreamingSpec extends SparkTestBase {
   test("q155: streaming HLL state equals the batch single-pass sketch estimate") {
     val streamed = graft.streaming.EventsStream.q155(spark, sfDir)
       .collect().map(_.toSeq)
-    val batch = Tables.events(spark, sfDir)
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_users"))
-      .select(col("window.start").cast("date").as("day"), col("event_type"),
-        col("est_users"))
+    val h = xxhash64(col("user_id"))
+    val batch = graft.ops.Rhll.estimate(
+        Tables.events(spark, sfDir)
+          .select(col("ts"), col("event_type"),
+            graft.ops.Rhll.bucket(h).as("bucket"),
+            graft.ops.Rhll.rank(h).as("r0"))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"), col("bucket"))
+          .agg(max(col("r0")).as("r"))
+          .select(col("window.start").cast("date").as("day"),
+            col("event_type"), col("bucket"), col("r")),
+        Seq("day", "event_type"), 52, "est_users")
       .orderBy(col("day"), col("event_type"))
       .collect().map(_.toSeq)
     assert(streamed.nonEmpty)

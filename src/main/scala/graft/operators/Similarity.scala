@@ -827,9 +827,175 @@ object Similarity {
       |      * 10000) / 10000.0 >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ── q183: the ORACLE-ABLE IVF twin — fixed-point Lloyd's k-means with
+  //        every training step in EXACT integer arithmetic (the q61
+  //        integer-SRP discipline applied to LEARNED state, closing the
+  //        "centroid means aren't bit-reproducible" gap that keeps
+  //        q41/q55 rows-only):
+  //        * vectors quantize as floor(v_i·1000) BIGINTs (exact in both
+  //          engines — float32·1000 fits a double mantissa);
+  //        * init: the quantized vectors of the 16 lowest vec_ids,
+  //          cid = rank order — no RNG;
+  //        * assignment: argmin of INTEGER squared-L2, ties to the lowest
+  //          cid — order-independent, so partitioning can't perturb it;
+  //        * update: per-dim integer mean floor((Σx + 1000·n)/n) − 1000
+  //          (numerator shifted non-negative so truncating division and
+  //          floor division agree across engines); an emptied cluster
+  //          keeps its previous centroid;
+  //        * exactly TwinLloydIters = 2 unrolled iterations, then final
+  //          lists, nprobe = 2 centroid lists per query, exact-cosine
+  //          rerank (round-4) to top-3.
+  //        Per-iteration driver state is the K×Dim integer centroid
+  //        matrix (collects ≤ K·Dim = 1024 bounded rows — the pqTrain
+  //        contract); vectors themselves never leave the executors. The
+  //        production path stays annIvfKmeans (double Lloyd's, richer
+  //        stopping); this twin hash-proves the IVF mechanism —
+  //        train → invert → probe → rerank — end-to-end vs DuckDB.
+  private val TwinLloydK = 16
+  private val TwinLloydIters = 2
+  private val TwinLloydProbe = 2
+
+  /** argmin-cid assignment (ties to lowest cid) — array_sort handles any
+    * centroid count ≥ 1 where a bare `least` needs ≥ 2. */
+  private def twinLloydAssign(cents: IndexedSeq[Seq[Long]]): Column =
+    array_sort(array(twinLloydDists(cents): _*)).getItem(0).getField("c")
+
+  /** (squared-L2, cid) structs vs literal integer centroids, over `qv`. */
+  private def twinLloydDists(cents: IndexedSeq[Seq[Long]]): Seq[Column] =
+    cents.zipWithIndex.map { case (cv, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedlit(cv), (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, v) => a + v).as("d"),
+        lit(i).as("c"))
+    }
+
+  /** Fixed-point Lloyd's over quantized vectors (vec_id, qv: array<long>):
+    * returns the K×Dim integer centroid matrix after TwinLloydIters. */
+  private[graft] def twinLloydCentroids(q: DataFrame): IndexedSeq[IndexedSeq[Long]] = {
+    var cents: IndexedSeq[IndexedSeq[Long]] =
+      q.orderBy(col("vec_id")).limit(TwinLloydK).collect()
+        .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until TwinLloydIters if cents.nonEmpty) {
+      // per-(cid, dim) integer sums: ≤ K·Dim = 1024 rows, bounded by
+      // construction — the only driver-side state Lloyd's needs
+      val sums = q
+        .withColumn("cid", twinLloydAssign(cents))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      cents = (0 until TwinLloydK).map { c =>
+        byCid.get(c) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map { r =>
+              val sm = r.getLong(2); val n = r.getLong(3)
+              (sm + 1000L * n) / n - 1000L
+            }.toIndexedSeq
+          case None => cents(c)
+        }
+      }.toIndexedSeq
+    }
+    cents
+  }
+
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
+    val cents = twinLloydCentroids(q)
+    if (cents.isEmpty) // empty corpus → nothing to train on, empty top-k
+      return e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
+    val lists = q
+      .withColumn("cid", twinLloydAssign(cents))
+      .select(col("vec_id").as("nn_id"), col("cid"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        explode(slice(array_sort(array(twinLloydDists(cents): _*)),
+          1, TwinLloydProbe)).as("p"))
+      .select(col("qid"), col("p").getField("c").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("nn_id") =!= col("qid"))
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
+      .join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("nn_id"),
+        round4(cosine(col("nv"), col("qvec"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val q183Sql: String = {
+    // integer squared-L2 between 64-dim BIGINT lists (1-based indexing)
+    def sqdist(v: String, c: String): String =
+      s"""list_sum([($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+         |      * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)]) for i in range(1, 65)])"""
+        .stripMargin
+    // one Lloyd's iteration: assign to `cPrev`, integer-mean update → cNext
+    def iter(n: Int, cPrev: String, cNext: String): String =
+      s"""d$n AS (
+         |  SELECT e.vec_id, c.cid, ${sqdist("e.qv", "c.cv")} AS d
+         |  FROM e, $cPrev c),
+         |a$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$n) WHERE rn = 1),
+         |s$n AS (
+         |  SELECT a$n.cid, i, sum(e.qv[CAST(i AS INT)]) AS s, count(*) AS n
+         |  FROM a$n JOIN e USING (vec_id), range(1, 65) t(i)
+         |  GROUP BY a$n.cid, i),
+         |u$n AS (
+         |  SELECT cid, list((s + 1000 * n) // n - 1000 ORDER BY i) AS cv
+         |  FROM s$n GROUP BY cid),
+         |$cNext AS (
+         |  SELECT p.cid, coalesce(u$n.cv, p.cv) AS cv
+         |  FROM $cPrev p LEFT JOIN u$n USING (cid))""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |${iter(1, "c0", "c1")},
+       |${iter(2, "c1", "c2")},
+       |df AS (
+       |  SELECT e.vec_id, c.cid, ${sqdist("e.qv", "c.cv")} AS d
+       |  FROM e, c2 c),
+       |af AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM df) WHERE rn = 1),
+       |pr AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM df WHERE vec_id < 5) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT pr.qid, af.vec_id AS nn_id
+       |  FROM pr JOIN af USING (cid) WHERE af.vec_id != pr.qid),
+       |sims AS (
+       |  SELECT c.qid, c.nn_id,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]) * 10000) / 10000.0 AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.nn_id
+       |  JOIN embeddings b ON b.vec_id = c.qid),
+       |ranked AS (
+       |  SELECT qid, nn_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM sims)
+       |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   // q55: learned-list IVF ANN (rows-only: k-means centroids aren't
   //      expressible in the oracle; nprobe=all ≡ brute force is asserted
-  //      in SimilaritySpec).
+  //      in SimilaritySpec — and the MECHANISM train→invert→probe→rerank
+  //      is hash-proven end-to-end by the q183 fixed-point Lloyd's twin).
   def q55(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)
@@ -1432,6 +1598,7 @@ object Similarity {
     "q49_neardup_lsh" -> q49,
     "q55_ann_ivf_kmeans" -> q55,
     "q61_srp_twin" -> q61,
+    "q183_ivf_lloyds_twin" -> q183,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -1446,5 +1613,6 @@ object Similarity {
     "q38_ann_lsh" -> q38Sql,
     "q77_centroid_cosine" -> q77Sql,
     "q39_knn_batch" -> q39Sql,
-    "q61_srp_twin" -> q61Sql)
+    "q61_srp_twin" -> q61Sql,
+    "q183_ivf_lloyds_twin" -> q183Sql)
 }

@@ -74,6 +74,30 @@ class SimilaritySpec extends SparkTestBase {
       "probing every list must reduce IVF to exact kNN")
   }
 
+  test("q183 fixed-point Lloyd's twin: recall vs brute force, Lloyd's moves the centroids") {
+    val rows = Similarity.q183(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // probing 2 of 16 learned lists must still recover a healthy share of
+    // the true top-3 (the quality bar that proves the integer quantization
+    // didn't break the geometry)
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rows.count(brute) / brute.size.toDouble
+    assert(recall >= 0.5, s"fixed-point IVF recall@3 too low: $recall")
+    // the trained centroids differ from the raw seeds — Lloyd's actually
+    // iterated (guards against a silent no-op train loop)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
+    val cents = Similarity.twinLloydCentroids(q)
+    val seeds = q.orderBy(col("vec_id")).limit(16).collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    assert(cents.size == seeds.size)
+    assert(cents != seeds, "2 Lloyd's iterations left every centroid at its seed")
+  }
+
   test("IVF ANN with nprobe=2 returns exact cosines from probed lists") {
     val rows = Similarity.q41(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -857,14 +857,16 @@ object Similarity {
 
   /** argmin-cid assignment (ties to lowest cid) — array_sort handles any
     * centroid count ≥ 1 where a bare `least` needs ≥ 2. */
-  private def twinLloydAssign(cents: IndexedSeq[Seq[Long]]): Column =
-    array_sort(array(twinLloydDists(cents): _*)).getItem(0).getField("c")
+  private def twinLloydAssign(cents: IndexedSeq[Seq[Long]],
+      v: Column = col("qv")): Column =
+    array_sort(array(twinLloydDists(cents, v): _*)).getItem(0).getField("c")
 
-  /** (squared-L2, cid) structs vs literal integer centroids, over `qv`. */
-  private def twinLloydDists(cents: IndexedSeq[Seq[Long]]): Seq[Column] =
+  /** (squared-L2, cid) structs vs literal integer centroids, over `v`. */
+  private def twinLloydDists(cents: IndexedSeq[Seq[Long]],
+      v: Column = col("qv")): Seq[Column] =
     cents.zipWithIndex.map { case (cv, i) =>
       struct(
-        aggregate(zip_with(col("qv"), typedlit(cv), (x, c) => (x - c) * (x - c)),
+        aggregate(zip_with(v, typedlit(cv), (x, c) => (x - c) * (x - c)),
           lit(0L), (a, v) => a + v).as("d"),
         lit(i).as("c"))
     }
@@ -984,6 +986,169 @@ object Similarity {
        |  FROM cand c
        |  JOIN embeddings a ON a.vec_id = c.nn_id
        |  JOIN embeddings b ON b.vec_id = c.qid),
+       |ranked AS (
+       |  SELECT qid, nn_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM sims)
+       |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin
+  }
+
+  // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
+  //        applied PER SUBSPACE, hash-proving the product-quantization
+  //        mechanism behind the rows-only q98/q128/q158 compressed legs:
+  //        * 4 subspaces of 16 dims; each trains its own integer codebook
+  //          (k=16, 2 unrolled fixed-point Lloyd's iterations — the exact
+  //          q183 update rule on the sliced subvectors);
+  //        * encode: per-subspace argmin code (integer L2, lowest-cid
+  //          ties) — 4 small ints replace the 64-float vector, the PQ
+  //          compression contract;
+  //        * ADC: the query's distance LUT (5 queries × 4 subspaces × 16
+  //          centroids of exact integer distances, computed driver-side
+  //          from the 5 bounded query rows) joins the code stream and
+  //          sums — an asymmetric-distance scan where every score is an
+  //          exact BIGINT, so candidate order is engine-independent;
+  //        * bounded pool (TopKPerKey, 20) → exact-cosine rerank to
+  //          top-3 (round-4), the annPq candidate→verify shape.
+  //        The production path stays annPq (double Lloyd's, rich
+  //        codebooks, codegen'd flat-literal LUTs); this twin replays
+  //        train → encode → ADC-scan → rerank end-to-end in DuckDB.
+  private val PqTwinM = 4
+  private val PqTwinSub = Dim / PqTwinM // 16
+  private val PqTwinPool = 20
+
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
+    val books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until PqTwinM).map { sub =>
+        twinLloydCentroids(q.select(col("vec_id"),
+          slice(col("qv"), sub * PqTwinSub + 1, PqTwinSub).as("qv")))
+      }.toIndexedSeq
+    if (books.exists(_.isEmpty)) // empty corpus → nothing to train on
+      return e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
+        lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
+    val codeCols = (0 until PqTwinM).map { sub =>
+      twinLloydAssign(books(sub),
+        slice(col("qv"), sub * PqTwinSub + 1, PqTwinSub)).as(s"c$sub")
+    }
+    val codes = q.select((col("vec_id").as("nn_id") +: codeCols): _*)
+      .select(col("nn_id"),
+        posexplode(array((0 until PqTwinM).map(i => col(s"c$i")): _*))
+          .as(Seq("sub", "cid")))
+    // ADC LUTs from the 5 collected query rows — bounded by contract
+    val qRows = q.filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    import s.implicits._
+    val lut = qRows.toIndexedSeq.flatMap { case (qid, qv) =>
+      (0 until PqTwinM).flatMap { sub =>
+        books(sub).zipWithIndex.map { case (cv, cid) =>
+          val d = (0 until PqTwinSub).map { i =>
+            val diff = qv(sub * PqTwinSub + i) - cv(i); diff * diff
+          }.sum
+          (qid, sub, cid, d)
+        }
+      }
+    }.toDF("qid", "sub", "cid", "d")
+    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("qid"), col("nn_id")).agg(sum(col("d")).as("adc"))
+      .filter(col("nn_id") =!= col("qid"))
+    val pool = org.apache.spark.sql.graft.TopKPerKey.of(adc, Seq("qid"),
+      Seq("adc" -> true, "nn_id" -> true), PqTwinPool)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
+    pool
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
+      .join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qvec"))), Seq("qid"))
+      .select(col("qid"), col("nn_id"),
+        round4(cosine(col("nv"), col("qvec"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val q184Sql: String = {
+    val sub = PqTwinSub // 16 dims per subspace
+    // integer squared-L2 between `sub`-dim BIGINT lists
+    def sqdist(v: String, c: String): String =
+      s"""list_sum([($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+         |      * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)]) for i in range(1, ${sub + 1})])"""
+        .stripMargin
+    // one fixed-point Lloyd's iteration in subspace namespace `p`
+    def iter(p: String, n: Int, cPrev: String, cNext: String): String =
+      s"""${p}d$n AS (
+         |  SELECT e.vec_id, c.cid, ${sqdist("e.sv", "c.cv")} AS d
+         |  FROM e_$p e, $cPrev c),
+         |${p}a$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM ${p}d$n) WHERE rn = 1),
+         |${p}s$n AS (
+         |  SELECT a.cid, i, sum(e.sv[CAST(i AS INT)]) AS s, count(*) AS n
+         |  FROM ${p}a$n a JOIN e_$p e USING (vec_id), range(1, ${sub + 1}) t(i)
+         |  GROUP BY a.cid, i),
+         |${p}u$n AS (
+         |  SELECT cid, list((s + 1000 * n) // n - 1000 ORDER BY i) AS cv
+         |  FROM ${p}s$n GROUP BY cid),
+         |$cNext AS (
+         |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+         |  FROM $cPrev p LEFT JOIN ${p}u$n u USING (cid))""".stripMargin
+    // full per-subspace chain: slice → init → 2 iters → encode + query LUT
+    def subspace(k: Int): String = {
+      val p = s"s$k"
+      val off = k * sub
+      s"""e_$p AS (SELECT vec_id, qv[${off + 1}:${off + sub}] AS sv FROM e),
+         |${p}c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
+         |  FROM e_$p ORDER BY vec_id LIMIT 16),
+         |${iter(p, 1, s"${p}c0", s"${p}c1")},
+         |${iter(p, 2, s"${p}c1", s"${p}c2")},
+         |${p}df AS (
+         |  SELECT e.vec_id, c.cid, ${sqdist("e.sv", "c.cv")} AS d
+         |  FROM e_$p e, ${p}c2 c),
+         |${p}ef AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM ${p}df) WHERE rn = 1),
+         |${p}lut AS (
+         |  SELECT vec_id AS qid, cid, d FROM ${p}df WHERE vec_id < 5)"""
+        .stripMargin
+    }
+    val subs = (0 until PqTwinM).map(subspace).mkString(",\n")
+    val codesU = (0 until PqTwinM)
+      .map(k => s"SELECT vec_id AS nn_id, $k AS sub, cid FROM s${k}ef")
+      .mkString("\n  UNION ALL ")
+    val lutU = (0 until PqTwinM)
+      .map(k => s"SELECT qid, $k AS sub, cid, d FROM s${k}lut")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+       |  FROM embeddings),
+       |$subs,
+       |codes AS (
+       |  $codesU),
+       |lut AS (
+       |  $lutU),
+       |adc AS (
+       |  SELECT l.qid, c.nn_id, sum(l.d) AS adc
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       |  WHERE c.nn_id != l.qid
+       |  GROUP BY l.qid, c.nn_id),
+       |pool AS (
+       |  SELECT qid, nn_id FROM (
+       |    SELECT qid, nn_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS prn
+       |    FROM adc) WHERE prn <= $PqTwinPool),
+       |sims AS (
+       |  SELECT p.qid, p.nn_id,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]) * 10000) / 10000.0 AS cos_sim
+       |  FROM pool p
+       |  JOIN embeddings a ON a.vec_id = p.nn_id
+       |  JOIN embeddings b ON b.vec_id = p.qid),
        |ranked AS (
        |  SELECT qid, nn_id, cos_sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nn_id) AS rn
@@ -1599,6 +1764,7 @@ object Similarity {
     "q55_ann_ivf_kmeans" -> q55,
     "q61_srp_twin" -> q61,
     "q183_ivf_lloyds_twin" -> q183,
+    "q184_pq_adc_twin" -> q184,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -1614,5 +1780,6 @@ object Similarity {
     "q77_centroid_cosine" -> q77Sql,
     "q39_knn_batch" -> q39Sql,
     "q61_srp_twin" -> q61Sql,
-    "q183_ivf_lloyds_twin" -> q183Sql)
+    "q183_ivf_lloyds_twin" -> q183Sql,
+    "q184_pq_adc_twin" -> q184Sql)
 }

@@ -98,6 +98,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(cents != seeds, "2 Lloyd's iterations left every centroid at its seed")
   }
 
+  test("q184 PQ/ADC twin: recall vs brute force through the compressed scan") {
+    val rows = Similarity.q184(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // 4x16 integer codebooks + pool-20 rerank must still recover a healthy
+    // share of the true top-3 — the bar that proves the quantized ADC
+    // ordering tracks real cosine geometry
+    val brute = Similarity.q39(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rows.count(brute) / brute.size.toDouble
+    assert(recall >= 0.4, s"PQ twin recall@3 too low: $recall")
+  }
+
   test("IVF ANN with nprobe=2 returns exact cosines from probed lists") {
     val rows = Similarity.q41(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -74,6 +74,8 @@ object ScaleRehearsal {
     }
 
     val headline = Seq("q01_pricing_summary", "q04_top_routes",
+      "q15_seeded_sample", "q34_dedup_minhash", "q35_simhash",
+      "q42_winnowing",
       "q07_airports_distinct", "q17_join_fact", "q20_join_star",
       "q21_window_topn", "q44_topk_custom",
       "q22_window_running", "q23_sessionize", "q24_events_hourly",

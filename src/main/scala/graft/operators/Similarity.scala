@@ -854,6 +854,14 @@ object Similarity {
   private val TwinLloydK = 16
   private val TwinLloydIters = 2
   private val TwinLloydProbe = 2
+  // Lloyd's trains on the TwinTrainCap lowest vec_ids, not the corpus:
+  // at scale an interpreted 16-centroid × 64-dim fold per row per
+  // iteration must not multiply the corpus scan count (the 50× rehearsal
+  // measured the uncapped train at 64s/250k vectors) — training on a
+  // bounded deterministic sample is the standard k-means contract
+  // (pqTrain does the same) and keeps train cost CONSTANT in corpus
+  // size; only the single-pass assignment/encode scans everything.
+  private val TwinTrainCap = 4096
 
   /** argmin-cid assignment (ties to lowest cid) — array_sort handles any
     * centroid count ≥ 1 where a bare `least` needs ≥ 2. */
@@ -872,8 +880,10 @@ object Similarity {
     }
 
   /** Fixed-point Lloyd's over quantized vectors (vec_id, qv: array<long>):
-    * returns the K×Dim integer centroid matrix after TwinLloydIters. */
-  private[graft] def twinLloydCentroids(q: DataFrame): IndexedSeq[IndexedSeq[Long]] = {
+    * returns the K×Dim integer centroid matrix after TwinLloydIters,
+    * trained on the TwinTrainCap lowest vec_ids. */
+  private[graft] def twinLloydCentroids(q0: DataFrame): IndexedSeq[IndexedSeq[Long]] = {
+    val q = q0.orderBy(col("vec_id")).limit(TwinTrainCap)
     var cents: IndexedSeq[IndexedSeq[Long]] =
       q.orderBy(col("vec_id")).limit(TwinLloydK).collect()
         .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
@@ -939,7 +949,7 @@ object Similarity {
     def iter(n: Int, cPrev: String, cNext: String): String =
       s"""d$n AS (
          |  SELECT e.vec_id, c.cid, ${sqdist("e.qv", "c.cv")} AS d
-         |  FROM e, $cPrev c),
+         |  FROM et e, $cPrev c),
          |a$n AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -947,7 +957,7 @@ object Similarity {
          |    FROM d$n) WHERE rn = 1),
          |s$n AS (
          |  SELECT a$n.cid, i, sum(e.qv[CAST(i AS INT)]) AS s, count(*) AS n
-         |  FROM a$n JOIN e USING (vec_id), range(1, 65) t(i)
+         |  FROM a$n JOIN et e USING (vec_id), range(1, 65) t(i)
          |  GROUP BY a$n.cid, i),
          |u$n AS (
          |  SELECT cid, list((s + 1000 * n) // n - 1000 ORDER BY i) AS cv
@@ -958,9 +968,10 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id,
        |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
        |  FROM embeddings),
+       |et AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 4096),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-       |  FROM e ORDER BY vec_id LIMIT 16),
+       |  FROM et ORDER BY vec_id LIMIT 16),
        |${iter(1, "c0", "c1")},
        |${iter(2, "c1", "c2")},
        |df AS (
@@ -1079,7 +1090,7 @@ object Similarity {
     def iter(p: String, n: Int, cPrev: String, cNext: String): String =
       s"""${p}d$n AS (
          |  SELECT e.vec_id, c.cid, ${sqdist("e.sv", "c.cv")} AS d
-         |  FROM e_$p e, $cPrev c),
+         |  FROM et_$p e, $cPrev c),
          |${p}a$n AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -1087,7 +1098,7 @@ object Similarity {
          |    FROM ${p}d$n) WHERE rn = 1),
          |${p}s$n AS (
          |  SELECT a.cid, i, sum(e.sv[CAST(i AS INT)]) AS s, count(*) AS n
-         |  FROM ${p}a$n a JOIN e_$p e USING (vec_id), range(1, ${sub + 1}) t(i)
+         |  FROM ${p}a$n a JOIN et_$p e USING (vec_id), range(1, ${sub + 1}) t(i)
          |  GROUP BY a.cid, i),
          |${p}u$n AS (
          |  SELECT cid, list((s + 1000 * n) // n - 1000 ORDER BY i) AS cv
@@ -1100,9 +1111,10 @@ object Similarity {
       val p = s"s$k"
       val off = k * sub
       s"""e_$p AS (SELECT vec_id, qv[${off + 1}:${off + sub}] AS sv FROM e),
+         |et_$p AS (SELECT vec_id, sv FROM e_$p ORDER BY vec_id LIMIT 4096),
          |${p}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
-         |  FROM e_$p ORDER BY vec_id LIMIT 16),
+         |  FROM et_$p ORDER BY vec_id LIMIT 16),
          |${iter(p, 1, s"${p}c0", s"${p}c1")},
          |${iter(p, 2, s"${p}c1", s"${p}c2")},
          |${p}df AS (

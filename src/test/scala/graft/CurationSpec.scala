@@ -156,7 +156,7 @@ class CurationSpec extends SparkTestBase {
     assert(sample.nonEmpty && sample.length <= 100)
     // weighted-ness: the sample's mean token weight exceeds the corpus mean
     val corpusMean = Tables.documents(spark, sfDir)
-      .select(avg(greatest(regexp_count(col("text"), lit("\\S+")), lit(1))))
+      .select(avg(greatest(regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")), lit(1))))
       .collect()(0).getDouble(0)
     val sampleMean = sample.map(_.getAs[Long]("w")).sum.toDouble / sample.length
     assert(sampleMean > corpusMean,

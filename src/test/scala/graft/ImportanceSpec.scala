@@ -76,7 +76,7 @@ class ImportanceSpec extends SparkTestBase {
     // inline the operator body over a constructed frame via temp fixture
     val d = docs.select(col("source"),
       sha2(graft.operators.Dedup.normalizeText(col("text")), 256).as("fp"),
-      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
     val m = d.groupBy("fp").agg(count(lit(1)).as("m"))
     val eff = d.join(m, Seq("fp"))
       .select((col("n_tokens") *

@@ -297,4 +297,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("n_chars"), "q173 must not read unused columns\n" + p)
     assert(!p.contains("doc_id"), "q173 must not read unused columns\n" + p)
   }
+
+  test("q152: HLL register build is partial-aggregated (map-side combine), " +
+    "no cartesian anywhere") {
+    val p = plan(graft.ops.Curation.q152(spark, sfDir))
+    // daily registers + merge + estimate: every groupBy must show a
+    // partial_ phase so the shuffle carries <=m rows per group, not events
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only (ts, event_type, user_id) leave the events scan
+    assert(!p.contains("props"), "q152 must not read unused columns\n" + p)
+  }
+
+  test("q154: pair-register expansion broadcasts the tiny pair frame — " +
+    "the corpus-sized side never re-shuffles per pair") {
+    val p = plan(graft.ops.Curation.q154(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q183/q184 twins: assignment/encode is a single corpus pass against " +
+    "literal centroids — broadcast joins only, bounded driver state") {
+    val p = plan(graft.operators.Similarity.q183(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val p4 = plan(graft.operators.Similarity.q184(spark, sfDir))
+    assert(p4.contains("BroadcastExchange"), p4)
+    assert(!p4.contains("CartesianProduct"), p4)
+  }
 }

@@ -29,8 +29,24 @@ object EventsStream {
       StructField("value", DoubleType),
       StructField("props", StringType)))
 
-  /** `globFilter` narrows a multi-table directory to the events files
-    * (the file-stream source only accepts directories, never a file).
+  /** Streams the events table at `tablePath` WHATEVER its physical
+    * layout: a directory of part files (what Spark itself writes; every
+    * production layout) streams directly; a single file (the driver's
+    * test fixtures) streams its parent narrowed by `pathGlobFilter` to
+    * the leaf name, because the file-stream source requires a directory
+    * basePath. Dispatching on the ACTUAL layout closes a silent-zero
+    * defect: the previous always-glob-the-parent form matched no files
+    * once the table became a directory of part-*.parquet — the 100×
+    * rehearsal caught q155 streaming 0 rows on the replicated fixture
+    * while every sf0.01 check stayed green on the single-file layout. */
+  def readEventsTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val f = new java.io.File(tablePath)
+    if (f.isFile) readEvents(spark, f.getParent, Some(f.getName))
+    else readEvents(spark, tablePath)
+  }
+
+  /** Directory form of the events stream (see [[readEventsTable]], which
+    * callers should prefer — it handles both physical layouts).
     *
     * The file-stream source needs an explicit schema, so probe the footer
     * type with a batch read first (one footer, no data scan), then apply
@@ -133,7 +149,7 @@ object EventsStream {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q62_events_hourly_stream_sink"
     s.catalog.dropTempView(qn)
-    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val agg = readEventsTable(s, s"$dir/events.parquet")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -157,7 +173,7 @@ object EventsStream {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q71_sessions_stream_sink"
     s.catalog.dropTempView(qn)
-    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val agg = readEventsTable(s, s"$dir/events.parquet")
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"))
@@ -178,7 +194,7 @@ object EventsStream {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q81_hopping_stream_sink"
     s.catalog.dropTempView(qn)
-    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val agg = readEventsTable(s, s"$dir/events.parquet")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -202,7 +218,7 @@ object EventsStream {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q91_interval_join_stream_sink"
     s.catalog.dropTempView(qn)
-    val ev = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val ev = readEventsTable(s, s"$dir/events.parquet")
     val errors = ev.where(col("event_type") === "error")
       .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
         col("ts").as("e_ts"))
@@ -238,7 +254,7 @@ object EventsStream {
     import org.apache.spark.sql.streaming.Trigger
     val qn = "q161_stream_outer_sink"
     s.catalog.dropTempView(qn)
-    val ev = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val ev = readEventsTable(s, s"$dir/events.parquet")
     val errors = ev.where(col("event_type") === "error")
       .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
         col("ts").as("e_ts"))
@@ -408,7 +424,7 @@ object EventsStream {
     s.catalog.dropTempView(qn)
     val dim = graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val agg = readEventsTable(s, s"$dir/events.parquet")
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
@@ -519,7 +535,7 @@ object EventsStream {
     val qn = "q155_stream_hll_sink"
     s.catalog.dropTempView(qn)
     val h = xxhash64(col("user_id"))
-    val agg = readEvents(s, dir, globFilter = Some("events.parquet"))
+    val agg = readEventsTable(s, s"$dir/events.parquet")
       .select(col("ts"), col("event_type"),
         graft.ops.Rhll.bucket(h).as("bucket"),
         graft.ops.Rhll.rank(h).as("r0"))

@@ -9,6 +9,21 @@ import graft.streaming.EventsStream
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  // The events table must stream from BOTH physical layouts: the driver's
+  // single-file fixture AND a Spark-written directory of part files (every
+  // production layout). The always-glob-the-parent form silently matched
+  // zero files on the directory layout — caught by the 100x rehearsal
+  // (q155 streamed 0 rows); this pins the dispatch in readEventsTable.
+  test("event streams read both physical layouts identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("evdir").toString
+    Tables.events(spark, sfDir).write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet") // directory-of-part-files layout
+    val viaDir = EventsStream.q62(spark, tmp).collect().map(_.toSeq).toSeq
+    val viaFile = EventsStream.q62(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(viaDir.nonEmpty, "directory layout streamed zero rows")
+    assert(viaDir == viaFile, "layouts must produce identical rollups")
+  }
+
   private def eventsDir: String = {
     // stream source dir containing just the events parquet
     val tmp = java.nio.file.Files.createTempDirectory("events_src")

@@ -735,9 +735,11 @@ object Similarity {
     rerankExact(e, top, queryVecDf(e.sparkSession, luts), k)
   }
 
-  // q98: PQ-ADC ANN (rows-only: learned codebooks aren't expressible in
-  //      the oracle; the rerankPool ≥ corpus ⇒ ≡ brute-force contract and
-  //      recall at defaults are pinned in SimilaritySpec).
+  // q98: PQ-ADC ANN (rows-only: learned double-Lloyd's codebooks aren't
+  //      expressible in the oracle; the rerankPool ≥ corpus ⇒ ≡ brute-force
+  //      contract and recall at defaults are pinned in SimilaritySpec — and
+  //      the train→encode→ADC-scan→rerank MECHANISM is hash-proven
+  //      end-to-end by the q184 fixed-point PQ twin).
   def q98(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)
@@ -1180,9 +1182,10 @@ object Similarity {
     annIvfKmeans(e, q, k = 3).orderBy(col("qid"), col("rn"))
   }
 
-  // q41: IVF ANN for the first 5 query vectors (rows-only: centroid means
-  //      aren't bit-reproducible in the oracle; within-list cosines are
-  //      verified against brute force in SimilaritySpec).
+  // q41: IVF ANN for the first 5 query vectors (rows-only: double-mean
+  //      centroids aren't bit-reproducible in the oracle; within-list
+  //      cosines are verified against brute force in SimilaritySpec, and
+  //      the IVF mechanism is hash-proven by the q183 fixed-point twin).
   def q41(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 5)

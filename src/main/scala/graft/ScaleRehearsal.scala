@@ -111,7 +111,12 @@ object ScaleRehearsal {
       "q176_crossmodal_dedup", "q177_model_maintain", "q178_stream_dsir",
       "q179_lsh_audit", "q180_selection_build",
       "q181_band_index_maintain", "q182_dup_discount_delta",
-      "q183_ivf_lloyds_twin", "q184_pq_adc_twin")
+      "q183_ivf_lloyds_twin", "q184_pq_adc_twin",
+      // event streams joined the list in round 11: until the directory-
+      // layout fix (readEventsTable) they silently streamed 0 rows from
+      // the replicated fixture, so the rehearsal never exercised the
+      // streaming path at scale at all
+      "q62_events_hourly_stream", "q155_stream_hll")
     // q175 (streaming embedding decontam) is absent like q129/q134: the
     // replica key shift is ≡ 0 mod 50, so the broadcast eval side scales
     // WITH the corpus here — the operator's contract is a FIXED eval set

@@ -865,11 +865,13 @@ object Similarity {
   // size; only the single-pass assignment/encode scans everything.
   private val TwinTrainCap = 4096
 
-  /** argmin-cid assignment (ties to lowest cid) — array_sort handles any
-    * centroid count ≥ 1 where a bare `least` needs ≥ 2. */
-  private def twinLloydAssign(cents: IndexedSeq[Seq[Long]],
+  /** argmin-cid assignment (ties to lowest cid) — one fused codegen loop
+    * (IntCodesExpr, exact long arithmetic, bit-identical to the
+    * interpreted struct-sort form it replaced: the 50× rehearsal measured
+    * the m×k HOF folds at ~40s/250k vectors per twin). */
+  private def twinLloydAssign(cents: IndexedSeq[IndexedSeq[Long]],
       v: Column = col("qv")): Column =
-    array_sort(array(twinLloydDists(cents, v): _*)).getItem(0).getField("c")
+    org.apache.spark.sql.graft.IntCodesExpr.argmin(v, cents)
 
   /** (squared-L2, cid) structs vs literal integer centroids, over `v`. */
   private def twinLloydDists(cents: IndexedSeq[Seq[Long]],
@@ -1042,14 +1044,10 @@ object Similarity {
     if (books.exists(_.isEmpty)) // empty corpus → nothing to train on
       return e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
         lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
-    val codeCols = (0 until PqTwinM).map { sub =>
-      twinLloydAssign(books(sub),
-        slice(col("qv"), sub * PqTwinSub + 1, PqTwinSub)).as(s"c$sub")
-    }
-    val codes = q.select((col("vec_id").as("nn_id") +: codeCols): _*)
-      .select(col("nn_id"),
-        posexplode(array((0 until PqTwinM).map(i => col(s"c$i")): _*))
-          .as(Seq("sub", "cid")))
+    // all 4 subspace codes in ONE fused codegen pass over the vector
+    val codes = q.select(col("vec_id").as("nn_id"),
+      posexplode(org.apache.spark.sql.graft.IntCodesExpr.column(
+        col("qv"), books)).as(Seq("sub", "cid")))
     // ADC LUTs from the 5 collected query rows — bounded by contract
     val qRows = q.filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))

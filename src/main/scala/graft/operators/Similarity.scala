@@ -222,14 +222,70 @@ object Similarity {
   // q49: the scale-path version of q36 — candidates from similarity
   //      structure (SRP bands) instead of a fixed-cardinality block, exact
   //      cosine verification, top-100 most similar candidate pairs.
-  //      Rows-only (seeded hyperplanes aren't oracle-able); planted-dup
-  //      recall + pruning ratio are asserted in SimilaritySpec.
+  //      Rows-only: the geometry ADAPTS to the corpus count (srpParams),
+  //      which a static oracle can't parameterize — but the q185 twin
+  //      below runs the identical pipeline at the pinned verify-corpus
+  //      geometry and is hash-green, and srpParams(500) == (11, 9) means
+  //      q185 ≡ q49 at the verify SF. Planted-dup recall + pruning ratio
+  //      stay asserted in SimilaritySpec.
   def q49(s: SparkSession, dir: String): DataFrame =
     srpCandidatePairs(emb(s, dir))
       .select(col("id_a"), col("id_b"),
         round4(cosine(col("v_a"), col("v_b"))).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
       .limit(100)
+
+  // q185: pinned-geometry twin of q49 — the full srpCandidatePairs
+  //       machinery (fused SrpSignatureExpr pass, exact-signature collapse,
+  //       rep-level band join, member re-expansion) at the geometry
+  //       srpParams picks for the 500-vector verify corpus (bands=11,
+  //       rowsPerBand=9), so at that corpus size this IS q49 row for row
+  //       (SimilaritySpec pins the coincidence). The ORACLE is the NAIVE
+  //       formulation — per-vector band signatures replayed from the same
+  //       seeded-plane decimal literals (the q38 discipline: identical
+  //       left-to-right IEEE folds, strict `> 0` signs), all-pairs band
+  //       equi-join, DISTINCT — so hash-green proves the clone-collapse
+  //       optimization computes exactly the naive candidate semantics.
+  private val SrpTwinBands = 11
+  private val SrpTwinRows = 9
+  def q185(s: SparkSession, dir: String): DataFrame =
+    srpCandidatePairs(emb(s, dir), SrpTwinBands, SrpTwinRows)
+      .select(col("id_a"), col("id_b"),
+        round4(cosine(col("v_a"), col("v_b"))).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("id_a"), col("id_b"))
+      .limit(100)
+
+  // lazy: forces AFTER the whole object initializes — as a strict val it
+  // would call planesFor while `Dim` (declared further down) is still 0,
+  // caching an EMPTY plane array under the (11, 9) key that q49 shares.
+  lazy val q185Sql: String = {
+    val ps = planesFor(SrpTwinBands, SrpTwinRows)
+    def dot(p: Int): String =
+      (0 until Dim).map(i => s"v[${i + 1}]*(${ps(p * Dim + i)})")
+        .mkString(" + ")
+    def sig(b: Int): String =
+      (0 until SrpTwinRows).map(j =>
+        s"(CASE WHEN ${dot(b * SrpTwinRows + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("\n    + ")
+    val bandSelects = (0 until SrpTwinBands).map(b =>
+      s"SELECT vec_id, $b AS band,\n    ${sig(b)} AS sig FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       |sims AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_cosine_similarity(a.v, b.v) * 10000) / 10000.0 AS cos_sim
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.id_a
+       |  JOIN e b ON b.vec_id = c.id_b)
+       |SELECT id_a, id_b, cos_sim FROM sims
+       |ORDER BY cos_sim DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
 
   /** Embedding-cosine near-dup dedup — DEFAULT (scale) form: candidate
     * pairs come from SRP-LSH bands (O(n·bands) shuffle, candidate count
@@ -1774,6 +1830,7 @@ object Similarity {
     "q39_knn_batch" -> q39,
     "q41_ann_ivf" -> q41,
     "q49_neardup_lsh" -> q49,
+    "q185_srp_bands_twin" -> q185,
     "q55_ann_ivf_kmeans" -> q55,
     "q61_srp_twin" -> q61,
     "q183_ivf_lloyds_twin" -> q183,
@@ -1790,6 +1847,7 @@ object Similarity {
     "q36_embedding_neardup" -> q36Sql,
     "q37_ann_bruteforce" -> q37Sql,
     "q38_ann_lsh" -> q38Sql,
+    "q185_srp_bands_twin" -> q185Sql,
     "q77_centroid_cosine" -> q77Sql,
     "q39_knn_batch" -> q39Sql,
     "q61_srp_twin" -> q61Sql,

@@ -294,6 +294,22 @@ class SimilaritySpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q185: pinned geometry coincides with adaptive q49 at the verify corpus") {
+    // q185 pins (bands=11, rowsPerBand=9) — the geometry srpParams picks
+    // for the 500-vector fixture — so on this corpus the twin must equal
+    // the adaptive query ROW FOR ROW. If the fixture size ever drifts out
+    // of srpParams' (11, 9) regime this guard fails loudly instead of the
+    // twin silently weakening.
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(Similarity.srpParams(n) == (11, 9),
+      s"verify-corpus geometry drifted: srpParams($n) != (11, 9)")
+    val twin = Similarity.q185(spark, sfDir).collect()
+    val adaptive = Similarity.q49(spark, sfDir).collect()
+    assert(twin.length == adaptive.length)
+    assert(twin.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      adaptive.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("SRP twin: identical vectors always candidates; verified sims exact") {
     // identical vectors quantize to identical integer signatures in every
     // band, so they MUST surface as candidates; an orthogonal one-hot pair

@@ -138,6 +138,10 @@ object ScaleRehearsal {
     // geometry is FIXED so DuckDB can replay it — at 50× its 256
     // buckets/band would go quadratic exactly like any fixed-geometry LSH;
     // the adaptive-geometry q49 is the scale form of that mechanism.
+    // q185 (pinned-geometry q49 twin) is absent for the same reason as
+    // q61: its (11, 9) geometry is frozen at the verify-corpus value so
+    // the oracle can embed the plane literals — a proof artifact, not a
+    // scale form; q49 re-derives the geometry from n and is what scales.
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Optional comma-separated subset (same env contract as Bench) for

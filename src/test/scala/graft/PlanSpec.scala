@@ -148,6 +148,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q185: banded twin runs ONE fused signature pass, equi-joins only") {
+    val p = plan(graft.operators.Similarity.q185(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // signatures come from the fused codegen expression (not a HOF chain);
+    // the band join sees (band, sig, rep) only — vectors re-attach post-join
+    assert(p.contains("srp_signature"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must compile to TakeOrderedAndProject, not a global sort\n" + p)
+  }
+
   test("q73: as-of join is one key shuffle + window — no join operator at all") {
     val p = plan(graft.ops.TemporalJoins.q73(spark, sfDir))
     assert(p.contains("Window"), p)

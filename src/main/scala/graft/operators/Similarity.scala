@@ -957,7 +957,11 @@ object Similarity {
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
       val byCid = sums.groupBy(_.getInt(0))
-      cents = (0 until TwinLloydK).map { c =>
+      // iterate the SEEDS that exist, not 0 until K: a 1..15-vector corpus
+      // collects fewer than K seed centroids, and indexing cents(c) past
+      // them would throw where the oracle's `LIMIT 16` init degrades to n
+      // centroids gracefully
+      cents = cents.indices.map { c =>
         byCid.get(c) match {
           case Some(rows) => rows.sortBy(_.getInt(1)).map { r =>
               val sm = r.getLong(2); val n = r.getLong(3)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.OperatorCaches.TrackedDataset
 import graft.Tables._
 
 /** Corpus-curation operators (round 7): the Gopher-style hard-rule quality
@@ -328,12 +329,16 @@ object Curation {
     // bucket = top 12 bits → rank over the remaining 48
     val fp = expr(
       "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+    // persisted: perSrc, srcs, and BOTH pairRegs legs consume this — the
+    // one corpus scan must run once, not once per consumer (the
+    // winnowingShaPairs exchange-reuse failure mode)
     val regs = documents(s, dir)
       .select(col("source"), fp.as("fp"))
       .select(col("source"), Rhll.bucket(col("fp"), 48).as("bucket"),
         Rhll.rank(col("fp"), 48).as("r0"))
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("r0")).as("r"))
+      .trackedPersist()
     val perSrc = Rhll.estimate(regs, Seq("source"), 48, "est")
     // sources number in the dozens: the pair frame broadcasts; pair
     // registers are |pairs| × ≤4096 rows, never corpus-sized

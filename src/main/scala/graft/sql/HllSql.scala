@@ -14,7 +14,7 @@ package graft.sql
   * 7213·m/(10·(1000·m+1079)).
   */
 object HllSql {
-  val M = 4096L // 2^12 registers — keep in lockstep with Rhll.P
+  val M: Long = graft.ops.Rhll.M // 2^P registers — single source of truth
 
   /** Register CTEs: `src` must select the group columns + an unsigned
     * 64-bit (or narrower, width = `bits`+12) hash `u`. Emits `<name>_h`

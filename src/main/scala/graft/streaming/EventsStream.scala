@@ -40,8 +40,14 @@ object EventsStream {
     * rehearsal caught q155 streaming 0 rows on the replicated fixture
     * while every sf0.01 check stayed green on the single-file layout. */
   def readEventsTable(spark: SparkSession, tablePath: String): DataFrame = {
-    val f = new java.io.File(tablePath)
-    if (f.isFile) readEvents(spark, f.getParent, Some(f.getName))
+    // Layout probe through the Hadoop filesystem of the path's scheme —
+    // java.io.File.isFile is always false for hdfs:///s3:// URIs, which
+    // would silently send a single-object table down the directory branch
+    // on exactly the filesystems a 1000-executor deployment reads.
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val isFile = scala.util.Try(fs.getFileStatus(p).isFile).getOrElse(false)
+    if (isFile) readEvents(spark, p.getParent.toString, Some(p.getName))
     else readEvents(spark, tablePath)
   }
 

@@ -354,7 +354,7 @@ class QueriesSpec extends SparkTestBase {
     val out = graft.ops.TextQueries.q130(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
       .collect().map(r => r.getLong(0) ->
-        "\\S+".r.findAllIn(r.getString(1)).toVector)
+        "[^\\t\\n\\f\\r ]+".r.findAllIn(r.getString(1)).toVector)
     val expect = docs.filter(_._2.nonEmpty).flatMap { case (id, toks) =>
       val n = toks.length
       (0 until (n + 47) / 48).map { k =>
@@ -438,10 +438,10 @@ class QueriesSpec extends SparkTestBase {
       .collect().map { r =>
         val t = r.getString(2)
         def cnt(re: String) = re.r.findAllIn(t).length.toLong
-        val logit = 20000L + 15L * cnt("\\S+") +
+        val logit = 20000L + 15L * cnt("[^\\t\\n\\f\\r ]+") +
           400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
           120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
-        (r.getLong(0), r.getString(1), cnt("\\S+"), logit)
+        (r.getLong(0), r.getString(1), cnt("[^\\t\\n\\f\\r ]+"), logit)
       }
     docs.groupBy(_._2).foreach { case (src, ds) =>
       val total = ds.map(_._3).sum
@@ -463,7 +463,7 @@ class QueriesSpec extends SparkTestBase {
     val out = graft.operators.Pack.q137(spark, sfDir).collect()
     val toks = Tables.documents(spark, sfDir).selectExpr("source", "text")
       .collect().map(r => r.getString(0) ->
-        "\\S+".r.findAllIn(r.getString(1)).length.toLong)
+        "[^\\t\\n\\f\\r ]+".r.findAllIn(r.getString(1)).length.toLong)
     val per = toks.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
       .filter(_._2 > 0)
     val total = per.values.sum
@@ -486,7 +486,7 @@ class QueriesSpec extends SparkTestBase {
     val out = graft.ops.TextQueries.q138(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1),
-        "\\S+".r.findAllIn(r.getString(2)).toVector))
+        "[^\\t\\n\\f\\r ]+".r.findAllIn(r.getString(2)).toVector))
     def pred(ct: String): String = {
       def c(re: String) = re.r.findAllIn(ct).length
       val (en, de, es, fr, zh) = (c("\\b(the|a|is|of)\\b"), c("\\b(der|die|und|ist)\\b"),
@@ -524,7 +524,7 @@ class QueriesSpec extends SparkTestBase {
       .selectExpr("doc_id", "text", "n_chars").collect().map { r =>
         val t = r.getString(1)
         def cnt(re: String) = re.r.findAllIn(t).length.toLong
-        val logit = 20000L + 15L * cnt("\\S+") +
+        val logit = 20000L + 15L * cnt("[^\\t\\n\\f\\r ]+") +
           400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
           120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
         r.getLong(0) -> (logit, r.getLong(2))
@@ -578,7 +578,7 @@ class QueriesSpec extends SparkTestBase {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val chunks = Tables.documents(spark, sfDir).selectExpr("source", "text")
       .collect().flatMap { r =>
-        val toks = "\\S+".r.findAllIn(r.getString(1)).toVector
+        val toks = "[^\\t\\n\\f\\r ]+".r.findAllIn(r.getString(1)).toVector
         if (toks.isEmpty) Nil
         else {
           val bpos = toks.indices.filter(i => "01".contains(hex("SHA-256", toks(i)).head))
@@ -651,7 +651,7 @@ class QueriesSpec extends SparkTestBase {
     val expect = Tables.documents(spark, sfDir).selectExpr("text").collect()
       .map(_.getString(0)).distinct.map { t =>
         def cnt(re: String) = re.r.findAllIn(t).length.toLong
-        val logit = 20000L + 15L * cnt("\\S+") +
+        val logit = 20000L + 15L * cnt("[^\\t\\n\\f\\r ]+") +
           400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
           120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
         sha(t) -> (if (logit >= 21200L) "accept" else "quarantine")
@@ -673,14 +673,14 @@ class QueriesSpec extends SparkTestBase {
       .selectExpr("doc_id", "source", "text").collect().map { r =>
         val t = r.getString(2)
         def cnt(re: String) = re.r.findAllIn(t).length.toLong
-        val logit = 20000L + 15L * cnt("\\S+") +
+        val logit = 20000L + 15L * cnt("[^\\t\\n\\f\\r ]+") +
           400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
           120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
         val label = if (logit >= 23000L) "hi" else if (logit >= 21200L) "mid" else "lo"
         val u = md5hex(r.getLong(0).toString).head
         val kept = label == "hi" || (label == "mid" && u < '8') ||
           (label == "lo" && u < '1')
-        ((r.getString(1), label), (cnt("\\S+"), kept))
+        ((r.getString(1), label), (cnt("[^\\t\\n\\f\\r ]+"), kept))
       }
     val expect = docs.groupBy(_._1).map { case (k, xs) =>
       k -> (xs.length.toLong, xs.count(_._2._2).toLong,
@@ -702,7 +702,7 @@ class QueriesSpec extends SparkTestBase {
     val out = graft.operators.Dedup.q144(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
       .collect().map { r =>
-        val toks = "\\S+".r.findAllIn(r.getString(1)).toVector
+        val toks = "[^\\t\\n\\f\\r ]+".r.findAllIn(r.getString(1)).toVector
         val grams =
           if (toks.length < 8) Set(toks.mkString(" "))
           else toks.sliding(8).map(_.mkString(" ")).toSet
@@ -728,7 +728,7 @@ class QueriesSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        "\\S+".r.findAllIn(r.getString(2)).length.toLong))
+        "[^\\t\\n\\f\\r ]+".r.findAllIn(r.getString(2)).length.toLong))
     val keep = docs.groupBy(_._3).values.map(_.map(_._1).min).toSet
     val base = docs.groupBy(_._2).map { case (s, xs) =>
       s -> (xs.length.toLong, xs.map(_._4).sum) }
@@ -774,7 +774,7 @@ class QueriesSpec extends SparkTestBase {
       .collect().map { r =>
         val t = r.getString(1)
         def cnt(re: String) = re.r.findAllIn(t).length.toLong
-        val logit = 20000L + 15L * cnt("\\S+") +
+        val logit = 20000L + 15L * cnt("[^\\t\\n\\f\\r ]+") +
           400L * cnt("\\b(the|a|of|and|to|in)\\b") - 250L * cnt("[.,!?;:]") -
           120L * cnt("[0-9]") - 600L * cnt("\\b[A-Z]{2,}\\b")
         val label = if (logit >= 40000L) "hi" else if (logit >= 20000L) "mid" else "lo"

@@ -294,6 +294,21 @@ class SimilaritySpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("twin Lloyd's degrades to n centroids on a sub-K corpus (no crash)") {
+    // fewer vectors than TwinLloydK=16: the seed collect yields n
+    // centroids and the update loop must iterate those, not 0 until K —
+    // mirroring the oracle's `LIMIT 16` init, which also degrades to n
+    val tiny = Seq.tabulate(5)(i =>
+        (i.toLong, Array.tabulate(64)(d => (i * 64 + d).toLong)))
+      .toDF("vec_id", "qv")
+    val cents = Similarity.twinLloydCentroids(tiny)
+    assert(cents.length == 5)
+    assert(cents.forall(_.length == 64))
+    // singleton clusters: two Lloyd iterations leave each centroid at its
+    // own (only) member — the integer-mean update of one vector is itself
+    assert(cents(0) == Seq.tabulate(64)(_.toLong))
+  }
+
   test("q185: pinned geometry coincides with adaptive q49 at the verify corpus") {
     // q185 pins (bands=11, rowsPerBand=9) — the geometry srpParams picks
     // for the 500-vector fixture — so on this corpus the twin must equal

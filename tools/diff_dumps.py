@@ -15,8 +15,10 @@ import os
 import sys
 
 a_root, b_root = sys.argv[1], sys.argv[2]
-names = sorted(d for d in os.listdir(a_root)
-               if os.path.isdir(os.path.join(a_root, d)))
+# union of BOTH roots: a query present in only one dump is a diff, not a
+# silently-skipped name (a partial dump must never report bit-identical)
+names = sorted({d for root in (a_root, b_root) for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d))})
 con = duckdb.connect()
 bad = []
 for n in names:

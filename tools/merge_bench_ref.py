@@ -16,9 +16,13 @@ assert runs, "need at least one BENCH_FULL dump"
 names = sorted({k for r in runs for k in r["queries"]})
 wall = {k: max(r["queries"][k] for r in runs if k in r["queries"])
         for k in names}
+# a query can record a wall time but no metrics entry (errored mid-query,
+# or an older-format dump without "metrics") — skip it rather than crash
+# on max() of an empty sequence
 task = {k: max(r["metrics"][k]["task_sec"] for r in runs
                if k in r.get("metrics", {}))
-        for k in names}
+        for k in names
+        if any(k in r.get("metrics", {}) for r in runs)}
 note = (f"max-merge of {len(runs)} full warmed runs "
         f"({len(names)} queries); regenerate via tools/merge_bench_ref.py "
         "after any bench/query change")

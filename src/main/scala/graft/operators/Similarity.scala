@@ -476,24 +476,39 @@ object Similarity {
       else vecs.sample(withReplacement = false, sampleFraction, seed).cache()
     // A Bernoulli sample of a small corpus can come back empty — fall back
     // to the full corpus rather than silently returning no neighbors.
-    val sampleEmpty = sampled.isEmpty
-    val fitOn = if (sampleEmpty) vecs else sampled
+    // The probe counts AT MOST `lists` rows (limit pushes down): the same
+    // bounded action answers both "is it empty" and "is it smaller than
+    // k" — MLlib KMeans itself throws AIOOBE when k exceeds the corpus
+    // (block-mode aggregator), so k must clamp to what the corpus holds.
+    val sampleN = sampled.limit(lists).count()
+    val fitOn = if (sampleN == 0) vecs else sampled
+    val fitN = if (sampleN == 0) vecs.limit(lists).count() else sampleN
     // F6-style empty gate: KMeans cannot fit on zero vectors; an empty
     // corpus has no neighbors to return. (Only reachable when the sample
     // was empty, so at most one extra action runs on the corpus.)
-    if (sampleEmpty && fitOn.isEmpty)
+    if (fitN == 0)
       return queries.limit(0).select(col("qid"), col("qid").as("nn_id"),
         lit(0.0).as("cos_sim"), lit(0L).as("rn"))
-    val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
-      .fit(fitOn.select("features"))
+    // MLlib's KMeans requires k >= 2; a single-vector corpus has the
+    // trivial solution — one list centered on that vector — so build it
+    // directly (one bounded head() on the 1-row fit set).
+    val (assigned, cent) = if (fitN == 1) {
+      val c0 = fitOn.select(col("v")).head.getSeq[Double](0).toArray
+      (vecs.select(col("vec_id"), col("v"), lit(0).as("list_id")),
+        Seq((0, c0)))
+    } else {
+      val model = new KMeans().setK(math.min(lists.toLong, fitN).toInt)
+        .setSeed(seed).setMaxIter(10)
+        .fit(fitOn.select("features"))
+      (model.transform(vecs)
+          .select(col("vec_id"), col("v"), col("prediction").as("list_id")),
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray)
+        }.toSeq)
+    }
     // release the pinned sample — repeated calls would otherwise leak one
     // cached RDD per invocation for the session lifetime
     if (sampleFraction < 1.0) sampled.unpersist()
-    val assigned = model.transform(vecs)
-      .select(col("vec_id"), col("v"), col("prediction").as("list_id"))
-    val cent = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
     val centDf = e.sparkSession.createDataFrame(cent)
       .toDF("c_list", "centroid")
     val wq = Window.partitionBy(col("qid")).orderBy(desc("c_sim"), col("c_list"))
@@ -1416,11 +1431,19 @@ object Similarity {
       val vecs = emb(s, dir).select(col("vec_id"), col("v"),
         array_to_vector(col("v")).as("features"))
       // F6 empty gate: KMeans cannot fit on zero vectors — publish an
-      // empty artifact with the right schema instead
-      if (vecs.isEmpty)
+      // empty artifact with the right schema instead. The bounded probe
+      // (≤ lists rows) also clamps k on a sub-k corpus, where MLlib's
+      // block-mode aggregator throws AIOOBE outright (and requires
+      // k >= 2, so a single-vector corpus takes the trivial one-list
+      // assignment directly).
+      val n = vecs.limit(lists).count()
+      if (n == 0)
         vecs.select(col("vec_id"), col("v"), lit(0).as("list_id")).limit(0)
+      else if (n == 1)
+        vecs.select(col("vec_id"), col("v"), lit(0).as("list_id"))
       else {
-        val model = new KMeans().setK(lists).setSeed(seed).setMaxIter(10)
+        val model = new KMeans().setK(math.min(lists.toLong, n).toInt)
+          .setSeed(seed).setMaxIter(10)
           .fit(vecs.select("features"))
         model.transform(vecs)
           .select(col("vec_id"), col("v"), col("prediction").as("list_id"))

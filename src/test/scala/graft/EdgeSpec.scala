@@ -29,6 +29,88 @@ class EdgeSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // The next cold-bootstrap shape after empty: ONE row per table. This is
+  // where k-greater-than-n training edges live (the twin Lloyd's sub-K
+  // crash was exactly this class) — learned-state operators must degrade
+  // to fewer centroids/probes, not index past what the corpus provides.
+  private lazy val oneRowDir: String = {
+    val dir = Files.createTempDirectory("sf_one").toString
+    graft.sql.Views.tableNames.foreach { t =>
+      val src =
+        if (t == "events") Tables.events(spark, sfDir)
+        else Tables.table(spark, sfDir, t)
+      src.limit(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("all queries execute on 1-row fixtures without throwing") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, oneRowDir).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(150)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // The realistic 100 TB hazard: heavily DUPLICATED data. Every pairwise
+  // operator (shingle joins, band buckets, CC) faces k² blowup on a clone
+  // group unless it contracts identical payloads first — the repo-wide
+  // collapse discipline (Dedup.textGroups, SRP clone-collapse). 40 unique
+  // docs/vectors × 25 clones each; non-doc tables copied verbatim.
+  private lazy val cloneDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("sf_clone").toString
+    val mult = spark.range(25).select(col("id").as("_c"))
+    graft.sql.Views.tableNames.foreach { t =>
+      val src =
+        if (t == "events") Tables.events(spark, sfDir)
+        else Tables.table(spark, sfDir, t)
+      val out = t match {
+        case "documents" =>
+          src.orderBy(col("doc_id")).limit(40).crossJoin(mult)
+            .withColumn("doc_id", col("doc_id") * 1000L + col("_c"))
+            .drop("_c")
+        case "embeddings" =>
+          src.orderBy(col("vec_id")).limit(40).crossJoin(mult)
+            .withColumn("vec_id", col("vec_id") * 1000L + col("_c"))
+            .drop("_c")
+        case _ => src
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("clone-heavy fixture: pairwise/banding/clustering queries complete") {
+    // the pairwise-hazard families: exact/shingle/banded dedup, graph CC,
+    // embedding near-dup — each must survive 25-way cloning of every doc
+    val subset = Seq(
+      "q32_dedup_exact", "q33_dedup_jaccard", "q34_dedup_minhash",
+      "q35_simhash", "q36_embedding_neardup", "q42_winnowing",
+      "q49_neardup_lsh", "q54_trigram_jaccard", "q59_norm_dedup",
+      "q67_neardup_clusters", "q69_chunk_dedup", "q124_segment_dedup",
+      "q129_semdedup", "q147_doc_ledger", "q176_crossmodal_dedup")
+    val failures = subset.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, cloneDir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(150)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("clone-heavy fixture: textGroups contracts to one rep per unique text") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, cloneDir, "documents")
+    val groups = graft.operators.Dedup.textGroups(docs, "text", "doc_id")
+    val rows = groups.select(col("rep"), col("members")).collect()
+    assert(rows.length == 40, s"expected 40 unique-text groups, got ${rows.length}")
+    rows.foreach { r =>
+      val members = r.getSeq[Long](1)
+      assert(members.length == 25, s"group of ${members.length}, expected 25 clones")
+      assert(r.getLong(0) == members.min, "rep must be the min-id member")
+    }
+  }
+
   test("paging on an empty filtered set returns an empty page, no cursor") {
     val p = graft.ops.Paging.page(
       Tables.orders(spark, emptyDir), "o_orderdate", "o_orderkey", None, 10)

@@ -980,7 +980,11 @@ object Similarity {
         byCid.get(c) match {
           case Some(rows) => rows.sortBy(_.getInt(1)).map { r =>
               val sm = r.getLong(2); val n = r.getLong(3)
-              (sm + 1000L * n) / n - 1000L
+              // floorDiv, not /: DuckDB's // floors, Scala's / truncates —
+              // they agree only when the shifted numerator is non-negative
+              // (coordinates >= -1.0 quantized). floorDiv enforces the
+              // parity structurally for any corpus instead of assuming it.
+              Math.floorDiv(sm + 1000L * n, n) - 1000L
             }.toIndexedSeq
           case None => cents(c)
         }
@@ -1107,23 +1111,32 @@ object Similarity {
   private val PqTwinSub = Dim / PqTwinM // 16
   private val PqTwinPool = 20
 
-  def q184(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.select(col("vec_id"),
+  /** floor(v·1000) quantization — the twins' exact-integer domain. */
+  private def pqQuantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
-    val books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
-      (0 until PqTwinM).map { sub =>
-        twinLloydCentroids(q.select(col("vec_id"),
-          slice(col("qv"), sub * PqTwinSub + 1, PqTwinSub).as("qv")))
-      }.toIndexedSeq
-    if (books.exists(_.isEmpty)) // empty corpus → nothing to train on
-      return e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
-        lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
-    // all 4 subspace codes in ONE fused codegen pass over the vector
-    val codes = q.select(col("vec_id").as("nn_id"),
+
+  /** Per-subspace fixed-point codebooks over the quantized corpus. */
+  private def pqTwinBooks(q: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+    (0 until PqTwinM).map { sub =>
+      twinLloydCentroids(q.select(col("vec_id"),
+        slice(col("qv"), sub * PqTwinSub + 1, PqTwinSub).as("qv")))
+    }.toIndexedSeq
+
+  /** All PqTwinM subspace codes in ONE fused codegen pass over the vector. */
+  private def pqTwinCodes(q: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+    q.select(col("vec_id").as("nn_id"),
       posexplode(org.apache.spark.sql.graft.IntCodesExpr.column(
         col("qv"), books)).as(Seq("sub", "cid")))
-    // ADC LUTs from the 5 collected query rows — bounded by contract
+
+  /** ADC candidate pool (qid, nn_id): the query LUT (5 bounded query rows
+    * × m × k exact integer distances, computed driver-side) joins the code
+    * stream and sums — every score an exact BIGINT, so the pool is
+    * engine-independent. Shared by the training twin (q184), the recall
+    * twin (q186) and the persisted-index twin (q187). */
+  private def pqTwinPoolOf(s: SparkSession, q: DataFrame, codes: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
     val qRows = q.filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
     import s.implicits._
@@ -1140,8 +1153,12 @@ object Similarity {
     val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy(col("qid"), col("nn_id")).agg(sum(col("d")).as("adc"))
       .filter(col("nn_id") =!= col("qid"))
-    val pool = org.apache.spark.sql.graft.TopKPerKey.of(adc, Seq("qid"),
+    org.apache.spark.sql.graft.TopKPerKey.of(adc, Seq("qid"),
       Seq("adc" -> true, "nn_id" -> true), PqTwinPool)
+  }
+
+  /** Exact-cosine re-rank of a bounded pool to top-3 (round-4). */
+  private def pqTwinRerank(e: DataFrame, pool: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
     pool
       .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
@@ -1154,7 +1171,23 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  val q184Sql: String = {
+  private def pqTwinEmpty(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
+      lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
+
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = pqQuantized(e)
+    val books = pqTwinBooks(q)
+    if (books.exists(_.isEmpty)) // empty corpus → nothing to train on
+      return pqTwinEmpty(e)
+    pqTwinRerank(e, pqTwinPoolOf(s, q, pqTwinCodes(q, books), books))
+  }
+
+  /** Shared DuckDB prefix for the PQ twins (q184/q186/q187): quantize →
+    * per-subspace fixed-point Lloyd's → encode → ADC scan → bounded pool.
+    * Ends with `pool(qid, nn_id)`; `e(vec_id, qv)` stays visible. */
+  private val pqTwinPrefixSql: String = {
     val sub = PqTwinSub // 16 dims per subspace
     // integer squared-L2 between `sub`-dim BIGINT lists
     def sqdist(v: String, c: String): String =
@@ -1211,7 +1244,7 @@ object Similarity {
     val lutU = (0 until PqTwinM)
       .map(k => s"SELECT qid, $k AS sub, cid, d FROM s${k}lut")
       .mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
        |  FROM embeddings),
        |$subs,
@@ -1228,7 +1261,11 @@ object Similarity {
        |  SELECT qid, nn_id FROM (
        |    SELECT qid, nn_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS prn
-       |    FROM adc) WHERE prn <= $PqTwinPool),
+       |    FROM adc) WHERE prn <= $PqTwinPool)""".stripMargin
+  }
+
+  val q184Sql: String =
+    s"""WITH $pqTwinPrefixSql,
        |sims AS (
        |  SELECT p.qid, p.nn_id,
        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1242,6 +1279,132 @@ object Similarity {
        |  FROM sims)
        |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
+
+  // ── q186: the REPLAYABLE RECALL twin — recall@10 of the fixed-point
+  //         PQ/ADC candidate pool (q184's exact-integer machinery) against
+  //         exact integer brute force, BOTH legs DuckDB-replayable. This
+  //         converts the one rows-only MEASURE left in the ANN family
+  //         (q158's recall audit rides on seeded/learned internals) into a
+  //         hash-green proof: the number an index owner watches —
+  //         "how much of the true top-k does the compressed scan keep" —
+  //         is itself reproduced bit-for-bit by a second engine. The brute
+  //         leg is integer squared-L2 over the quantized vectors (exact in
+  //         both engines; ties to the lowest nn_id), the approximate leg
+  //         is q184's bounded ADC pool, and the report is pure integer
+  //         arithmetic (hits, recall ×10^4 by integer division).
+  //         Scale shape: the 5-query brute leg is one broadcast
+  //         nested-loop pass over the corpus (the q158 audit contract:
+  //         audits pay one extra scan, never a pairwise blow-up).
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = pqQuantized(e)
+    val books = pqTwinBooks(q)
+    if (books.exists(_.isEmpty))
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("qid", "n_exact", "hits_at_10", "recall_x1e4")
+    val pool = pqTwinPoolOf(s, q, pqTwinCodes(q, books), books)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val wx = Window.partitionBy(col("qid")).orderBy(col("d"), col("nn_id"))
+    val exact = q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d"))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("nn_id"))
+      .trackedPersist() // two consumers: hits + n_exact
+    val hits = exact
+      .join(pool.select(col("qid"), col("nn_id")), Seq("qid", "nn_id"),
+        "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits_at_10"))
+    val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    probes.select(col("qid"))
+      .join(nEx, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"))
+      .withColumn("recall_x1e4",
+        expr("hits_at_10 * 10000 DIV greatest(n_exact, 1)"))
+      .orderBy(col("qid"))
+  }
+
+  val q186Sql: String =
+    s"""WITH $pqTwinPrefixSql,
+       |qs AS (SELECT vec_id AS qid, qv FROM e WHERE vec_id < 5),
+       |bx AS (
+       |  SELECT q.qid, e.vec_id AS nn_id,
+       |    list_sum([(e.qv[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+       |      * (e.qv[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
+       |      for i in range(1, ${Dim + 1})]) AS d
+       |  FROM e, qs q WHERE e.vec_id != q.qid),
+       |ex AS (
+       |  SELECT qid, nn_id FROM (
+       |    SELECT qid, nn_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d, nn_id) AS rn
+       |    FROM bx) WHERE rn <= 10),
+       |nex AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+       |hits AS (
+       |  SELECT ex.qid, count(*) AS hits
+       |  FROM ex JOIN pool p ON p.qid = ex.qid AND p.nn_id = ex.nn_id
+       |  GROUP BY ex.qid)
+       |SELECT q.qid,
+       |  CAST(coalesce(nex.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits_at_10,
+       |  CAST(coalesce(h.hits, 0) * 10000
+       |    // greatest(coalesce(nex.n_exact, 0), 1) AS BIGINT) AS recall_x1e4
+       |FROM (SELECT DISTINCT qid FROM qs) q
+       |LEFT JOIN nex USING (qid)
+       |LEFT JOIN hits h USING (qid)
+       |ORDER BY qid""".stripMargin
+
+  // ── q187: the PERSISTED-index PQ twin — q128's production lifecycle
+  //         (index built ONCE as a parquet artifact; queries only SCAN)
+  //         with q184's oracle-exact fixed-point state as the artifact:
+  //         codebooks persist as (sub, cid, cv) rows, codes as
+  //         (nn_id, sub, cid) — the 100 TB-realistic compressed index
+  //         (PqTwinM small ints per vector instead of Dim floats). The
+  //         query path reads BOTH artifacts (no retraining, no model
+  //         object), rebuilds the 5-query LUT from the base table, and
+  //         runs the identical ADC scan + rerank — so the oracle is
+  //         q184Sql VERBATIM, and a green hash proves the persistence
+  //         cycle loses nothing: artifact re-read ≡ fresh training
+  //         (the q166 proof, compressed-index edition).
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val booksPath = graft.Fixtures.path("pqtwin_books", dir) {
+      val books = pqTwinBooks(pqQuantized(emb(s, dir)))
+      val rows = if (books.exists(_.isEmpty)) Seq.empty
+        else for {
+          sub <- books.indices
+          (cv, cid) <- books(sub).zipWithIndex
+        } yield (sub, cid, cv)
+      rows.toDF("sub", "cid", "cv")
+    }
+    // codebooks from the ARTIFACT (bounded: m × k rows), never retrained
+    def readBooks(): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+      val rows = s.read.parquet(booksPath).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+      if (rows.isEmpty) IndexedSeq.empty
+      else rows.groupBy(_._1).toIndexedSeq.sortBy(_._1).map { case (_, g) =>
+        g.sortBy(_._2).map(_._3).toIndexedSeq
+      }
+    }
+    val codesPath = graft.Fixtures.path("pqtwin_codes", dir) {
+      val bk = readBooks()
+      if (bk.isEmpty)
+        Seq.empty[(Long, Int, Int)].toDF("nn_id", "sub", "cid")
+      // encode against the PERSISTED books, so codes ≡ artifact state
+      else pqTwinCodes(pqQuantized(emb(s, dir)), bk)
+    }
+    val e = emb(s, dir)
+    val books = readBooks()
+    if (books.isEmpty) return pqTwinEmpty(e)
+    val codes = s.read.parquet(codesPath)
+    pqTwinRerank(e, pqTwinPoolOf(s, pqQuantized(e), codes, books))
   }
 
   // q55: learned-list IVF ANN (rows-only: k-means centroids aren't
@@ -1862,6 +2025,8 @@ object Similarity {
     "q61_srp_twin" -> q61,
     "q183_ivf_lloyds_twin" -> q183,
     "q184_pq_adc_twin" -> q184,
+    "q186_pq_recall_twin" -> q186,
+    "q187_pq_persisted_twin" -> q187,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -1879,5 +2044,9 @@ object Similarity {
     "q39_knn_batch" -> q39Sql,
     "q61_srp_twin" -> q61Sql,
     "q183_ivf_lloyds_twin" -> q183Sql,
-    "q184_pq_adc_twin" -> q184Sql)
+    "q184_pq_adc_twin" -> q184Sql,
+    "q186_pq_recall_twin" -> q186Sql,
+    // artifact re-read ≡ fresh training: the oracle replays the training
+    // chain from the base table, the query path only scans the artifacts
+    "q187_pq_persisted_twin" -> q184Sql)
 }

@@ -197,8 +197,12 @@ object Curation {
   def q152(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-    val hashed = ev.select(col("event_type"), col("day"),
-      xxhash64(col("user_id")).as("h"))
+    // NULL user_id must not sketch: Spark xxhash64(NULL) hashes to the
+    // seed (a phantom distinct) while the oracle's equi-join on the
+    // hashed-key relation drops NULL rows — filter matches the join.
+    val hashed = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("day"),
+        xxhash64(col("user_id")).as("h"))
     val daily = hashed
       .select(col("event_type"), col("day"),
         Rhll.bucket(col("h")).as("bucket"), Rhll.rank(col("h")).as("r0"))
@@ -223,6 +227,7 @@ object Curation {
       "SELECT e.event_type, xl5.ux AS u FROM events e JOIN xl5 ON e.user_id = xl5.k",
       Seq("event_type"), 52, "est_users")
     s"""WITH $hash,
+       |${graft.sql.HllSql.lcCte},
        |$sketch,
        |meta AS (
        |  SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
@@ -263,6 +268,7 @@ object Curation {
     }
     val maxDay = maxRow.getDate(0)
     def regs(rows: DataFrame): DataFrame = rows
+      .filter(col("user_id").isNotNull) // q152's NULL-vs-seed parity guard
       .select(col("event_type"), col("day"),
         xxhash64(col("user_id")).as("h"))
       .select(col("event_type"), col("day"),
@@ -298,6 +304,7 @@ object Curation {
       "SELECT event_type, u FROM ue",
       Seq("event_type"), 52, "est_after")
     s"""WITH $hash,
+       |${graft.sql.HllSql.lcCte},
        |mx AS (SELECT max(CAST(ts AS DATE)) AS maxday FROM events),
        |ue AS (
        |  SELECT e.event_type, CAST(e.ts AS DATE) AS day, xl5.ux AS u
@@ -373,7 +380,8 @@ object Curation {
       Seq("source"), 48, "est")
     val pairEst = graft.sql.HllSql.estimateCtes("pe", "pregs",
       Seq("src_a", "src_b"), 48, "est_union")
-    s"""WITH $perSrc,
+    s"""WITH ${graft.sql.HllSql.lcCte},
+       |$perSrc,
        |srcs AS (SELECT DISTINCT source FROM documents),
        |pairs AS (
        |  SELECT a.source AS src_a, b.source AS src_b

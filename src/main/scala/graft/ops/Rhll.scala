@@ -31,13 +31,31 @@ import org.apache.spark.sql.functions._
   *     7213·m / (10·(1000·m+1079)); register terms scaled by 2^maxRank and
   *     summed as DECIMAL(38,0) — up to m·2^maxRank ≈ 2^65 overflows BIGINT);
   *     below 2.5·m with empty registers it falls back to linear counting
-  *     m·ln(m/V), the one floating step, emitted under the repo's
-  *     round(x·10000)/10000 fixed-point output discipline.
+  *     m·ln(m/V), served from the PRECOMPUTED [[lcX1e4]] table (round-4
+  *     fixed-point, same literals in both engines) so no engine-local
+  *     ln() ever runs on the estimate path.
   */
 object Rhll {
   /** Register-index bits: m = 2^P registers (±1.04/√m ≈ 1.6% std error). */
   val P = 12
   val M: Long = 1L << P
+
+  /** Linear-counting estimates PRECOMPUTED: round4(m·ln(m/V))·10^4 as exact
+    * integers for V in 1..m−1 (V = empty registers; V ≥ 1 whenever the
+    * branch fires, V ≤ m−1 because a present group owns ≥ 1 register).
+    * ln() was the one floating-point step shared with the DuckDB oracle —
+    * JVM Math.log and libm log are not guaranteed identically rounded, so
+    * a 1-ulp difference could flip the round-4 output on a knife-edge
+    * value. Computing the table ONCE here and embedding the SAME literals
+    * in both plans (typedlit below; HllSql.lcCte on the oracle side)
+    * eliminates the divergence structurally: both engines only ever
+    * divide the same exact integer by 10^4. */
+  val lcX1e4: IndexedSeq[Int] = (1 until M.toInt).map { v =>
+    java.math.BigDecimal.valueOf(M.toDouble * math.log(M.toDouble / v))
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .movePointRight(4).intValueExact()
+  }
+  private val lcTable: Seq[Double] = lcX1e4.map(_ / 10000.0)
 
   /** Register index: top P bits of the 64-bit hash. For a value narrower
     * than 64 bits (e.g. the 60-bit md5 prefix), pass its suffix width as
@@ -79,8 +97,9 @@ object Rhll {
         expr(s"CAST('$num' AS DECIMAL(38,0)) div (CAST($denom1 AS DECIMAL(38,0)) * _s)"))
       .withColumn(out,
         when(col("_eraw") <= lit(5L * M / 2L) && col("_v") > 0L,
-          round(lit(M.toDouble) * log(lit(M.toDouble) / col("_v").cast("double"))
-            * 10000) / 10000.0)
+          // precomputed lcX1e4 lookup (1-based: element_at(arr, V)) —
+          // no engine-local ln(); guard bounds V to 1..m−1
+          element_at(typedlit(lcTable), col("_v").cast("int")))
           .otherwise(col("_eraw").cast("double")))
       .drop("_sp", "_nb", "_v", "_s", "_eraw")
   }

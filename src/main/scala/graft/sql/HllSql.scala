@@ -16,6 +16,18 @@ package graft.sql
 object HllSql {
   val M: Long = graft.ops.Rhll.M // 2^P registers — single source of truth
 
+  /** Shared linear-counting lookup CTE — emit ONCE per query (before any
+    * estimate/sketch CTEs reference it): the exact ×10^4 integer table
+    * `Rhll.lcX1e4` that the Spark plan embeds via typedlit, so both
+    * engines read the SAME literal for m·ln(m/V) and no engine-local ln()
+    * can diverge by a ulp. generate_subscripts is 1-based ⇒ v ranges
+    * 1..m−1 in lock-step with unnest. */
+  val lcCte: String =
+    s"""hll_lc AS (
+       |  SELECT generate_subscripts(l, 1) AS v, unnest(l) / 10000.0 AS lcv
+       |  FROM (SELECT [${graft.ops.Rhll.lcX1e4.mkString(",")}] AS l))"""
+      .stripMargin
+
   /** Register CTEs: `src` must select the group columns + an unsigned
     * 64-bit (or narrower, width = `bits`+12) hash `u`. Emits `<name>_h`
     * and `<name>(group…, bucket, r)`. */
@@ -54,10 +66,11 @@ object HllSql {
        |  FROM ${prefix}_e2),
        |$prefix AS (
        |  SELECT $g,
-       |    CASE WHEN eraw <= ${5L * M / 2L} AND v > 0
-       |      THEN round($M.0 * ln($M.0 / v) * 10000) / 10000.0
+       |    CASE WHEN eraw <= ${5L * M / 2L} AND e3.v > 0
+       |      THEN lc.lcv
        |      ELSE CAST(eraw AS DOUBLE) END AS $out
-       |  FROM ${prefix}_e3)""".stripMargin
+       |  FROM ${prefix}_e3 e3 LEFT JOIN hll_lc lc ON lc.v = e3.v)"""
+      .stripMargin
   }
 
   /** regs + estimate in one go (single-level groupings). */

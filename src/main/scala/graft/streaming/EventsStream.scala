@@ -542,6 +542,9 @@ object EventsStream {
     s.catalog.dropTempView(qn)
     val h = xxhash64(col("user_id"))
     val agg = readEventsTable(s, s"$dir/events.parquet")
+      // NULL user_id: xxhash64(NULL)=seed would sketch a phantom distinct
+      // the oracle's hash-key equi-join never sees (q152's parity guard)
+      .filter(col("user_id").isNotNull)
       .select(col("ts"), col("event_type"),
         graft.ops.Rhll.bucket(h).as("bucket"),
         graft.ops.Rhll.rank(h).as("r0"))
@@ -567,6 +570,7 @@ object EventsStream {
         "FROM events e JOIN xl5 ON e.user_id = xl5.k",
       Seq("day", "event_type"), 52, "est_users")
     s"""WITH $hash,
+       |${graft.sql.HllSql.lcCte},
        |$sketch
        |SELECT day, event_type, est_users FROM dh
        |ORDER BY day, event_type""".stripMargin

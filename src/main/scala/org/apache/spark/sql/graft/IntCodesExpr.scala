@@ -21,13 +21,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
   * assignment now stays inside WholeStageCodegen). Elements past the end
   * of a short vector are treated as 0.
   */
-case class IntCodesExpr(child: Expression, booksFlat: Array[Long],
+case class IntCodesExpr(child: Expression, booksFlat: IndexedSeq[Long],
     m: Int, k: Int, sub: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "int_codes"
+
+  // IndexedSeq in the case-class field keeps equals/hashCode VALUE-based
+  // (an Array field compares by reference, defeating canonicalization and
+  // common-subexpression elimination); eval/codegen still run over a flat
+  // long[] — materialized once here, not per row.
+  @transient private lazy val booksArr: Array[Long] = booksFlat.toArray
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -45,7 +51,7 @@ case class IntCodesExpr(child: Expression, booksFlat: Array[Long],
         while (i < sub) {
           val idx = mi * sub + i
           val x = if (idx < lim) v.getLong(idx) else 0L
-          val t = x - booksFlat(off + i)
+          val t = x - booksArr(off + i)
           d += t * t
           i += 1
         }
@@ -60,7 +66,7 @@ case class IntCodesExpr(child: Expression, booksFlat: Array[Long],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val books = ctx.addReferenceObj("intBooks", booksFlat, "long[]")
+      val books = ctx.addReferenceObj("intBooks", booksArr, "long[]")
       val codes = ctx.freshName("codes")
       val lim = ctx.freshName("lim")
       val mi = ctx.freshName("mi")
@@ -107,7 +113,7 @@ object IntCodesExpr {
     val k = codebooks(0).length
     val sub = codebooks(0)(0).length
     ExpressionUtils.column(IntCodesExpr(ExpressionUtils.expression(v),
-      codebooks.flatten.flatten.toArray, m, k, sub))
+      codebooks.flatten.flatten, m, k, sub))
   }
 
   /** Single-codebook argmin cid (the IVF assignment form). */

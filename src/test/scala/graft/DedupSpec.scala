@@ -385,4 +385,19 @@ class DedupSpec extends SparkTestBase {
     }.sortBy(_._1)
     assert(out.toSeq == expect)
   }
+
+  test("q106: persisted history signature index ≡ inline-derived screen") {
+    // the production contract behind the artifact: indexing history once
+    // (parquet groups) must change NOTHING vs re-signing it per batch —
+    // any fidelity loss (sig array drift, member drop) breaks row equality
+    val d = Tables.documents(spark, sfDir)
+    val inline = Dedup.incrementalNearDup(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("new_id"), col("hist_id")).collect().map(_.toSeq)
+    val viaArtifact = Dedup.q106(spark, sfDir).collect().map(_.toSeq)
+    assert(viaArtifact.toSeq == inline.toSeq,
+      "artifact-read history groups must equal inline derivation")
+  }
 }

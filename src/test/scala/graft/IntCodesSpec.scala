@@ -56,7 +56,7 @@ class IntCodesSpec extends SparkTestBase {
     val interp = vecs.map { v =>
       val lit = Literal.create(ArrayData.toArrayData(v),
         ArrayType(LongType, containsNull = false))
-      IntCodesExpr(lit, books.flatten.flatten.toArray, m, k, sub)
+      IntCodesExpr(lit, books.flatten.flatten, m, k, sub)
         .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
     }
     vecs.indices.foreach { i =>

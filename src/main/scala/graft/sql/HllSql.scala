@@ -45,7 +45,9 @@ object HllSql {
   }
 
   /** Estimate CTEs over a register relation `regs`: emits `<prefix>_e1/2/3`
-    * and `<prefix>(group…, <out>)` — Rhll.estimate verbatim. */
+    * and `<prefix>(group…, <out>)` — Rhll.estimate verbatim. REQUIRES
+    * [[lcCte]] (`hll_lc`) earlier in the same WITH chain — emit it once
+    * per query however many estimates the query runs. */
   def estimateCtes(prefix: String, regs: String, groupCols: Seq[String],
       bits: Int, out: String): String = {
     val g = groupCols.mkString(", ")

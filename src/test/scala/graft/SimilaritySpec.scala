@@ -468,6 +468,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(btop.subsetOf(all), "256-probe LSH must equal brute coverage")
   }
 
+  test("q189 persisted IVF index reproduces q183 exactly (artifact fidelity)") {
+    val fresh = Similarity.q183(spark, sfDir).collect().map(_.toSeq)
+    val persisted = Similarity.q189(spark, sfDir).collect().map(_.toSeq)
+    assert(persisted.toSeq == fresh.toSeq,
+      "IVF artifact re-read must equal fresh fixed-point training")
+  }
+
   test("q187 persisted PQ index reproduces q184 exactly (artifact fidelity)") {
     // the persistence-cycle proof: codes/codebooks written to parquet and
     // read back must yield the SAME top-k as in-session training — any

@@ -1171,6 +1171,90 @@ object Similarity {
     pqTwinRerank(e, cand)
   }
 
+  // ── q190: the nprobe→recall TUNING CURVE — the number an IVF owner
+  //         reads before picking nprobe: recall@10 at nprobe ∈ {1,2,4,8}
+  //         in ONE pass. Shape: every corpus vector lives in exactly one
+  //         list, so its visibility to a query is the PROBE RANK of its
+  //         list (position of that list in the query's distance-sorted
+  //         centroid order) — computed once per (query, list), joined to
+  //         the assignments once, and the whole sweep is then a broadcast
+  //         τ-join over the exact top-10 (the q179 threshold-audit
+  //         pattern): one corpus scan + one bounded join however many
+  //         nprobe points the curve has. All integer arithmetic; the
+  //         oracle replays train → assign → probe-rank → sweep exactly.
+  private val SweepProbes = Seq(1L, 2L, 4L, 8L)
+
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = pqQuantized(emb(s, dir))
+    val cents = twinLloydCentroids(q)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("nprobe", "qid", "n_exact", "hits_at_10", "recall_x1e4")
+    val lists = q
+      .withColumn("cid", twinLloydAssign(cents))
+      .select(col("vec_id").as("nn_id"), col("cid"))
+    // probe rank of EVERY list per query (1-based over the full sorted
+    // centroid order — posexplode of the distance-sorted struct array)
+    val probeRank = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        posexplode(array_sort(array(twinLloydDists(cents): _*)))
+          .as(Seq("i", "p")))
+      .select(col("qid"), col("p").getField("c").as("cid"),
+        (col("i") + 1).cast("long").as("prn"))
+    // each vector has ONE list ⇒ one probe rank per (query, vector)
+    val vis = broadcast(probeRank).join(lists, Seq("cid"))
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"), col("prn"))
+    val exact = intBruteTop10(q)
+    val taus = SweepProbes.toDF("nprobe")
+    val hits = exact.join(vis, Seq("qid", "nn_id"))
+      .crossJoin(broadcast(taus))
+      .filter(col("prn") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("hits_at_10"))
+    val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    q.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .crossJoin(broadcast(taus))
+      .join(nEx, Seq("qid"), "left")
+      .join(hits, Seq("nprobe", "qid"), "left")
+      .select(col("nprobe"), col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"))
+      .withColumn("recall_x1e4",
+        expr("hits_at_10 * 10000 DIV greatest(n_exact, 1)"))
+      .orderBy(col("nprobe"), col("qid"))
+  }
+
+  lazy val q190Sql: String =
+    s"""WITH $ivfTwinPrefixSql,
+       |$intBruteCtesSql,
+       |prall AS (
+       |  SELECT vec_id AS qid, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prn
+       |  FROM df WHERE vec_id < 5),
+       |vis AS (
+       |  SELECT p.qid, a.vec_id AS nn_id, p.prn
+       |  FROM prall p JOIN af a USING (cid) WHERE a.vec_id != p.qid),
+       |taus AS (SELECT unnest([${SweepProbes.mkString(",")}]) AS nprobe),
+       |shits AS (
+       |  SELECT t.nprobe, ex.qid, count(*) AS hits
+       |  FROM ex JOIN vis v ON v.qid = ex.qid AND v.nn_id = ex.nn_id
+       |  JOIN taus t ON v.prn <= t.nprobe
+       |  GROUP BY t.nprobe, ex.qid),
+       |base AS (
+       |  SELECT t.nprobe, q.qid
+       |  FROM (SELECT DISTINCT qid FROM qs) q, taus t)
+       |SELECT CAST(b.nprobe AS BIGINT) AS nprobe, b.qid,
+       |  CAST(coalesce(nex.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits_at_10,
+       |  CAST(coalesce(h.hits, 0) * 10000
+       |    // greatest(coalesce(nex.n_exact, 0), 1) AS BIGINT) AS recall_x1e4
+       |FROM base b
+       |LEFT JOIN nex ON nex.qid = b.qid
+       |LEFT JOIN shits h ON h.qid = b.qid AND h.nprobe = b.nprobe
+       |ORDER BY b.nprobe, b.qid""".stripMargin
+
   // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
   //        applied PER SUBSPACE, hash-proving the product-quantization
   //        mechanism behind the rows-only q98/q128/q158 compressed legs:
@@ -1386,11 +1470,14 @@ object Similarity {
     * kernel (IntSqDistExpr — bit-identical to the interpreted
     * aggregate(zip_with(...)) fold, IntSqDistSpec pins it); the report is
     * pure integer arithmetic. */
-  private def intRecallReport(q: DataFrame, cand: DataFrame): DataFrame = {
+  /** Exact integer brute top-10 per probe (vec_id < 5): ONE corpus pass
+    * with the probes broadcast, squared-L2 via the fused IntSqDistExpr
+    * kernel, ties to the lowest nn_id. Persisted (multiple consumers). */
+  private def intBruteTop10(q: DataFrame): DataFrame = {
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val wx = Window.partitionBy(col("qid")).orderBy(col("d"), col("nn_id"))
-    val exact = q.crossJoin(broadcast(probes))
+    q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nn_id"),
         org.apache.spark.sql.graft.IntSqDistExpr.column(
@@ -1398,7 +1485,13 @@ object Similarity {
       .withColumn("rn", row_number().over(wx))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("nn_id"))
-      .trackedPersist() // two consumers: hits + n_exact
+      .trackedPersist()
+  }
+
+  private def intRecallReport(q: DataFrame, cand: DataFrame): DataFrame = {
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"))
+    val exact = intBruteTop10(q)
     val hits = exact
       .join(cand.select(col("qid"), col("nn_id")), Seq("qid", "nn_id"),
         "left_semi")
@@ -1428,10 +1521,9 @@ object Similarity {
     intRecallReport(q, pqTwinPoolOf(s, q, pqTwinCodes(q, books), books))
   }
 
-  /** Shared DuckDB tail of the recall twins: exact integer brute top-10
-    * (`e(vec_id, qv)` must be in scope) intersected with the candidate
-    * relation `candRel(qid, nn_id)`, integer report. */
-  private def intRecallTailSql(candRel: String): String =
+  /** Exact-brute CTEs shared by the recall twins (`e(vec_id, qv)` must be
+    * in scope): qs (probes) → bx (integer L2) → ex (top-10) → nex. */
+  private val intBruteCtesSql: String =
     s"""qs AS (SELECT vec_id AS qid, qv FROM e WHERE vec_id < 5),
        |bx AS (
        |  SELECT q.qid, e.vec_id AS nn_id,
@@ -1444,7 +1536,14 @@ object Similarity {
        |    SELECT qid, nn_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY d, nn_id) AS rn
        |    FROM bx) WHERE rn <= 10),
-       |nex AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+       |nex AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)"""
+      .stripMargin
+
+  /** Shared DuckDB tail of the recall twins: exact integer brute top-10
+    * intersected with the candidate relation `candRel(qid, nn_id)`,
+    * integer report. */
+  private def intRecallTailSql(candRel: String): String =
+    s"""$intBruteCtesSql,
        |hits AS (
        |  SELECT ex.qid, count(*) AS hits
        |  FROM ex JOIN $candRel p ON p.qid = ex.qid AND p.nn_id = ex.nn_id
@@ -2131,6 +2230,7 @@ object Similarity {
     "q187_pq_persisted_twin" -> q187,
     "q188_ivf_recall_twin" -> q188,
     "q189_ivf_persisted_twin" -> q189,
+    "q190_nprobe_sweep" -> q190,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -2154,5 +2254,6 @@ object Similarity {
     // artifact re-read ≡ fresh training: the oracle replays the training
     // chain from the base table, the query path only scans the artifacts
     "q187_pq_persisted_twin" -> q184Sql,
-    "q189_ivf_persisted_twin" -> q183Sql)
+    "q189_ivf_persisted_twin" -> q183Sql,
+    "q190_nprobe_sweep" -> q190Sql)
 }

@@ -527,4 +527,25 @@ class SimilaritySpec extends SparkTestBase {
     // 2-of-16 probed lists keep a measurable share of the true top-10
     assert(out.map(_._3).sum >= 5, s"IVF probes recall too little: ${out.toSeq}")
   }
+
+  test("q190: recall curve is monotone in nprobe and agrees with q188 at 2") {
+    val out = Similarity.q190(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).distinct.toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(out.length == 4 * 5, "one row per (nprobe, probe)")
+    // widening the probe ring can only ADD visible lists: recall@10 is
+    // non-decreasing in nprobe per query
+    out.groupBy(_._2).foreach { case (qid, rows) =>
+      val byProbe = rows.sortBy(_._1).map(_._4)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for qid=$qid: ${rows.toSeq}")
+    }
+    // the nprobe=2 slice IS q188's report (same training, same probes)
+    val at2 = out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4, t._5)).toSeq
+    val q188out = Similarity.q188(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(at2 == q188out, s"nprobe=2 slice != q188: $at2 vs $q188out")
+  }
 }

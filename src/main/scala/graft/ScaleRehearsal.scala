@@ -117,7 +117,7 @@ object ScaleRehearsal {
       // persisted code/codebook artifacts built once per JVM
       "q186_pq_recall_twin", "q187_pq_persisted_twin",
       "q188_ivf_recall_twin", "q189_ivf_persisted_twin",
-      "q190_nprobe_sweep",
+      "q190_nprobe_sweep", "q191_pq_budget_sweep",
       // event streams joined the list in round 11: until the directory-
       // layout fix (readEventsTable) they silently streamed 0 rows from
       // the replicated fixture, so the rehearsal never exercised the

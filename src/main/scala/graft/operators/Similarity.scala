@@ -1255,6 +1255,79 @@ object Similarity {
        |LEFT JOIN shits h ON h.qid = b.qid AND h.nprobe = b.nprobe
        |ORDER BY b.nprobe, b.qid""".stripMargin
 
+  // ── q191: the PQ RERANK-BUDGET sweep — q190's tuning-curve shape for
+  //         the compressed family's second knob: recall@10 of the ADC
+  //         candidate pool at pool sizes {5,10,20,40}. Each exact-top-10
+  //         member's ADC RANK (row_number over exact BIGINT ADC scores,
+  //         ties to lowest nn_id) says at what rerank budget it would be
+  //         kept; the sweep is a broadcast τ-join over those ranks — the
+  //         number that prices "how many exact cosines per query buy how
+  //         much recall" (the q158 pq_rerank trade, now hash-proven).
+  //         Ranks only materialize up to max(budget): the candidate
+  //         stream is cut by TopKPerKey before the join, so the sweep
+  //         never carries the full ADC stream to the driver-side report.
+  private val SweepPools = Seq(5L, 10L, 20L, 40L)
+
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = pqQuantized(emb(s, dir))
+    val books = pqTwinBooks(q)
+    if (books.exists(_.isEmpty))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("pool", "qid", "n_exact", "hits_at_10", "recall_x1e4")
+    val adc = pqTwinAdc(s, q, pqTwinCodes(q, books), books)
+    // ADC rank per (query, candidate), bounded to the largest budget
+    val wadc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nn_id"))
+    val ranked = org.apache.spark.sql.graft.TopKPerKey.of(adc, Seq("qid"),
+        Seq("adc" -> true, "nn_id" -> true), SweepPools.max.toInt)
+      .withColumn("arn", row_number().over(wadc).cast("long"))
+      .select(col("qid"), col("nn_id"), col("arn"))
+    val exact = intBruteTop10(q)
+    val taus = SweepPools.toDF("pool")
+    val hits = exact.join(ranked, Seq("qid", "nn_id"))
+      .crossJoin(broadcast(taus))
+      .filter(col("arn") <= col("pool"))
+      .groupBy(col("pool"), col("qid"))
+      .agg(count(lit(1)).as("hits_at_10"))
+    val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    q.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .crossJoin(broadcast(taus))
+      .join(nEx, Seq("qid"), "left")
+      .join(hits, Seq("pool", "qid"), "left")
+      .select(col("pool"), col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"))
+      .withColumn("recall_x1e4",
+        expr("hits_at_10 * 10000 DIV greatest(n_exact, 1)"))
+      .orderBy(col("pool"), col("qid"))
+  }
+
+  lazy val q191Sql: String =
+    s"""WITH $pqTwinPrefixSql,
+       |$intBruteCtesSql,
+       |aranked AS (
+       |  SELECT qid, nn_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS arn
+       |  FROM adc),
+       |taus AS (SELECT unnest([${SweepPools.mkString(",")}]) AS pool),
+       |shits AS (
+       |  SELECT t.pool, ex.qid, count(*) AS hits
+       |  FROM ex JOIN aranked r ON r.qid = ex.qid AND r.nn_id = ex.nn_id
+       |  JOIN taus t ON r.arn <= t.pool
+       |  GROUP BY t.pool, ex.qid),
+       |base AS (
+       |  SELECT t.pool, q.qid
+       |  FROM (SELECT DISTINCT qid FROM qs) q, taus t)
+       |SELECT CAST(b.pool AS BIGINT) AS pool, b.qid,
+       |  CAST(coalesce(nex.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits_at_10,
+       |  CAST(coalesce(h.hits, 0) * 10000
+       |    // greatest(coalesce(nex.n_exact, 0), 1) AS BIGINT) AS recall_x1e4
+       |FROM base b
+       |LEFT JOIN nex ON nex.qid = b.qid
+       |LEFT JOIN shits h ON h.qid = b.qid AND h.pool = b.pool
+       |ORDER BY b.pool, b.qid""".stripMargin
+
   // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
   //        applied PER SUBSPACE, hash-proving the product-quantization
   //        mechanism behind the rows-only q98/q128/q158 compressed legs:
@@ -1303,26 +1376,10 @@ object Similarity {
     * engine-independent. Shared by the training twin (q184), the recall
     * twin (q186) and the persisted-index twin (q187). */
   private def pqTwinPoolOf(s: SparkSession, q: DataFrame, codes: DataFrame,
-      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
-    val qRows = q.filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-    import s.implicits._
-    val lut = qRows.toIndexedSeq.flatMap { case (qid, qv) =>
-      (0 until PqTwinM).flatMap { sub =>
-        books(sub).zipWithIndex.map { case (cv, cid) =>
-          val d = (0 until PqTwinSub).map { i =>
-            val diff = qv(sub * PqTwinSub + i) - cv(i); diff * diff
-          }.sum
-          (qid, sub, cid, d)
-        }
-      }
-    }.toDF("qid", "sub", "cid", "d")
-    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy(col("qid"), col("nn_id")).agg(sum(col("d")).as("adc"))
-      .filter(col("nn_id") =!= col("qid"))
-    org.apache.spark.sql.graft.TopKPerKey.of(adc, Seq("qid"),
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey.of(
+      pqTwinAdc(s, q, codes, books), Seq("qid"),
       Seq("adc" -> true, "nn_id" -> true), PqTwinPool)
-  }
 
   /** Exact-cosine re-rank of a bounded pool to top-3 (round-4). */
   private def pqTwinRerank(e: DataFrame, pool: DataFrame): DataFrame = {
@@ -1341,6 +1398,28 @@ object Similarity {
   private def pqTwinEmpty(e: DataFrame): DataFrame =
     e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
       lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
+
+  /** ADC scores (qid, nn_id, adc) before any pool cut — the ranked stream
+    * [[pqTwinPoolOf]] truncates and the budget sweep (q191) ranks. */
+  private def pqTwinAdc(s: SparkSession, q: DataFrame, codes: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
+    val qRows = q.filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    import s.implicits._
+    val lut = qRows.toIndexedSeq.flatMap { case (qid, qv) =>
+      (0 until PqTwinM).flatMap { sub =>
+        books(sub).zipWithIndex.map { case (cv, cid) =>
+          val d = (0 until PqTwinSub).map { i =>
+            val diff = qv(sub * PqTwinSub + i) - cv(i); diff * diff
+          }.sum
+          (qid, sub, cid, d)
+        }
+      }
+    }.toDF("qid", "sub", "cid", "d")
+    codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("qid"), col("nn_id")).agg(sum(col("d")).as("adc"))
+      .filter(col("nn_id") =!= col("qid"))
+  }
 
   def q184(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -2231,6 +2310,7 @@ object Similarity {
     "q188_ivf_recall_twin" -> q188,
     "q189_ivf_persisted_twin" -> q189,
     "q190_nprobe_sweep" -> q190,
+    "q191_pq_budget_sweep" -> q191,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -2255,5 +2335,6 @@ object Similarity {
     // chain from the base table, the query path only scans the artifacts
     "q187_pq_persisted_twin" -> q184Sql,
     "q189_ivf_persisted_twin" -> q183Sql,
-    "q190_nprobe_sweep" -> q190Sql)
+    "q190_nprobe_sweep" -> q190Sql,
+    "q191_pq_budget_sweep" -> q191Sql)
 }

@@ -548,4 +548,23 @@ class SimilaritySpec extends SparkTestBase {
       .toSeq
     assert(at2 == q188out, s"nprobe=2 slice != q188: $at2 vs $q188out")
   }
+
+  test("q191: budget curve is monotone in pool and agrees with q186 at 20") {
+    val out = Similarity.q191(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).distinct.toSeq == Seq(5L, 10L, 20L, 40L))
+    assert(out.length == 4 * 5, "one row per (pool, probe)")
+    out.groupBy(_._2).foreach { case (qid, rows) =>
+      val byPool = rows.sortBy(_._1).map(_._4)
+      assert(byPool.zip(byPool.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for qid=$qid: ${rows.toSeq}")
+    }
+    // the pool=20 slice IS q186's report (same codebooks, same pool cut)
+    val at20 = out.filter(_._1 == 20L).map(t => (t._2, t._3, t._4, t._5)).toSeq
+    val q186out = Similarity.q186(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(at20 == q186out, s"pool=20 slice != q186: $at20 vs $q186out")
+  }
 }

@@ -106,56 +106,79 @@ object Bench {
     // measure of the PLAN (and matches the min-merged BENCH_REF).
     val timedPasses =
       sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2).max(1)
-    var qIdx = 0
-    val results = ordered.map { case (name, fn) =>
-      qIdx += 1
-      if (gcEvery.exists(n => n > 0 && qIdx % n == 0)) System.gc()
-      // warm pass (untimed): failures are ignored — a query broken only
-      // at the warm SF must not fail the bench; its timed run decides.
-      warmDir.foreach { wd =>
+    // Timed passes run as FULL INTERLEAVED CYCLES (r12 verdict ask #1):
+    // all queries once, then all again, min per query — NOT back-to-back
+    // passes per query. Host-contention windows last minutes, so two
+    // back-to-back observations of the same query both land inside the
+    // same spike (the r11/r12 driver records show contiguous inflated
+    // runs: q144/q146/q153/q159 adjacent); interleaving separates the two
+    // observations of each query by a full cycle (~100s), so a spike can
+    // inflate at most one of them. The warm cycle runs first and builds
+    // every fixture + JIT path; the codegen cache (5000 entries, uniform
+    // class names) carries compiled classes across the cycle boundary.
+    type Pass = (String, Double, Double, Option[String], MetricsTap.Snap,
+      Double, String)
+    val warmWall: Double = warmDir.fold(0.0) { wd =>
+      val w0 = System.nanoTime()
+      ordered.foreach { case (_, fn) =>
+        // warm pass (untimed): failures are ignored — a query broken only
+        // at the warm SF must not fail the bench; its timed run decides.
         try drain(fn(spark, wd)) catch { case _: Throwable => () }
         finally OperatorCaches.release()
       }
-      var best: (String, Double, Double, Option[String], MetricsTap.Snap,
-        Double, String) = null
-      for (_ <- 0 until timedPasses) {
-        busDrain()
-        val snap0 = tap.snapshot()
-        val pcpu0 = MetricsTap.processCpuSec()
-        val jit0 = MetricsTap.jitSnapshot()
-        val t0 = System.nanoTime()
-        val gc0 = gcMillis
-        val err = try { drain(fn(spark, sfDir)); None } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        busDrain()
-        val snapD = tap.snapshot() - snap0
-        val pcpuD = MetricsTap.processCpuSec() - pcpu0
-        val jit1 = MetricsTap.jitSnapshot()
-        // Release THIS pass's persisted subtrees before the next pass/query
-        // runs: 185 queries × passes × MEMORY_AND_DISK persists otherwise
-        // accumulate for the whole session, and storage-memory churn lands
-        // on whichever query runs late (the long-tail inflation mechanism
-        // the driver records). Outside the timer: cleanup is bookkeeping,
-        // not query cost. OperatorCaches.release (not catalog.clearCache):
-        // drops exactly the graft-created persists — the library caller
-        // contract under test.
-        OperatorCaches.release()
-        // JIT health: per-query compile seconds, plus ABSOLUTE code-heap
-        // occupancy and loaded-class count at query end (gauges, not deltas
-        // — the knee where occupancy plateaus or classes stop unloading is
-        // the diagnostic).
-        val jitJson = f""","jit_compile_sec":${(jit1.compileMs - jit0.compileMs) / 1e3}%.3f,"code_heap_mb":${jit1.codeHeapUsedB / 1048576.0}%.1f,"loaded_classes":${jit1.loadedClasses}"""
-        val pass = (name, dt, (gcMillis - gc0) / 1e3, err, snapD, pcpuD, jitJson)
-        // a successful pass always beats a failed one; among equals, min wall
-        if (best == null) best = pass
-        else if (best._4.isDefined && err.isEmpty) best = pass
-        else if (best._4.isDefined == err.isDefined && dt < best._2) best = pass
+      (System.nanoTime() - w0) / 1e9
+    }
+    val cycles: Seq[(Double, IndexedSeq[Pass])] =
+      (1 to timedPasses).map { _ =>
+        val c0 = System.nanoTime()
+        var qIdx = 0
+        val rs = ordered.map { case (name, fn) =>
+          qIdx += 1
+          if (gcEvery.exists(n => n > 0 && qIdx % n == 0)) System.gc()
+          busDrain()
+          val snap0 = tap.snapshot()
+          val pcpu0 = MetricsTap.processCpuSec()
+          val jit0 = MetricsTap.jitSnapshot()
+          val t0 = System.nanoTime()
+          val gc0 = gcMillis
+          val err = try { drain(fn(spark, sfDir)); None } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+              Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          busDrain()
+          val snapD = tap.snapshot() - snap0
+          val pcpuD = MetricsTap.processCpuSec() - pcpu0
+          val jit1 = MetricsTap.jitSnapshot()
+          // Release THIS pass's persisted subtrees before the next query
+          // runs: 191 queries × cycles × MEMORY_AND_DISK persists otherwise
+          // accumulate for the whole session, and storage-memory churn lands
+          // on whichever query runs late (the long-tail inflation mechanism
+          // the driver records). Outside the timer: cleanup is bookkeeping,
+          // not query cost. OperatorCaches.release (not catalog.clearCache):
+          // drops exactly the graft-created persists — the library caller
+          // contract under test.
+          OperatorCaches.release()
+          // JIT health: per-query compile seconds, plus ABSOLUTE code-heap
+          // occupancy and loaded-class count at query end (gauges, not
+          // deltas — the knee where occupancy plateaus or classes stop
+          // unloading is the diagnostic).
+          val jitJson = f""","jit_compile_sec":${(jit1.compileMs - jit0.compileMs) / 1e3}%.3f,"code_heap_mb":${jit1.codeHeapUsedB / 1048576.0}%.1f,"loaded_classes":${jit1.loadedClasses}"""
+          (name, dt, (gcMillis - gc0) / 1e3, err, snapD, pcpuD, jitJson)
+        }.toIndexedSeq
+        ((System.nanoTime() - c0) / 1e9, rs)
       }
-      best
+    val cycleWalls = cycles.map(_._1)
+    // Per query: a successful pass always beats a failed one; among
+    // equals, min wall (the honest measure of the PLAN, matching the
+    // min-merged BENCH_REF).
+    val results: Seq[Pass] = ordered.indices.map { i =>
+      cycles.map(_._2(i)).reduce { (a, b) =>
+        if (a._4.isDefined && b._4.isEmpty) b
+        else if (a._4.isDefined == b._4.isDefined && b._2 < a._2) b
+        else a
+      }
     }
     // Environment-inflation self-flagging (r8 verdict ask): compare each
     // query's executor task-seconds against the committed builder record
@@ -213,7 +236,15 @@ object Bench {
         "\"" + k + "\":" + m.json.dropRight(1) +
           f""","process_cpu_sec":$pc%.3f""" + jit + infl + "}"
       }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","timed_passes":$timedPasses,"queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"metrics":$fullMetrics,"sf":"$sfDir"}"""
+    // Per-cycle walls (total + per-query) make a contention spike visible
+    // in the artifact itself: an inflated row shows one fat cycle and one
+    // normal one, instead of needing a forensic re-run (r12 verdict ask).
+    val cycleWallsJson = cycleWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
+    val cycleQueriesJson = cycles.map { case (_, rs) =>
+      rs.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","timed_passes":$timedPasses,"warm_wall_sec":${f"$warmWall%.3f"},"cycle_walls":$cycleWallsJson,"cycle_queries":$cycleQueriesJson,"queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"metrics":$fullMetrics,"sf":"$sfDir"}"""
     // Only a FULL run may replace the full-session record: a standalone
     // SPARK_GRAFT_QUERIES subset re-measure must not clobber the 91-query
     // artifact with a 1-query file (that exact loss happened once).

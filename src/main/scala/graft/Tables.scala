@@ -97,11 +97,16 @@ object Fixtures {
     * per (name, dir). */
   def path(name: String, dir: String)(build: => DataFrame): String = {
     // Collision-resistant suffix (SHA-256 of dir, not 32-bit hashCode):
-    // two distinct fixture dirs must never share a tmp tree.
+    // two distinct fixture dirs must never share a tmp tree. The JVM PID
+    // is appended too: each JVM unconditionally writes the tree on first
+    // touch (the memo set is per-JVM), so without the PID a concurrent
+    // bench + test run on the same fixture dir would overwrite a parquet
+    // tree the other process is scanning mid-query.
     val dirKey = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(32)
+    val pid = java.lang.ProcessHandle.current().pid()
     val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_fixture_$dirKey").getAbsolutePath
+      s"graft_${name}_fixture_${dirKey}_p$pid").getAbsolutePath
     val key = s"$name|$dir"
     written.synchronized {
       if (!written.contains(key)) {

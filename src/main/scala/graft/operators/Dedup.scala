@@ -116,6 +116,41 @@ object Dedup {
         explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
       .distinct()
 
+  /** DIGEST-EARLY shingle windows: xxhash64 each window of an
+    * ALREADY-STAGED token-HASH array (array<long>, one xxhash64 per
+    * token) — no shingle string is ever built. The string form
+    * materializes an array of n-gram strings per row, explodes string
+    * rows, and shuffles/distincts/joins on string keys; on the contended
+    * driver box that transient-string churn carried 26-39s of task GC in
+    * q54/q144 (r12 verdict ask #2). Here the window digest is
+    * xxhash64(slice(th, i+1, n)) — an 8-byte join key computed from
+    * primitive arrays; shingle equality becomes digest equality (same
+    * 64-bit-collision tolerance the MinHash/winnowing families already
+    * accept, so Jaccard counts still match the string-shingled oracle).
+    * Texts with fewer than n tokens contribute one whole-array digest,
+    * mirroring shinglesFromTokens' whole-text shingle. `th` must be a
+    * real column (the shinglesFromTokens staging contract — a computed
+    * expression re-derives per window). */
+  def hashedShinglesFromTokens(th: Column, n: Int): Column =
+    if (n <= 1) th
+    else when(size(th) < n, array(xxhash64(th)))
+      .otherwise(transform(
+        sequence(lit(0), size(th) - n),
+        i => xxhash64(slice(th, i + 1, lit(n)))))
+
+  /** Distinct (id, shingle-digest) pairs — the digest-early counterpart
+    * of distinctTokens for consumers that only ever JOIN/COUNT shingles
+    * (the Jaccard-pair core). Consumers that hash the shingle STRING
+    * downstream (MinHash signatures, sha-digest decontamination) must
+    * stay on distinctTokens: their outputs depend on the string bytes. */
+  private[graft] def distinctHashedShingles(docs: DataFrame, textCol: String,
+      idCol: String, gram: Int = 1): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+      .select(col("doc_id"),
+        explode(hashedShinglesFromTokens(col("_th"), gram)).as("t"))
+      .distinct()
+
   /** Exact shingle-set Jaccard over all pairs sharing ≥1 shingle. With
     * gram=1 (token sets) this is O(pairs) on a saturating vocabulary —
     * bounded blocks / oracle use only. With gram ≥ 3 the shared-shingle
@@ -175,7 +210,10 @@ object Dedup {
   private[graft] def repPairStats(groups: DataFrame,
       gram: Int): (DataFrame, DataFrame) = {
     val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
-    val toks = distinctTokens(repDocs, "_text", "doc_id", gram)
+    // digest-early: the pair core only joins/counts shingles, so the
+    // 8-byte window digests replace string shingles end-to-end (persist,
+    // shuffle, self-join, distinct all carry longs)
+    val toks = distinctHashedShingles(repDocs, "_text", "doc_id", gram)
       .trackedPersist()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val repPairs = toks.as("x")
@@ -210,9 +248,9 @@ object Dedup {
   def crossJaccardEdges(groups: DataFrame, gram: Int,
       threshold: Double): DataFrame = {
     val staged = groups.select(col("rep").as("doc_id"), col("has_flag"),
-      tokens(col("_text")).as("_toks"))
+      transform(tokens(col("_text")), t => xxhash64(t)).as("_th"))
     val toksAll = staged.select(col("doc_id"), col("has_flag"),
-        explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
+        explode(hashedShinglesFromTokens(col("_th"), gram)).as("t"))
       .distinct().trackedPersist()
     val sizes = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     toksAll.filter(col("has_flag")).as("x")
@@ -2118,23 +2156,27 @@ object Dedup {
   //         q114/q124 localize duplicated spans; this rolls the same
   //         evidence up to "how much of each document is boilerplate",
   //         the number a filtering threshold is set against. Shuffle
-  //         carries md5(gram) digests only (never gram text); the
-  //         per-doc fraction is pure integer arithmetic (dup*10 DIV tot)
-  //         so no float crosses an aggregate. At 100 TB: two digest
-  //         shuffles + an 11-row-out groupBy — the q32 shape twice.
+  //         carries 8-byte xxhash64 window digests only (never gram
+  //         text — digest-early: no shingle string or md5 hex string is
+  //         ever built, the r12 GC-pressure fix); the per-doc fraction
+  //         is pure integer arithmetic (dup*10 DIV tot) so no float
+  //         crosses an aggregate. The oracle md5s its string grams —
+  //         both sides only test gram EQUALITY, so the engines agree
+  //         modulo 64-bit collisions, the MinHash family's tolerance.
+  //         At 100 TB: two digest shuffles + an 11-row-out groupBy —
+  //         the q32 shape twice.
   def q144(s: SparkSession, dir: String): DataFrame = {
     // n_tokens deliberately re-counts text with regexp_count rather than
-    // size(_toks): CollapseProject inlines _toks into every consumer, and
-    // a second _toks reference beside the generator re-tokenizes per
+    // size(_th): CollapseProject inlines _th into every consumer, and
+    // a second _th reference beside the generator re-tokenizes per
     // shingle row (measured 65s vs 22s at 50×) — one extra flat regexp
     // pass per doc is the cheap side of that trade.
     val g = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"),
         regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
-        tokens(col("text")).as("_toks"))
+        transform(tokens(col("text")), t => xxhash64(t)).as("_th"))
       .select(col("doc_id"), col("n_tokens"),
-        explode(shinglesFromTokens(col("_toks"), 8)).as("t"))
-      .select(col("doc_id"), col("n_tokens"), md5(col("t")).as("g"))
+        explode(hashedShinglesFromTokens(col("_th"), 8)).as("g"))
       .distinct()
     val gd = g.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
     g.join(gd, Seq("g"))

@@ -55,7 +55,8 @@ object Rhll {
       .setScale(4, java.math.RoundingMode.HALF_UP)
       .movePointRight(4).intValueExact()
   }
-  private val lcTable: Seq[Double] = lcX1e4.map(_ / 10000.0)
+  private val lcRows: Seq[(Int, Double)] =
+    lcX1e4.indices.map(i => (i + 1, lcX1e4(i) / 10000.0))
 
   /** Register index: top P bits of the 64-bit hash. For a value narrower
     * than 64 bits (e.g. the 60-bit md5 prefix), pass its suffix width as
@@ -95,12 +96,19 @@ object Rhll {
       // exact integral raw estimate: floor(alpha·m²·2^maxRank / S_scaled)
       .withColumn("_eraw",
         expr(s"CAST('$num' AS DECIMAL(38,0)) div (CAST($denom1 AS DECIMAL(38,0)) * _s)"))
+      // precomputed lcX1e4 lookup via a BROADCAST JOIN against the tiny
+      // (m−1)-row table — the oracle's hll_lc CTE shape. An
+      // element_at(typedlit(...)) literal re-embedded the 4095-element
+      // array into every estimate site's analyzed plan and codegen
+      // constant pool (r12 advice); as a joined relation the table lives
+      // once in a broadcast, not in the expression tree. Left join: _v=0
+      // (no empty registers) misses, but the raw branch fires there.
+      .join(broadcast(
+          registers.sparkSession.createDataFrame(lcRows).toDF("_lcv", "_lc")),
+        col("_v") === col("_lcv"), "left")
       .withColumn(out,
-        when(col("_eraw") <= lit(5L * M / 2L) && col("_v") > 0L,
-          // precomputed lcX1e4 lookup (1-based: element_at(arr, V)) —
-          // no engine-local ln(); guard bounds V to 1..m−1
-          element_at(typedlit(lcTable), col("_v").cast("int")))
+        when(col("_eraw") <= lit(5L * M / 2L) && col("_v") > 0L, col("_lc"))
           .otherwise(col("_eraw").cast("double")))
-      .drop("_sp", "_nb", "_v", "_s", "_eraw")
+      .drop("_sp", "_nb", "_v", "_s", "_eraw", "_lcv", "_lc")
   }
 }

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * baseline): one fused codegen loop instead of the interpreted
   * `aggregate(zip_with(a, b, (x,y) => (x−y)²), 0L, _+_)` fold it
   * replaces (~10× per row on corpus-wide audit scans, same bit-exact
-  * BIGINT sum). Mirrors the HOF form's null contract: zip_with pads the
-  * shorter array with NULL, which nulls the whole sum — so unequal
-  * lengths return NULL here too (the twins' vectors are all Dim long;
-  * the contract only matters for malformed rows, which must not
-  * silently score).
+  * BIGINT sum). Mirrors the HOF form's null contract on BOTH malformed
+  * shapes: zip_with pads the shorter array with NULL, and a NULL element
+  * makes its (x−y)² NULL — either way the `_+_` fold nulls the whole
+  * sum. So unequal lengths AND any NULL element return NULL here too
+  * (the twins' vectors are all Dim long and null-free; the contract only
+  * matters for malformed rows, which must not silently score).
   */
 case class IntSqDistExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,6 +36,7 @@ case class IntSqDistExpr(left: Expression, right: Expression)
     var d = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val t = x.getLong(i) - y.getLong(i)
       d += t * t
       i += 1
@@ -55,10 +57,11 @@ case class IntSqDistExpr(left: Expression, right: Expression)
          |} else {
          |  long $d = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final long $t = $a.getLong($i) - $b.getLong($i);
          |    $d += $t * $t;
          |  }
-         |  ${ev.value} = $d;
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
        """.stripMargin
     })

@@ -54,4 +54,33 @@ class IntSqDistSpec extends SparkTestBase {
         s"interpreted mismatch at $i")
     }
   }
+
+  test("NULL element nulls the sum, matching the HOF fold (no silent score)") {
+    // zip_with/aggregate: a NULL element makes its (x−y)² NULL, which
+    // nulls the whole `_+_` fold. The fused kernel must agree — reading
+    // the null slot as 0 would silently score a malformed row.
+    val rows: Seq[(Seq[Option[Long]], Seq[Option[Long]])] = Seq(
+      (Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(2L), Some(3L))),
+      (Seq(Some(1L), Some(2L)), Seq(None, Some(2L))),
+      (Seq(None), Seq(None)),
+      (Seq(Some(4L), Some(5L)), Seq(Some(1L), Some(2L))))       // control: no nulls
+    val out = rows.toDF("a", "b").select(
+        IntSqDistExpr.column(col("a"), col("b")).as("fused"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    rows.indices.foreach { i =>
+      val fused = if (out(i).isNullAt(0)) None else Some(out(i).getLong(0))
+      val hof = if (out(i).isNullAt(1)) None else Some(out(i).getLong(1))
+      assert(fused == hof, s"null-element contract mismatch at $i: fused=$fused hof=$hof")
+    }
+    assert(!out(3).isNullAt(0) && out(3).getLong(0) == 18L)
+    // interpreted path on a null-element array
+    val withNull = Literal.create(
+      ArrayData.toArrayData(Array[Any](1L, null, 3L)), ArrayType(LongType, true))
+    val noNull = Literal.create(
+      ArrayData.toArrayData(Array[Any](1L, 2L, 3L)), ArrayType(LongType, true))
+    assert(IntSqDistExpr(withNull, noNull).eval(null) == null)
+    assert(IntSqDistExpr(noNull, noNull).eval(null) == 0L)
+  }
 }

@@ -46,5 +46,8 @@ for k in names:
 note = (f"min-merge of {len(runs)} full warmed best-of-N-pass runs "
         f"({len(names)} queries); regenerate via tools/merge_bench_ref.py "
         "after any bench/query change")
-out = {"task_sec": task, "wall": wall, "note": note}
+# The merge policy is recorded IN the artifact (r12 advice): rounds 8-11
+# max-merged, r12+ min-merge — a consumer comparing cross-round refs must
+# not silently mix regimes.
+out = {"policy": "min", "task_sec": task, "wall": wall, "note": note}
 print(json.dumps(out, indent=0, sort_keys=True))

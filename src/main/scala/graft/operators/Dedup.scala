@@ -699,6 +699,28 @@ object Dedup {
       textCol: String, idCol: String, gram: Int = 1): DataFrame = {
     val hg = histGroups.trackedPersist()
     val bg = minhashGroups(batch, textCol, idCol, gram).trackedPersist()
+    val repPairs = incrementalRepScreen(hg, bg)
+    repPairs
+      .join(bg.select(col("rep").as("new_id"), col("members").as("_ms_n")),
+        "new_id")
+      .join(hg.select(col("rep").as("hist_id"), col("members").as("_ms_h")),
+        "hist_id")
+      .select(col("est_jaccard"), explode(col("_ms_n")).as("new_id"),
+        col("_ms_h"))
+      .select(col("est_jaccard"), col("new_id"),
+        explode(col("_ms_h")).as("hist_id"))
+      .select(col("new_id"), col("hist_id"), col("est_jaccard"))
+  }
+
+  /** The PRE-EXPANSION screen of [[incrementalNearDupIndexed]]: rep-level
+    * band equi-join + distinct + signature-match estimate over two group
+    * frames (sig, rep, members). Factored out so the group-collapse
+    * contract is machine-checkable (DedupSpec): on a clone-adversarial
+    * corpus the screen's cardinality is bounded by groups², never
+    * members² — any member blow-up (q106's 136M pairs at 100×) happens
+    * strictly in the expansion, which is the fixture's semantics. */
+  private[graft] def incrementalRepScreen(hg: DataFrame,
+      bg: DataFrame): DataFrame = {
     def repSigs(groups: DataFrame): DataFrame =
       groups.select(col("rep").as("doc_id") +: col("sig") +:
         (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
@@ -718,22 +740,12 @@ object Dedup {
       .distinct()
     val sa = repSigs(bg).select(col("doc_id").as("new_id"), col("sig").as("sig_a"))
     val sb = repSigs(hg).select(col("doc_id").as("hist_id"), col("sig").as("sig_b"))
-    val repPairs = cand.join(sa, "new_id").join(sb, "hist_id")
+    cand.join(sa, "new_id").join(sb, "hist_id")
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
-      .select(col("new_id"), col("hist_id"), col("est_jaccard"))
-    repPairs
-      .join(bg.select(col("rep").as("new_id"), col("members").as("_ms_n")),
-        "new_id")
-      .join(hg.select(col("rep").as("hist_id"), col("members").as("_ms_h")),
-        "hist_id")
-      .select(col("est_jaccard"), explode(col("_ms_n")).as("new_id"),
-        col("_ms_h"))
-      .select(col("est_jaccard"), col("new_id"),
-        explode(col("_ms_h")).as("hist_id"))
       .select(col("new_id"), col("hist_id"), col("est_jaccard"))
   }
 

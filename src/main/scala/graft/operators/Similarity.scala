@@ -1328,6 +1328,110 @@ object Similarity {
        |LEFT JOIN shits h ON h.qid = b.qid AND h.pool = b.pool
        |ORDER BY b.pool, b.qid""".stripMargin
 
+  // ── q192: the SRP BAND-BUDGET sweep — the q190/q191 tuning-curve shape
+  //         for the THIRD index family (r12 verdict ask #4): recall@10 of
+  //         SRP band candidates at band budgets {2,4,8,11} in ONE pass,
+  //         at q185's pinned geometry (11 bands × 9 rows, the same seeded
+  //         planes). Shape: each (query, corpus vector) pair's visibility
+  //         is its FIRST-COLLISION BAND RANK (1-based index of the first
+  //         band whose signatures match — min over the band equi-join),
+  //         computed once; the sweep is then a broadcast τ-join over the
+  //         exact integer top-10, so recall is monotone in the budget by
+  //         construction. The number an SRP owner reads before picking b:
+  //         how many bands buy how much of the true top-10. One signature
+  //         pass + one bounded band join + one corpus brute leg — no
+  //         pairwise blow-up, no driver-side model state at all. Exact
+  //         leg and report are the shared integer machinery (IntSqDistExpr
+  //         brute, ties to lowest id); the candidate leg replays q185's
+  //         hash-proven plane literals, so the whole curve is hash-green.
+  private val SweepBands = Seq(2L, 4L, 8L, 11L)
+
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val sig = org.apache.spark.sql.graft.SrpSignatureExpr.column(
+      col("v"), planesFor(SrpTwinBands, SrpTwinRows), Dim,
+      SrpTwinBands, SrpTwinRows)
+    // persisted: the query side and corpus side both read the banded
+    // signatures — one fused signature pass, not two
+    val banded = e.select(col("vec_id"),
+        posexplode(sig).as(Seq("band", "sig")))
+      .trackedPersist()
+    val qb = banded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("band"), col("sig"))
+    // 5 queries × 11 bands broadcast; corpus side streams through once
+    val vis = broadcast(qb).join(banded, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((min(col("band")) + 1).cast("long").as("brn"))
+      .select(col("qid"), col("vec_id").as("nn_id"), col("brn"))
+    val q = pqQuantized(e)
+    val exact = intBruteTop10(q)
+    val taus = SweepBands.toDF("bands")
+    val hits = exact.join(vis, Seq("qid", "nn_id"))
+      .crossJoin(broadcast(taus))
+      .filter(col("brn") <= col("bands"))
+      .groupBy(col("bands"), col("qid"))
+      .agg(count(lit(1)).as("hits_at_10"))
+    val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    q.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .crossJoin(broadcast(taus))
+      .join(nEx, Seq("qid"), "left")
+      .join(hits, Seq("bands", "qid"), "left")
+      .select(col("bands"), col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"))
+      .withColumn("recall_x1e4",
+        expr("hits_at_10 * 10000 DIV greatest(n_exact, 1)"))
+      .orderBy(col("bands"), col("qid"))
+  }
+
+  // lazy for the same init-order reason as q185Sql (planesFor needs Dim)
+  lazy val q192Sql: String = {
+    val ps = planesFor(SrpTwinBands, SrpTwinRows)
+    def dot(p: Int): String =
+      (0 until Dim).map(i => s"v[${i + 1}]*(${ps(p * Dim + i)})")
+        .mkString(" + ")
+    def sig(b: Int): String =
+      (0 until SrpTwinRows).map(j =>
+        s"(CASE WHEN ${dot(b * SrpTwinRows + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("\n    + ")
+    val bandSelects = (0 until SrpTwinBands).map(b =>
+      s"SELECT vec_id, $b AS band,\n    ${sig(b)} AS sig FROM ev")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS (
+       |$bandSelects),
+       |qb AS (SELECT vec_id AS qid, band, sig FROM banded WHERE vec_id < 5),
+       |vis AS (
+       |  SELECT q.qid, b.vec_id AS nn_id, min(b.band) + 1 AS brn
+       |  FROM qb q JOIN banded b ON b.band = q.band AND b.sig = q.sig
+       |    AND b.vec_id != q.qid
+       |  GROUP BY q.qid, b.vec_id),
+       |$intBruteCtesSql,
+       |taus AS (SELECT unnest([${SweepBands.mkString(",")}]) AS bands),
+       |shits AS (
+       |  SELECT t.bands, ex.qid, count(*) AS hits
+       |  FROM ex JOIN vis v ON v.qid = ex.qid AND v.nn_id = ex.nn_id
+       |  JOIN taus t ON v.brn <= t.bands
+       |  GROUP BY t.bands, ex.qid),
+       |base AS (
+       |  SELECT t.bands, q.qid
+       |  FROM (SELECT DISTINCT qid FROM qs) q, taus t)
+       |SELECT CAST(b.bands AS BIGINT) AS bands, b.qid,
+       |  CAST(coalesce(nex.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits_at_10,
+       |  CAST(coalesce(h.hits, 0) * 10000
+       |    // greatest(coalesce(nex.n_exact, 0), 1) AS BIGINT) AS recall_x1e4
+       |FROM base b
+       |LEFT JOIN nex ON nex.qid = b.qid
+       |LEFT JOIN shits h ON h.qid = b.qid AND h.bands = b.bands
+       |ORDER BY b.bands, b.qid""".stripMargin
+  }
+
   // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
   //        applied PER SUBSPACE, hash-proving the product-quantization
   //        mechanism behind the rows-only q98/q128/q158 compressed legs:
@@ -2311,6 +2415,7 @@ object Similarity {
     "q189_ivf_persisted_twin" -> q189,
     "q190_nprobe_sweep" -> q190,
     "q191_pq_budget_sweep" -> q191,
+    "q192_srp_band_sweep" -> q192,
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
@@ -2336,5 +2441,6 @@ object Similarity {
     "q187_pq_persisted_twin" -> q184Sql,
     "q189_ivf_persisted_twin" -> q183Sql,
     "q190_nprobe_sweep" -> q190Sql,
-    "q191_pq_budget_sweep" -> q191Sql)
+    "q191_pq_budget_sweep" -> q191Sql,
+    "q192_srp_band_sweep" -> q192Sql)
 }

@@ -400,4 +400,36 @@ class DedupSpec extends SparkTestBase {
     assert(viaArtifact.toSeq == inline.toSeq,
       "artifact-read history groups must equal inline derivation")
   }
+
+  test("incremental SCREEN stays group-collapsed on a clone-adversarial " +
+    "corpus: candidate cardinality <= groups², blow-up only in expansion") {
+    // Each side: 6 unique texts × 5 exact clones. Identical texts share
+    // the whole MinHash signature, so every cross-side same-text pair
+    // collides in EVERY band — the shape where member-level pairing goes
+    // quadratic (q106's 136M pairs at 100× are EXPANSION semantics; the
+    // screen must never see them). This pins the r12 rehearsal note as a
+    // machine check: reintroducing member-level pairing fails the bound.
+    val texts = (0 until 6).map(i =>
+      s"unique token stream number $i with shared filler words alpha beta")
+    def side(base: Long) = (0 until 30)
+      .map(i => (base + i, texts(i % 6))).toDF("doc_id", "text")
+    val hist = side(0L)
+    val batch = side(1000L)
+    val hg = Dedup.minhashGroups(hist, "text", "doc_id")
+    val bg = Dedup.minhashGroups(batch, "text", "doc_id")
+    assert(hg.count() == 6 && bg.count() == 6, "6 signature groups per side")
+    val screen = Dedup.incrementalRepScreen(hg, bg).collect()
+    assert(screen.length <= 6 * 6,
+      s"screen must be rep-level (<=36 pairs), got ${screen.length}")
+    // every same-text cross pair is a screen hit (identical sigs collide
+    // in every band), so the 6 diagonal pairs are present with est=1.0
+    val diag = screen.filter(r => r.getDouble(2) == 1.0)
+    assert(diag.length >= 6, s"identical-text groups must screen: ${screen.toSeq}")
+    // the member blow-up happens strictly in the expansion: each screened
+    // group pair expands to exactly 5×5 member pairs
+    val expanded = Dedup.incrementalNearDup(hist, batch, "text", "doc_id")
+      .count()
+    assert(expanded == screen.length.toLong * 25L,
+      s"expansion must be screen×k² = ${screen.length * 25}, got $expanded")
+  }
 }

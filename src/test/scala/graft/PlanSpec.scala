@@ -336,4 +336,52 @@ class PlanSpec extends SparkTestBase {
     assert(p4.contains("BroadcastExchange"), p4)
     assert(!p4.contains("CartesianProduct"), p4)
   }
+
+  // ── scale-shape guards for the recall/persistence/tuning twins
+  //    (q186–q192) — the r12 verdict's residual nit: the broadcast
+  //    threshold-join and TopKPerKey-cut shapes these queries rely on
+  //    were asserted nowhere machine-checked.
+
+  test("q186/q188 recall twins: brute leg runs the fused int_sqdist " +
+    "kernel against broadcast probes — no cartesian anywhere") {
+    for (q <- Seq(graft.operators.Similarity.q186 _,
+        graft.operators.Similarity.q188 _)) {
+      val p = plan(q(spark, sfDir))
+      // the 5-probe side broadcasts; the corpus streams through once
+      assert(p.contains("BroadcastExchange"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // exact distances come from the codegen kernel, not an interpreted
+      // HOF fold
+      assert(p.contains("int_sqdist"), p)
+    }
+  }
+
+  test("q187/q189 persisted twins: query path scans index artifacts with " +
+    "broadcast joins only — no retraining shuffle, no cartesian") {
+    for (q <- Seq(graft.operators.Similarity.q187 _,
+        graft.operators.Similarity.q189 _)) {
+      val p = plan(q(spark, sfDir))
+      assert(p.contains("BroadcastExchange"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q190/q192 sweep curves: the tau expansion is a broadcast join " +
+    "over the bounded sweep table — never a cartesian") {
+    for (q <- Seq(graft.operators.Similarity.q190 _,
+        graft.operators.Similarity.q192 _)) {
+      val p = plan(q(spark, sfDir))
+      assert(p.contains("BroadcastExchange"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("int_sqdist"), p)
+    }
+  }
+
+  test("q191 budget sweep: the ADC candidate stream is cut by TopKPerKey " +
+    "at the largest budget before ranking — no cartesian") {
+    val p = plan(graft.operators.Similarity.q191(spark, sfDir))
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -567,4 +567,52 @@ class SimilaritySpec extends SparkTestBase {
       .toSeq
     assert(at20 == q186out, s"pool=20 slice != q186: $at20 vs $q186out")
   }
+
+  test("q192: band curve is monotone; bands=11 slice equals the " +
+    "srpCandidatePairs-derived report") {
+    val out = Similarity.q192(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).distinct.toSeq == Seq(2L, 4L, 8L, 11L))
+    assert(out.length == 4 * 5, "one row per (bands, probe)")
+    // widening the band budget can only ADD collisions: recall@10 is
+    // non-decreasing in bands per query
+    out.groupBy(_._2).foreach { case (qid, rows) =>
+      val byBands = rows.sortBy(_._1).map(_._4)
+      assert(byBands.zip(byBands.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for qid=$qid: ${rows.toSeq}")
+    }
+    // INDEPENDENT model of the bands=11 slice: candidates from the public
+    // srpCandidatePairs at the pinned (11, 9) geometry (the q185/q49
+    // production path — first-collision rank <= 11 just means "collides in
+    // SOME band", i.e. IS a candidate pair), exact top-10 brute-forced in
+    // Scala over the same floor(v*1000) integer domain, ties to lowest id.
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val cand: Set[(Long, Long)] = Similarity
+      .srpCandidatePairs(e, 11, 9)
+      .select(col("id_a"), col("id_b")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter(_._1 < 5).toSet
+    val qv: Map[Long, Array[Long]] = e.select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1000.0).toLong).toArray)
+      .toMap
+    val expected = (0L until 5L).map { qid =>
+      val mine = qv(qid)
+      val top10 = qv.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d = 0L; var i = 0
+          while (i < v.length) { val t = v(i) - mine(i); d += t * t; i += 1 }
+          (d, id)
+        }
+        .sortBy(identity).take(10).map(_._2)
+      val hits = top10.count(nn => cand((qid, nn)))
+      (qid, top10.size.toLong, hits.toLong,
+        hits.toLong * 10000L / math.max(top10.size.toLong, 1L))
+    }
+    val at11 = out.filter(_._1 == 11L).map(t => (t._2, t._3, t._4, t._5)).toSeq
+    assert(at11 == expected, s"bands=11 slice != model: $at11 vs $expected")
+  }
 }

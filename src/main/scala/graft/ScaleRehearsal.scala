@@ -118,6 +118,9 @@ object ScaleRehearsal {
       "q186_pq_recall_twin", "q187_pq_persisted_twin",
       "q188_ivf_recall_twin", "q189_ivf_persisted_twin",
       "q190_nprobe_sweep", "q191_pq_budget_sweep",
+      // r13: the SRP band-budget curve — one signature pass + broadcast
+      // band join, linear like its q190/q191 siblings
+      "q192_srp_band_sweep",
       // event streams joined the list in round 11: until the directory-
       // layout fix (readEventsTable) they silently streamed 0 rows from
       // the replicated fixture, so the rehearsal never exercised the

@@ -39,9 +39,15 @@ object DedupAudit {
       "text", "doc_id", 3)
       .trackedPersist()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = toks.as("x")
-      .join(toks.as("y"),
-        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+    // the truth self-join shuffles 8-byte xxhash64 digests, not shingle
+    // strings (the q54 digest-early discipline applied to the audit's
+    // truth leg — same 64-bit-collision tolerance); toks itself stays the
+    // shared STRING relation because the sha-signature leg below digests
+    // the string bytes
+    val toksH = toks.select(col("doc_id"), xxhash64(col("t")).as("th"))
+    val truth = toksH.as("x")
+      .join(toksH.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")

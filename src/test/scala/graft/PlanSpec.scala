@@ -384,4 +384,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q54/q144 shingle digest-early: the join/distinct keys are xxhash64 " +
+    "longs — no shingle string (concat_ws) or md5 hex survives in the plan") {
+    // the r13 GC fix's structural pin: reintroducing string shingles (or
+    // q144's md5-hex digests) into the pair core re-creates the 26-39s
+    // task-GC the r12 driver record carried
+    val p54 = plan(graft.operators.Dedup.q54(spark, sfDir))
+    assert(!p54.contains("concat_ws"), p54)
+    assert(p54.contains("xxhash64"), p54)
+    val p144 = plan(graft.operators.Dedup.q144(spark, sfDir))
+    assert(!p144.contains("concat_ws"), p144)
+    assert(!p144.contains("md5"), p144)
+    assert(p144.contains("xxhash64"), p144)
+  }
 }

@@ -100,6 +100,7 @@ object ScaleRehearsal {
       "q143_dedup_funnel", "q144_ngram_novelty", "q145_quality_sample",
       "q147_doc_ledger", "q148_ledger_delta",
       "q149_gopher_rules", "q150_domain_cap", "q151_token_fertility",
+      "q193_repetition_signals",
       "q152_hll_users", "q153_sketch_ledger", "q154_overlap_sketch",
       "q156_image_phash", "q157_outer_reconcile", "q158_ann_recall",
       "q159_blocklist", "q160_schema_drift", "q162_erasure_audit",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.OperatorCaches.TrackedDataset
@@ -553,7 +553,123 @@ object Curation {
       |SELECT source, doc_id, w, priority
       |FROM p WHERE rn <= 5 ORDER BY source, priority DESC, doc_id""".stripMargin
 
+  // ── q193: Gopher REPETITION signals — the other half of the Rae et al.
+  //         2021 Table A1 filter battery that q149's hard rules leave out:
+  //         INTRA-document repetition. Per doc, over word n-grams:
+  //           top-{2,3,4}-gram char coverage  = max over grams of
+  //             count × gram_chars (the paper's "fraction of characters
+  //             in the most frequent n-gram" numerator)
+  //           dup-{5,10}-gram char coverage   = Σ over grams occurring ≥2
+  //             of count × gram_chars (every occurrence's span counted;
+  //             no overlap collapse — a closed-form both engines compute
+  //             identically, monotone in repetition, which is all a
+  //             threshold rule needs)
+  //         Rules (Table A1 thresholds, integer cross-multiplied — no
+  //         float anywhere): top2 ≤ 20%, top3 ≤ 18%, top4 ≤ 16% of
+  //         n_chars; dup5 ≤ 15%, dup10 ≤ 10%. The line/paragraph
+  //         variants are the same mechanism over a different segmenter —
+  //         the fixture corpus is single-line, so they would be
+  //         degenerate here (q124's segment dedup covers the segmented
+  //         form cross-doc).
+  //         Scale shape: the metric is PER-DOCUMENT, so it is computed
+  //         MAP-SIDE ONLY — one fused codegen kernel (RepCovsExpr) per
+  //         row over the split-token array, then a 20-row-out rollup.
+  //         Nothing shuffles but the final per-source partial aggregate;
+  //         no gram string, digest, or window row ever leaves the row.
+  //         The cheapest possible 100 TB shape (same as q149, with the
+  //         window machinery fused into one expression).
+  private val RepTopNs = Seq(2, 3, 4)
+  private val RepDupNs = Seq(5, 10)
+  // thresholds ×100: top2>20%, top3>18%, top4>16%, dup5>15%, dup10>10%
+  private val RepThr100: Map[Int, Int] =
+    Map(2 -> 20, 3 -> 18, 4 -> 16, 5 -> 15, 10 -> 10)
+
+  /** Per-doc integer repetition metrics (doc_id, source, n_chars,
+    * cov2..cov4 top coverage, dup5/dup10 duplicated coverage). Factored
+    * from q193 so CurationSpec can pin the arithmetic on planted docs.
+    *
+    * The metric is row-local, so it runs as ONE fused codegen kernel
+    * (RepCovsExpr) over the split-token array — no explode, no shuffle,
+    * no per-window HOF interpretation. The first-cut explode + two
+    * shuffled groupBys formulation measured 455s at the 100× rehearsal
+    * for what is a map-only pass; this plan has no exchange before
+    * q193's 20-row rollup. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val covs = org.apache.spark.sql.graft.RepCovsExpr.column(
+      split(col("text"), "[\\t\\n\\f\\r ]+"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        covs.as("_cv"))
+      .select(col("doc_id") +: col("source") +: col("n_chars") +:
+        (RepTopNs.zipWithIndex.map { case (n, i) =>
+          col("_cv")(i).as(s"cov$n") } ++
+         RepDupNs.zipWithIndex.map { case (n, i) =>
+          col("_cv")(i + RepTopNs.length).as(s"dup$n") }): _*)
+  }
+
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val m = repetitionSignals(documents(s, dir))
+    def fail(c: Column, n: Int): Column =
+      c * 100L > col("n_chars") * RepThr100(n)
+    val fails = RepTopNs.map(n => fail(col(s"cov$n"), n).as(s"_f$n")) ++
+      RepDupNs.map(n => fail(col(s"dup$n"), n).as(s"_f$n"))
+    val r = m.select(col("source") +: col("n_chars") +: fails: _*)
+    val allNs = RepTopNs ++ RepDupNs
+    val kept = allNs.map(n => !col(s"_f$n")).reduce(_ && _)
+    val aggs = count(lit(1)).as("n_docs") +:
+      (allNs.map(n =>
+        count(when(col(s"_f$n"), 1)).as(s"fail_n$n")) :+
+       count(when(kept, 1)).as("n_kept"))
+    r.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
+  val q193Sql: String = {
+    def gramCte(n: Int): String =
+      s"""gr$n AS (
+         |  SELECT doc_id, $n AS n, g, count(*) AS cnt, max(len(g)) AS glen
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+${n - 1}], ' ')
+         |              for i in range(1, len(toks) - ${n - 2})]) AS g
+         |    FROM dd WHERE len(toks) >= $n)
+         |  GROUP BY doc_id, g)""".stripMargin
+    val allNs = RepTopNs ++ RepDupNs
+    val covSelects = allNs.map { n =>
+      val agg = if (n <= 4) "max(cnt * glen)"
+        else "sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)"
+      s"SELECT doc_id, $n AS n, $agg AS cov FROM gr$n GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val covCols = allNs.map(n =>
+      s"coalesce(max(CASE WHEN c.n = $n THEN c.cov END), 0) AS cov$n")
+      .mkString(",\n    ")
+    val failCounts = allNs.map(n =>
+      s"count(*) FILTER (WHERE cov$n * 100 > ${RepThr100(n)} * n_chars) AS fail_n$n")
+      .mkString(",\n  ")
+    val keptPred = allNs.map(n =>
+      s"cov$n * 100 <= ${RepThr100(n)} * n_chars").mkString(" AND ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, source, n_chars,
+       |    regexp_extract_all(text, '\\S+') AS toks
+       |  FROM documents),
+       |${allNs.map(gramCte).mkString(",\n")},
+       |cov AS (
+       |$covSelects),
+       |per AS (
+       |  SELECT d.doc_id, any_value(d.source) AS source,
+       |    any_value(d.n_chars) AS n_chars,
+       |    $covCols
+       |  FROM dd d LEFT JOIN cov c USING (doc_id)
+       |  GROUP BY d.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  $failCounts,
+       |  count(*) FILTER (WHERE $keptPred) AS n_kept
+       |FROM per
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_repetition_signals" -> q193,
     "q164_source_weighted_sample" -> q164,
     "q163_weighted_sample" -> q163,
     "q162_erasure_audit" -> q162,
@@ -566,6 +682,7 @@ object Curation {
     "q159_blocklist" -> q159)
 
   val oracle: Map[String, String] = Map(
+    "q193_repetition_signals" -> q193Sql,
     "q164_source_weighted_sample" -> q164Sql,
     "q163_weighted_sample" -> q163Sql,
     "q162_erasure_audit" -> q162Sql,

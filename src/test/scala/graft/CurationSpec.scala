@@ -172,4 +172,39 @@ class CurationSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getAs[Double]("est_users"))).toMap
     assert(merged == global)
   }
+
+  test("q193: repetition signals match hand-computed coverage on planted docs") {
+    import spark.implicits._
+    // doc 1: "a b a b a b" — 2-grams: (a b)×3, (b a)×2 → top2 = 3×3 = 9
+    //   (gram "a b" is 3 chars); 5-grams: "a b a b a"×1, "b a b a b"×1 →
+    //   dup5 = 0 (no 5-gram repeats)
+    // doc 2: "x y z x y z x y z" — top2 = (x y)×3 → 9; 5-grams (9 chars):
+    //   x y z x y ×1... positions 1..5 distinct... actually
+    //   "x y z x y"(1), "y z x y z"(2), "z x y z x"(3), "x y z x y"(4),
+    //   "y z x y z"(5) → two grams ×2 → dup5 = 2×9 + 2×9 = 36
+    // doc 3: "p q r s t u v w" — all grams unique → top2 = 3, dup5 = 0
+    val docs = Seq(
+      (1L, "s1", "a b a b a b"),
+      (2L, "s1", "x y z x y z x y z"),
+      (3L, "s2", "p q r s t u v w"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val m = ops.Curation.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("cov2") == 9L, m(1L).toString)
+    assert(m(1L).getAs[Long]("dup5") == 0L, m(1L).toString)
+    assert(m(2L).getAs[Long]("cov2") == 9L, m(2L).toString)
+    assert(m(2L).getAs[Long]("dup5") == 36L, m(2L).toString)
+    assert(m(3L).getAs[Long]("cov2") == 3L, m(3L).toString)
+    assert(m(3L).getAs[Long]("cov3") == 5L, m(3L).toString)
+    assert(m(3L).getAs[Long]("dup5") == 0L && m(3L).getAs[Long]("dup10") == 0L)
+    // doc 1 has 11 chars: top2 9×100 > 20×11 → fails the 2-gram rule;
+    // doc 3 is clean on every rule — the rollup must reflect both
+    val roll = ops.Curation.q193(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(roll.map(_.getAs[Long]("n_docs")).sum == total)
+    roll.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -385,6 +385,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q193 repetition signals: map-side fused kernel — no explode, no " +
+    "join, nothing shuffles but the 20-row rollup") {
+    val p = plan(graft.ops.Curation.q193(spark, sfDir))
+    assert(p.contains("rep_covs"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    // exchanges: one hash (rollup) + one range (output order) — any third
+    // means the per-row metric started shuffling window state again
+    // (formatted mode lists each node once in the tree ("Exchange (7)")
+    // and once in the detail section ("(7) Exchange") — count tree lines)
+    assert("Exchange \\(".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q54/q144 shingle digest-early: the join/distinct keys are xxhash64 " +
     "longs — no shingle string (concat_ws) or md5 hex survives in the plan") {
     // the r13 GC fix's structural pin: reintroducing string shingles (or

@@ -281,7 +281,9 @@ object Bench {
         if (infNames.isEmpty) ""
         else s""","ninf":${infNames.length},"infq":${
           infNames.take(8).map(jstr).mkString("[", ",", "]")}"""
-      s"""},"nerr":${errNames.length}$errPart$infPart,"sf":"$sfDir"}"""
+      // per-cycle walls in the stdout line too: a contention spike is
+      // then visible in the driver-parsed record, not only in BENCH_FULL
+      s"""},"cyc":${cycleWalls.map(w => f"$w%.1f").mkString("[", ",", "]")},"nerr":${errNames.length}$errPart$infPart,"sf":"$sfDir"}"""
     }
     val parts = results.sortBy { case (_, v, _, _, _, _, _) => -v }
       .map { case (k, v, _, _, _, _, _) => "\"" + shortK(k) + "\":" + f"$v%.2f" }

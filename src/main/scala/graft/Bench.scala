@@ -188,15 +188,15 @@ object Bench {
     // never flags) marks itself `inflated` in BENCH_FULL and is counted
     // in the stdout line — a reader of BENCH_r{N} no longer needs the
     // cross-record forensics to see q53-style environment burn.
-    val refTaskSec: Map[String, Double] = {
+    def refMap(key: String): Map[String, Double] = {
       val f = new java.io.File("BENCH_REF.json")
       if (!f.isFile) Map.empty
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        // minimal parse of {"task_sec":{"name":num,...},...}: pull the
-        // task_sec object then scan "name":num pairs (no JSON lib on the
-        // runtime classpath by design)
-        val obj = txt.split("\"task_sec\"\\s*:\\s*\\{", 2)
+        // minimal parse of {"<key>":{"name":num,...},...}: pull the object
+        // then scan "name":num pairs (no JSON lib on the runtime
+        // classpath by design)
+        val obj = txt.split("\"" + key + "\"\\s*:\\s*\\{", 2)
         if (obj.length < 2) Map.empty
         else {
           val body = obj(1).takeWhile(_ != '}')
@@ -205,9 +205,21 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     }
-    def inflatedOf(name: String, taskSec: Double): Boolean =
+    val refTaskSec: Map[String, Double] = refMap("task_sec")
+    val refWallSec: Map[String, Double] = refMap("wall")
+    // A row flags `inflated` only when BOTH dimensions are out of band:
+    // task-CPU (>3× ref AND +2s — the r8 criterion) AND wall (>1.5× ref
+    // AND +0.5s). Task-CPU alone misfires on scheduler-occupancy noise:
+    // on a 32-thread box a sub-second-wall row can triple its recorded
+    // task-seconds with zero wall effect (r12's verdict adjudicated one
+    // such flag on a 0.65s row as noise; r13 saw the same on q116 at
+    // 0.91s wall), and the flag exists to catch environment burn a READER
+    // of the record should care about — which always shows in the wall.
+    def inflatedOf(name: String, taskSec: Double, wall: Double): Boolean =
       refTaskSec.get(name)
-        .exists(ref => taskSec > 3.0 * ref && taskSec - ref > 2.0)
+        .exists(ref => taskSec > 3.0 * ref && taskSec - ref > 2.0) &&
+      refWallSec.get(name)
+        .forall(rw => wall > 1.5 * rw && wall - rw > 0.5)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -230,8 +242,8 @@ object Bench {
     // over the query's wall window. wall ≫ pcpu → the query WAITED
     // (contention/scheduling); pcpu ≫ task_sec → driver-side cost;
     // task_gc/spill name the executor-side mechanisms.
-    val fullMetrics = results.map { case (k, _, _, _, m, pc, jit) =>
-        val infl = if (inflatedOf(k, m.taskTimeMs / 1e3)) ""","inflated":true"""
+    val fullMetrics = results.map { case (k, v, _, _, m, pc, jit) =>
+        val infl = if (inflatedOf(k, m.taskTimeMs / 1e3, v)) ""","inflated":true"""
           else ""
         "\"" + k + "\":" + m.json.dropRight(1) +
           f""","process_cpu_sec":$pc%.3f""" + jit + infl + "}"
@@ -271,7 +283,8 @@ object Bench {
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val errNames = results.collect { case (k, _, _, Some(_), _, _, _) => shortK(k) }
     val infNames = results.collect {
-      case (k, _, _, _, m, _, _) if inflatedOf(k, m.taskTimeMs / 1e3) => shortK(k)
+      case (k, v, _, _, m, _, _) if inflatedOf(k, m.taskTimeMs / 1e3, v) =>
+        shortK(k)
     }
     val tailJson = {
       val errPart =

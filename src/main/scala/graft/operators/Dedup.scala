@@ -1108,27 +1108,18 @@ object Dedup {
     * substring hashes): no UDF, no shuffle until the final explode.
     */
   def winnowingFingerprints(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
-    // Stage 1 materializes the gram-hash array as a column: a nested
-    // transform(grams-expr) would re-evaluate ALL gram hashes once per
-    // window (O(n²) hashing per doc — observed 15+ min on sf0.1).
-    val nGrams = length(col(textCol)) - (k - 1)
-    // guard: sequence(1, n) DESCENDS for n < 1 — an empty text would
-    // otherwise fabricate grams
-    val grams = when(nGrams < 1, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), nGrams),
-        i => xxhash64(col(textCol).substr(i, lit(k)))))
-    val staged = docs.select(col(idCol).as("doc_id"), grams.as("_grams"))
-    val nG = size(col("_grams"))
-    val nWin = greatest(nG - (w - 1), lit(0))
-    val mins = when(nWin < 1, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(0), nWin - 1),
-        j => array_min(slice(col("_grams"), j + 1, lit(w)))))
-    staged.select(col("doc_id"),
-      when(nG === 0, array().cast("array<bigint>"))
-        .otherwise(when(nWin === 0, array(array_min(col("_grams"))))
-          .otherwise(array_distinct(mins))).as("fingerprints"))
-  }
+      k: Int = 8, w: Int = 4): DataFrame =
+    // Row-local generator → fused codegen kernel (the q193 RepCovsExpr
+    // rule): one pass, zero-copy gram hashing via char→byte offsets, a
+    // monotonic-deque sliding min (O(n) vs the former staged-HOF
+    // slice+array_min O(n·w) with an array copy per window). Bit-exact
+    // with the HOF form it replaced — gram i is xxhash64(substr(text, i,
+    // k)), short texts yield one whole-text-window min, dedup keeps
+    // first occurrence — pinned by WinnowSpec's golden cross-check, so
+    // the Xxh64Sql oracle (q42) replays unchanged.
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.WinnowExpr.column(col(textCol), k, w)
+        .as("fingerprints"))
 
   /** Fingerprint-overlap near-dup pairs: docs sharing ≥ minShared winnowed
     * fingerprints (equi-join on fingerprint → same scale shape as MinHash

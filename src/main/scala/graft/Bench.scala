@@ -220,6 +220,15 @@ object Bench {
         .exists(ref => taskSec > 3.0 * ref && taskSec - ref > 2.0) &&
       refWallSec.get(name)
         .forall(rw => wall > 1.5 * rw && wall - rw > 0.5)
+    // The criterion silently degrades to the single-dimension task-CPU
+    // check against a pre-r13 BENCH_REF that has no `wall` object
+    // (forall on a missing key is vacuously true). Record which regime
+    // the flags in THIS artifact were computed under, so cross-round
+    // comparisons never mix flag regimes unmarked.
+    val inflatedBasis: String =
+      if (refTaskSec.isEmpty) "no_ref"
+      else if (refWallSec.isEmpty) "task_only"
+      else "task_and_wall"
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -256,7 +265,7 @@ object Bench {
       rs.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","timed_passes":$timedPasses,"warm_wall_sec":${f"$warmWall%.3f"},"cycle_walls":$cycleWallsJson,"cycle_queries":$cycleQueriesJson,"queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"metrics":$fullMetrics,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","timed_passes":$timedPasses,"warm_wall_sec":${f"$warmWall%.3f"},"inflated_basis":"$inflatedBasis","cycle_walls":$cycleWallsJson,"cycle_queries":$cycleQueriesJson,"queries":$fullQs,"gc_sec":$fullGcs,"errors":$fullErrs,"metrics":$fullMetrics,"sf":"$sfDir"}"""
     // Only a FULL run may replace the full-session record: a standalone
     // SPARK_GRAFT_QUERIES subset re-measure must not clobber the 91-query
     // artifact with a 1-query file (that exact loss happened once).

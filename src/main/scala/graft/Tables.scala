@@ -93,20 +93,75 @@ object Fixtures {
   private val written = java.util.concurrent.ConcurrentHashMap
     .newKeySet[String]()
 
+  /** SHA-256-derived key for a fixture dir (collision-resistant, unlike
+    * 32-bit hashCode): two distinct dirs must never share a tmp tree. */
+  private[graft] def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(32)
+
+  // ── per-PID scratch-tree lifecycle ────────────────────────────────────
+  // PID-suffixed trees are written fresh by every JVM, so without cleanup
+  // repeated bench/test runs accumulate unbounded parquet under
+  // java.io.tmpdir (r13 ADVICE). Two mechanisms, both bounded:
+  //  * a shutdown hook deletes every tree THIS JVM registered;
+  //  * the first registration of the JVM prunes sibling `graft_*_p<pid>`
+  //    trees whose owning PID is no longer alive (covers kill -9 /
+  //    crashed JVMs whose hook never ran). Cross-JVM persisted caches
+  //    (e.g. the ScaleRehearsal corpus at graft_sfx<N>) carry no _p<pid>
+  //    suffix and are never touched.
+  private val owned = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+  private val lifecycleArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private def pruneStaleTrees(tmp: java.io.File): Unit = {
+    val stale = "^graft_.*_p([0-9]+)$".r
+    val kids = tmp.listFiles()
+    if (kids == null) return
+    kids.foreach { f =>
+      f.getName match {
+        case stale(pid) if f.isDirectory =>
+          val alive = java.lang.ProcessHandle.of(pid.toLong)
+            .map[java.lang.Boolean](_.isAlive)
+            .orElse(java.lang.Boolean.FALSE)
+          // PID recycling can mark a dead owner's tree alive — that tree
+          // just waits for the next prune, the pre-fix steady state.
+          if (!alive) deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Register a per-PID scratch tree under java.io.tmpdir: returns its
+    * absolute path, arms the shutdown delete, and (once per JVM) prunes
+    * stale sibling trees left by dead JVMs. `name` MUST carry the _p<pid>
+    * suffix so the pruner can attribute it. */
+  private[graft] def scratch(name: String): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    if (lifecycleArmed.compareAndSet(false, true)) {
+      pruneStaleTrees(tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        owned.forEach(p => deleteRecursively(new java.io.File(p)))))
+    }
+    val p = new java.io.File(tmp, name).getAbsolutePath
+    owned.add(p)
+    p
+  }
+
   /** Path to the written fixture; `build` evaluated at most once per JVM
     * per (name, dir). */
   def path(name: String, dir: String)(build: => DataFrame): String = {
-    // Collision-resistant suffix (SHA-256 of dir, not 32-bit hashCode):
-    // two distinct fixture dirs must never share a tmp tree. The JVM PID
-    // is appended too: each JVM unconditionally writes the tree on first
-    // touch (the memo set is per-JVM), so without the PID a concurrent
-    // bench + test run on the same fixture dir would overwrite a parquet
-    // tree the other process is scanning mid-query.
-    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(32)
+    // The JVM PID is part of the path: each JVM unconditionally writes
+    // the tree on first touch (the memo set is per-JVM), so without the
+    // PID a concurrent bench + test run on the same fixture dir would
+    // overwrite a parquet tree the other process is scanning mid-query.
     val pid = java.lang.ProcessHandle.current().pid()
-    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_fixture_${dirKey}_p$pid").getAbsolutePath
+    val p = scratch(s"graft_${name}_fixture_${dirKey(dir)}_p$pid")
     val key = s"$name|$dir"
     written.synchronized {
       if (!written.contains(key)) {

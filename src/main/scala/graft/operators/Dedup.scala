@@ -189,6 +189,38 @@ object Dedup {
         min_by(col("_text"), col("doc_id")).as("_text"))
       .trackedPersist()
 
+  // ── audit-scale gates ───────────────────────────────────────────────
+  // The exact all-pairs/full-vocabulary legs (q54's unblocked Jaccard,
+  // q179's truth leg, q72's exact-overlap columns) are documented
+  // audit-only forms: on a 100 TB corpus they must FAIL FAST with a
+  // pointer to the banded production path, not silently run quadratic
+  // (r13 verdict ask #4). The caps are deliberate tripwires, not safety
+  // proofs — raise the conf knowingly to run a bigger audit.
+
+  /** Pairwise-exact gate: unique-rep count cap for the all-pairs truth
+    * legs. Default 1M (the 100× rehearsal runs at ~5k reps — the clone
+    * replication collapses; a real 100 TB corpus has billions). */
+  private[graft] val MaxRepsConf = "spark.graft.audit.maxReps"
+  private[graft] val MaxRepsDefault = 1000000L
+
+  /** Linear-but-exact gate: row cap for a full-vocabulary exact relation
+    * (q72's distinct (source, shingle) set). */
+  private[graft] val MaxExactRowsConf = "spark.graft.audit.maxExactRows"
+  private[graft] val MaxExactRowsDefault = 50000000L
+
+  /** Fail fast when an audit-only exact leg is pointed at a corpus above
+    * its cap. Counts at most cap+1 rows (limit pushes down). */
+  private[graft] def requireAuditScale(rel: DataFrame, what: String,
+      confKey: String, default: Long, production: String): Unit = {
+    val cap = rel.sparkSession.conf.getOption(confKey)
+      .map(_.toLong).getOrElse(default)
+    val n = rel.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= cap,
+      s"$what is an audit-only exact form and was given > $cap rows " +
+        s"(conf $confKey). At this scale use the production path " +
+        s"($production), or raise $confKey deliberately for a larger audit.")
+  }
+
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame =
     jaccardPairsFromGroups(textGroups(docs, textCol, idCol), gram)
@@ -200,6 +232,9 @@ object Dedup {
     * best-effort exchange reuse (see that function's comment for the
     * observed failure mode). */
   def jaccardPairsFromGroups(groups: DataFrame, gram: Int): DataFrame = {
+    requireAuditScale(groups, "jaccardPairs (exact shingle Jaccard)",
+      MaxRepsConf, MaxRepsDefault,
+      "Dedup.minhashDedupIds / repJaccardEdges banded candidates")
     val (repPairs, sizes) = repPairStats(groups, gram)
     expandGroupPairs(repPairs, groups, sizes)
   }
@@ -1440,6 +1475,10 @@ object Dedup {
       .select(col("src"), explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
       .distinct()
       .trackedPersist()
+    requireAuditScale(grams,
+      "sourceOverlap's exact shared-shingle leg",
+      MaxExactRowsConf, MaxExactRowsDefault,
+      "the est_jaccard MinHash sketch columns alone")
     // sizes and all sketch components in ONE aggregate pass
     val aggs = count(lit(1)).as("n") +: (0 until numHashes).map(i =>
       min(sha2(concat(lit(s"$i:"), col("t")), 256)).as(s"m$i"))

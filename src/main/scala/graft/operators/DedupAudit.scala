@@ -29,6 +29,11 @@ object DedupAudit {
   def q179(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
+    // the exact all-pairs truth leg below is the documented audit-only
+    // side — fail fast above the rep cap instead of running quadratic
+    Dedup.requireAuditScale(groups, "q179's exact trigram-Jaccard truth leg",
+      Dedup.MaxRepsConf, Dedup.MaxRepsDefault,
+      "the banded candidate leg / q174's analytic planner")
     // ONE shingle relation feeds both sides (persisted: truth self-join
     // x/y + sizes + the signature aggregate all read it) — the audit's
     // candidate and truth legs must share a feature space anyway, so

@@ -341,9 +341,13 @@ object Pack {
   //        n_files (physical size-targeted shard count) is the one
   //        non-replayable output — moved to PackSpec's pin.
   def q108(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_tbuild_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    // PID-suffixed like Fixtures.path (r13 verdict nit #3): two JVMs on
+    // the same sf dir (bench + verify) must not clobber each other's
+    // shard trees mid-read-back; the Fixtures lifecycle deletes the tree
+    // at JVM exit and prunes trees whose owning JVM died.
+    val path = graft.Fixtures.scratch(
+      s"graft_tbuild_${graft.Fixtures.dirKey(dir)}" +
+        s"_p${java.lang.ProcessHandle.current().pid()}")
     // leakThreshold 0.9: the synthetic corpus is deliberately clone-heavy
     // (most docs share a 0.5-0.8-jaccard template twin), so the default
     // 0.5 screen empties val/test outright; 0.9 keeps the screen real

@@ -557,8 +557,15 @@ object Curation {
   //         2021 Table A1 filter battery that q149's hard rules leave out:
   //         INTRA-document repetition. Per doc, over word n-grams:
   //           top-{2,3,4}-gram char coverage  = max over grams of
-  //             count × gram_chars (the paper's "fraction of characters
-  //             in the most frequent n-gram" numerator)
+  //             count × gram_chars. DELIBERATE DEVIATION from the paper's
+  //             "fraction of characters in the MOST FREQUENT n-gram": the
+  //             max is over the count×chars PRODUCT, so a longer-but-
+  //             rarer gram can win over the most frequent one — i.e. the
+  //             rule is the stricter "largest char coverage by any single
+  //             gram" (≥ the paper's value, monotone in repetition, and a
+  //             closed form with no frequency-tie rule to pin). Engine
+  //             and oracle compute the same deviation — like the
+  //             dup-coverage no-overlap note below.
   //           dup-{5,10}-gram char coverage   = Σ over grams occurring ≥2
   //             of count × gram_chars (every occurrence's span counted;
   //             no overlap collapse — a closed-form both engines compute

@@ -432,4 +432,34 @@ class DedupSpec extends SparkTestBase {
     assert(expanded == screen.length.toLong * 25L,
       s"expansion must be screen×k² = ${screen.length * 25}, got $expanded")
   }
+
+  test("audit-only exact legs fail fast above their caps with a pointer " +
+    "to the banded production path (r13 verdict ask #4)") {
+    import spark.implicits._
+    val docs = Seq((1L, "s0", "a b c d"), (2L, "s1", "e f g h"),
+      (3L, "s0", "i j k l"), (4L, "s1", "m n o p"))
+      .toDF("doc_id", "source", "text")
+    // pairwise gate: jaccardPairs (q54's entry) trips at the rep cap
+    spark.conf.set(Dedup.MaxRepsConf, "3")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3)
+      }
+      assert(ex.getMessage.contains("audit-only"), ex.getMessage)
+      assert(ex.getMessage.contains("banded candidates"), ex.getMessage)
+      assert(ex.getMessage.contains(Dedup.MaxRepsConf), ex.getMessage)
+    } finally spark.conf.unset(Dedup.MaxRepsConf)
+    // full-vocabulary gate: sourceOverlap's exact leg trips at the row cap
+    spark.conf.set(Dedup.MaxExactRowsConf, "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.sourceOverlap(docs, "text", "source")
+      }
+      assert(ex.getMessage.contains("audit-only"), ex.getMessage)
+      assert(ex.getMessage.contains("est_jaccard"), ex.getMessage)
+    } finally spark.conf.unset(Dedup.MaxExactRowsConf)
+    // under the caps the same calls plan and run
+    assert(Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3).count() == 0L)
+    assert(Dedup.sourceOverlap(docs, "text", "source").count() == 1L)
+  }
 }

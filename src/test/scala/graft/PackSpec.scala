@@ -84,6 +84,20 @@ class PackSpec extends SparkTestBase {
     assert(OperatorCaches.liveCount == 0)
   }
 
+  // NOTE (r13 verdict nit #3): q108's own shard tree under java.io.tmpdir
+  // is PID-suffixed via Fixtures.scratch — two JVMs on the same sf dir
+  // (bench + verify) write disjoint trees instead of clobbering each
+  // other's shards mid-read-back, and the Fixtures lifecycle deletes the
+  // tree at JVM exit / prunes trees whose owning JVM died.
+  test("q108 shard tree is per-PID (concurrent JVMs write disjoint trees)") {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val name = s"graft_tbuild_${graft.Fixtures.dirKey("/root/testdata/sf0.001")}_p$pid"
+    graft.operators.Pack.q108(spark, "/root/testdata/sf0.001").collect()
+    val tree = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    assert(tree.isDirectory, s"expected per-PID shard tree at $tree")
+    OperatorCaches.release()
+  }
+
   test("trainingBuild: split shards out, eval splits leakage-screened") {
     val dir = java.nio.file.Files.createTempDirectory("tbuild").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

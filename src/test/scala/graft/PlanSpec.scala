@@ -394,10 +394,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Join"), p)
     // exchanges: one hash (rollup) + one range (output order) — any third
-    // means the per-row metric started shuffling window state again
-    // (formatted mode lists each node once in the tree ("Exchange (7)")
-    // and once in the detail section ("(7) Exchange") — count tree lines)
-    assert("Exchange \\(".r.findAllIn(p).size <= 2, p)
+    // means the per-row metric started shuffling window state again.
+    // Counted as NODES of the pre-AQE physical plan (not regex hits on
+    // the formatted string, whose line layout shifts with AQE re-planning
+    // and explain-mode changes — r13 ADVICE).
+    val exchanges = graft.ops.Curation.q193(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+    assert(exchanges.size <= 2, exchanges.mkString("\n"))
   }
 
   test("q54/q144 shingle digest-early: the join/distinct keys are xxhash64 " +

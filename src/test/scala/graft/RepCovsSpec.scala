@@ -63,6 +63,47 @@ class RepCovsSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionSignals == string-keyed brute model over seeded random " +
+    "corpora (r13 verdict ask: guards the digest-vs-string grouping " +
+    "asymmetry beyond the planted-doc pins, the WinnowExprSpec discipline)") {
+    // end-to-end through Curation.repetitionSignals: the split regex, the
+    // kernel, and the column wiring all face the model — which groups
+    // grams by their literal STRING (the oracle's view), not the kernel's
+    // chained-XXH64 digests.
+    for (seed <- 1 to 24) {
+      val rnd = new scala.util.Random(seed.toLong)
+      val vocab = Vector("a", "bb", "ccc", "dddd", "ee", "f", "gg", "hhh")
+      val seps = Vector(" ", "  ", "\t", " \t ")
+      def phrase(n: Int): Seq[String] =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0L until 30L).map { id =>
+        // dup-heavy: ~40% of docs embed a phrase repeated 2-4× back to
+        // back (forces the count>=2 dup paths and max-product top paths)
+        val base = phrase(3 + rnd.nextInt(25))
+        val toks =
+          if (rnd.nextDouble() < 0.4) {
+            val p = phrase(2 + rnd.nextInt(10))
+            base ++ Seq.fill(2 + rnd.nextInt(3))(p).flatten
+          } else base
+        val text = toks.map(t => t + seps(rnd.nextInt(seps.size)))
+          .mkString.trim
+        (id, s"src${id % 3}", text.length.toLong, text)
+      }
+      val got = graft.ops.Curation.repetitionSignals(
+          docs.toDF("doc_id", "source", "n_chars", "text"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getLong(7)))
+        .toMap
+      docs.foreach { case (id, _, _, text) =>
+        val m = model(text.split("[\\t\\n\\f\\r ]+").toSeq)
+        assert(got(id) == m, s"seed=$seed doc=$id text='$text': " +
+          s"${got(id)} vs $m")
+      }
+    }
+  }
+
   test("null handling: null array -> null; null elements skipped like empties") {
     assert(RepCovsExpr(Literal.create(null, ArrayType(StringType, true)))
       .eval(null) == null)

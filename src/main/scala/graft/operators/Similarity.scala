@@ -222,11 +222,16 @@ object Similarity {
   // q49: the scale-path version of q36 — candidates from similarity
   //      structure (SRP bands) instead of a fixed-cardinality block, exact
   //      cosine verification, top-100 most similar candidate pairs.
-  //      Rows-only: the geometry ADAPTS to the corpus count (srpParams),
-  //      which a static oracle can't parameterize — but the q185 twin
-  //      below runs the identical pipeline at the pinned verify-corpus
-  //      geometry and is hash-green, and srpParams(500) == (11, 9) means
-  //      q185 ≡ q49 at the verify SF. Planted-dup recall + pruning ratio
+  //      HASH-CHECKED since r14 via the twin-derived oracle (verdict ask
+  //      #1 option b): the geometry ADAPTS to the corpus count
+  //      (srpParams), which a static oracle can't parameterize — but
+  //      srpParams(500) == (11, 9) is exactly q185's pinned geometry, so
+  //      at the 500-vector verify corpus q49 ≡ q185 row for row and
+  //      q185Sql IS q49's oracle. The equivalence is machine-checked:
+  //      SimilaritySpec's geometry-drift guard asserts srpParams(n) ==
+  //      (11, 9) on the fixture corpus AND q49 == q185 row-for-row, so a
+  //      fixture-size drift fails the suite loudly instead of silently
+  //      hash-mismatching the driver. Planted-dup recall + pruning ratio
   //      stay asserted in SimilaritySpec.
   def q49(s: SparkSession, dir: String): DataFrame =
     srpCandidatePairs(emb(s, dir))
@@ -806,17 +811,105 @@ object Similarity {
     rerankExact(e, top, queryVecDf(e.sparkSession, luts), k)
   }
 
-  // q98: PQ-ADC ANN (rows-only: learned double-Lloyd's codebooks aren't
-  //      expressible in the oracle; the rerankPool ≥ corpus ⇒ ≡ brute-force
-  //      contract and recall at defaults are pinned in SimilaritySpec — and
-  //      the train→encode→ADC-scan→rerank MECHANISM is hash-proven
-  //      end-to-end by the q184 fixed-point PQ twin).
+  // q98: PQ-ADC ANN — the PRODUCTION entry, on the fixed-point path since
+  //      r14 (verdict ask #1): integer-quantized codebooks at the old
+  //      production profile (m=8 subspaces, 16 centroids, rerank pool 40)
+  //      trained by the exact-integer Lloyd's the q184 twin hash-proved.
+  //      The scan shape is annPq's (the scale-right one): one narrow
+  //      corpus pass computes all m codes in a fused kernel
+  //      (IntCodesExpr), ADC scores ride a flat LUT reference object
+  //      (AdcScoreExpr — integer distances are exact in double, so the
+  //      codegen double sum IS the oracle's BIGINT sum), TopKPerKey cuts
+  //      the pool, exact cosine reranks. The float double-Lloyd's variant
+  //      stays available as [[annPq]] (spec-covered); this entry is
+  //      DuckDB-replayable end to end.
+  private val ProdPqM = 8
+  private val ProdPqK = 16
+  private val ProdPqPool = 40
+
+  /** Fixed-point PQ ANN from pre-trained integer books: integer codes
+    * with the annPq scan discipline. ADC scores are sums of exact-integer
+    * distances ≤ 2^53, carried as doubles through the fused AdcScoreExpr
+    * kernel — every value exact, every order engine-independent. */
+  private def annPqIntFromBooks(e: DataFrame, q: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], pool: Int,
+      nq: Int, k: Int): DataFrame = {
+    if (books.isEmpty || books.exists(_.isEmpty)) return pqTwinEmpty(e)
+    val lutRows = intAdcLutRows(q, books, nq)
+    if (lutRows.isEmpty) return pqTwinEmpty(e)
+    val qids = lutRows.map(_._1).distinct.sorted
+    // flat LUT in AdcScoreExpr layout: qid-major, then subspace, then cid
+    val flat = lutRows.sortBy(r => (r._1, r._2, r._3)).map(_._4.toDouble)
+      .toArray
+    val m = books.length
+    val kc = books.head.length
+    val encoded = q.select(col("vec_id"),
+      org.apache.spark.sql.graft.IntCodesExpr.column(col("qv"), books)
+        .as("codes"))
+    val scored = encoded
+      .select(col("vec_id"), col("codes"),
+        posexplode(typedlit(qids)).as(Seq("qidx", "qid")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        org.apache.spark.sql.graft.AdcScoreExpr.column(
+          col("codes"), col("qidx"), flat, m, kc).as("adc"))
+    val cut = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
+      Seq(("adc", true), ("nn_id", true)), pool)
+    pqTwinRerank(e, cut.select(col("qid"), col("nn_id")), nq, k)
+  }
+
+  /** Probe-ring-pruned fixed-point PQ (the mp64_pq audit leg): the
+    * compressed scan is ALSO gated to the multi-probe bucket ring before
+    * ADC scoring — the 100 TB shape for when even the compressed pass
+    * must shrink. Same integer books, codes and LUTs as
+    * [[annPqIntFromBooks]]; the ring comes from the double-margin
+    * multiProbeSet whose ranking the oracle replays literally. */
+  private def annMpPqInt(e: DataFrame, q: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], nProbes: Int,
+      pool: Int, nq: Int, k: Int): DataFrame = {
+    if (books.isEmpty || books.exists(_.isEmpty)) return pqTwinEmpty(e)
+    val lutRows = intAdcLutRows(q, books, nq)
+    if (lutRows.isEmpty) return pqTwinEmpty(e)
+    val qids = lutRows.map(_._1).distinct.sorted
+    val flat = lutRows.sortBy(r => (r._1, r._2, r._3)).map(_._4.toDouble)
+      .toArray
+    val m = books.length
+    val kc = books.head.length
+    val qidxMap = typedlit(qids.zipWithIndex.toMap)
+    // narrow scan: (vec_id, codes, bucket) — both fused kernels in the
+    // same corpus pass, no vector rides past this projection
+    val enc = e.select(col("vec_id"),
+      org.apache.spark.sql.graft.IntCodesExpr.column(
+        transform(col("v"), x => floor(x * lit(1000.0)).cast("long")),
+        books).as("codes"),
+      lshBucket(col("v")).as("bucket"))
+    val queries = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probeSet = multiProbeSet(queries, nProbes)
+      .select(col("qid"), col("cand"))
+    val scored = enc.join(broadcast(probeSet),
+        col("bucket") === col("cand") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"), col("codes"),
+        element_at(qidxMap, col("qid")).as("qidx"))
+      .select(col("qid"), col("nn_id"),
+        org.apache.spark.sql.graft.AdcScoreExpr.column(
+          col("codes"), col("qidx"), flat, m, kc).as("adc"))
+    val cut = org.apache.spark.sql.graft.TopKPerKey.of(scored, Seq("qid"),
+      Seq(("adc", true), ("nn_id", true)), pool)
+    pqTwinRerank(e, cut.select(col("qid"), col("nn_id")), nq, k)
+  }
+
   def q98(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    annPq(e, q, k = 3).orderBy(col("qid"), col("rn"))
+    val q = pqQuantized(e)
+    annPqIntFromBooks(e, q, pqBooksOf(q, ProdPqM, ProdPqK), ProdPqPool,
+      nq = 5, k = 3)
   }
+
+  lazy val q98Sql: String =
+    s"""WITH $quantCteSql,
+       |${pqChainSql("", ProdPqM, ProdPqK, ProdPqPool, 5)},
+       |${ivfTopKTailSql("pool")}""".stripMargin
 
   // ── q61: the ORACLE-ABLE SRP twin — the same candidate→verify pipeline
   //        as srpCandidatePairs/neardupLsh (sign projections → banded
@@ -955,12 +1048,15 @@ object Similarity {
     }
 
   /** Fixed-point Lloyd's over quantized vectors (vec_id, qv: array<long>):
-    * returns the K×Dim integer centroid matrix after TwinLloydIters,
-    * trained on the TwinTrainCap lowest vec_ids. */
-  private[graft] def twinLloydCentroids(q0: DataFrame): IndexedSeq[IndexedSeq[Long]] = {
+    * returns the k×Dim integer centroid matrix after TwinLloydIters,
+    * trained on the TwinTrainCap lowest vec_ids. k defaults to the twin
+    * geometry; the PRODUCTION fixed-point entries (q55/q128, r13 verdict
+    * ask #1) train the same mechanism at their own list count. */
+  private[graft] def twinLloydCentroids(q0: DataFrame,
+      k: Int = TwinLloydK): IndexedSeq[IndexedSeq[Long]] = {
     val q = q0.orderBy(col("vec_id")).limit(TwinTrainCap)
     var cents: IndexedSeq[IndexedSeq[Long]] =
-      q.orderBy(col("vec_id")).limit(TwinLloydK).collect()
+      q.orderBy(col("vec_id")).limit(k).collect()
         .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until TwinLloydIters if cents.nonEmpty) {
       // per-(cid, dim) integer sums: ≤ K·Dim = 1024 rows, bounded by
@@ -993,39 +1089,49 @@ object Similarity {
     cents
   }
 
-  def q183(s: SparkSession, dir: String): DataFrame = {
+  /** Shared fixed-point IVF query body: quantize → Lloyd's (kLists) →
+    * invert → probe TwinLloydProbe lists per probe query (vec_id < nq) →
+    * exact-cosine rerank to top-k. q183 runs it at the twin geometry
+    * (K=16); the PRODUCTION q55 at its own K=8 — same hash-proven
+    * mechanism, different list count (r13 verdict ask #1). */
+  private def ivfLloydTopK(s: SparkSession, dir: String, kLists: Int,
+      nq: Int = 5, k: Int = 3): DataFrame = {
     val e = emb(s, dir)
-    val q = e.select(col("vec_id"),
-      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
-    val cents = twinLloydCentroids(q)
+    val q = pqQuantized(e)
+    val cents = twinLloydCentroids(q, kLists)
     if (cents.isEmpty) // empty corpus → nothing to train on, empty top-k
-      return e.select(col("vec_id").as("qid"), col("vec_id").as("nn_id"),
-        lit(0.0).as("cos_sim"), lit(0L).as("rn")).limit(0)
+      return pqTwinEmpty(e)
     val lists = q
       .withColumn("cid", twinLloydAssign(cents))
       .select(col("vec_id").as("nn_id"), col("cid"))
-    val probes = q.filter(col("vec_id") < 5)
+    val probes = q.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"),
         explode(slice(array_sort(array(twinLloydDists(cents): _*)),
           1, TwinLloydProbe)).as("p"))
       .select(col("qid"), col("p").getField("c").as("cid"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
-    broadcast(probes).join(lists, Seq("cid"))
+    val cand = broadcast(probes).join(lists, Seq("cid"))
       .filter(col("nn_id") =!= col("qid"))
-      .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
-      .join(broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qvec"))), Seq("qid"))
-      .select(col("qid"), col("nn_id"),
-        round4(cosine(col("nv"), col("qvec"))).as("cos_sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .orderBy(col("qid"), col("rn"))
+      .select(col("qid"), col("nn_id"))
+    pqTwinRerank(e, cand, nq, k)
   }
 
-  /** Shared DuckDB prefix for the IVF twin (q183/q188): quantize →
-    * fixed-point Lloyd's → invert → probe. Ends with `cand(qid, nn_id)`;
-    * `e(vec_id, qv)` stays visible. */
-  private val ivfTwinPrefixSql: String = {
+  def q183(s: SparkSession, dir: String): DataFrame =
+    ivfLloydTopK(s, dir, TwinLloydK)
+
+  /** The quantized base CTE every fixed-point chain reads:
+    * `e(vec_id, qv)` over floor(v·1000) BIGINTs. */
+  private val quantCteSql: String =
+    """e AS (SELECT vec_id,
+      |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB fixed-point IVF chain (assumes `e(vec_id, qv)` is in scope):
+    * Lloyd's init (kLists lowest vec_ids) → TwinLloydIters iterations →
+    * final lists → nprobe lists per probe (vec_id < nq). Every CTE is
+    * prefixed with `ns` so several chains can coexist in one statement
+    * (q158 composes three). Ends with `${ns}cand(qid, nn_id)`. */
+  private def ivfChainSql(ns: String, kLists: Int, nq: Int,
+      nprobe: Int): String = {
     // integer squared-L2 between 64-dim BIGINT lists (1-based indexing)
     def sqdist(v: String, c: String): String =
       s"""list_sum([($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
@@ -1033,58 +1139,63 @@ object Similarity {
         .stripMargin
     // one Lloyd's iteration: assign to `cPrev`, integer-mean update → cNext
     def iter(n: Int, cPrev: String, cNext: String): String =
-      s"""d$n AS (
+      s"""${ns}d$n AS (
          |  SELECT e.vec_id, c.cid, ${sqdist("e.qv", "c.cv")} AS d
-         |  FROM et e, $cPrev c),
-         |a$n AS (
+         |  FROM ${ns}et e, $cPrev c),
+         |${ns}a$n AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         |    FROM d$n) WHERE rn = 1),
-         |s$n AS (
-         |  SELECT a$n.cid, i, sum(e.qv[CAST(i AS INT)]) AS s, count(*) AS n
-         |  FROM a$n JOIN et e USING (vec_id), range(1, 65) t(i)
-         |  GROUP BY a$n.cid, i),
-         |u$n AS (
+         |    FROM ${ns}d$n) WHERE rn = 1),
+         |${ns}s$n AS (
+         |  SELECT a.cid, i, sum(e.qv[CAST(i AS INT)]) AS s, count(*) AS n
+         |  FROM ${ns}a$n a JOIN ${ns}et e USING (vec_id), range(1, 65) t(i)
+         |  GROUP BY a.cid, i),
+         |${ns}u$n AS (
          |  SELECT cid, list((s + 1000 * n) // n - 1000 ORDER BY i) AS cv
-         |  FROM s$n GROUP BY cid),
+         |  FROM ${ns}s$n GROUP BY cid),
          |$cNext AS (
-         |  SELECT p.cid, coalesce(u$n.cv, p.cv) AS cv
-         |  FROM $cPrev p LEFT JOIN u$n USING (cid))""".stripMargin
-    s"""e AS (SELECT vec_id,
-       |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
-       |  FROM embeddings),
-       |et AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 4096),
-       |c0 AS (
+         |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+         |  FROM $cPrev p LEFT JOIN ${ns}u$n u USING (cid))""".stripMargin
+    s"""${ns}et AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 4096),
+       |${ns}c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-       |  FROM et ORDER BY vec_id LIMIT 16),
-       |${iter(1, "c0", "c1")},
-       |${iter(2, "c1", "c2")},
-       |df AS (
+       |  FROM ${ns}et ORDER BY vec_id LIMIT $kLists),
+       |${iter(1, s"${ns}c0", s"${ns}c1")},
+       |${iter(2, s"${ns}c1", s"${ns}c2")},
+       |${ns}df AS (
        |  SELECT e.vec_id, c.cid, ${sqdist("e.qv", "c.cv")} AS d
-       |  FROM e, c2 c),
-       |af AS (
+       |  FROM e, ${ns}c2 c),
+       |${ns}af AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM df) WHERE rn = 1),
-       |pr AS (
+       |    FROM ${ns}df) WHERE rn = 1),
+       |${ns}pr AS (
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM df WHERE vec_id < 5) WHERE rn <= 2),
-       |cand AS (
+       |    FROM ${ns}df WHERE vec_id < $nq) WHERE rn <= $nprobe),
+       |${ns}cand AS (
        |  SELECT pr.qid, af.vec_id AS nn_id
-       |  FROM pr JOIN af USING (cid) WHERE af.vec_id != pr.qid)""".stripMargin
+       |  FROM ${ns}pr pr JOIN ${ns}af af USING (cid)
+       |  WHERE af.vec_id != pr.qid)""".stripMargin
   }
 
-  val q183Sql: String =
-    s"""WITH $ivfTwinPrefixSql,
-       |sims AS (
+  /** Shared DuckDB prefix for the IVF twin (q183/q188/q190): the K=16
+    * chain at the twin geometry. Ends with `cand(qid, nn_id)`;
+    * `e(vec_id, qv)` stays visible. */
+  private lazy val ivfTwinPrefixSql: String =
+    s"""$quantCteSql,
+       |${ivfChainSql("", TwinLloydK, 5, TwinLloydProbe)}""".stripMargin
+
+  /** Shared exact-rerank SQL tail over a candidate relation. */
+  private def ivfTopKTailSql(candRel: String): String =
+    s"""sims AS (
        |  SELECT c.qid, c.nn_id,
        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
        |      b.embedding::DOUBLE[]) * 10000) / 10000.0 AS cos_sim
-       |  FROM cand c
+       |  FROM $candRel c
        |  JOIN embeddings a ON a.vec_id = c.nn_id
        |  JOIN embeddings b ON b.vec_id = c.qid),
        |ranked AS (
@@ -1093,6 +1204,10 @@ object Similarity {
        |  FROM sims)
        |SELECT qid, nn_id, cos_sim, rn FROM ranked WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
+
+  lazy val q183Sql: String =
+    s"""WITH $ivfTwinPrefixSql,
+       |${ivfTopKTailSql("cand")}""".stripMargin
 
   // ── q188: the IVF RECALL twin — q186's integer recall report over
   //         q183's probe candidate set, completing the pair: BOTH index
@@ -1460,12 +1575,71 @@ object Similarity {
     e.select(col("vec_id"),
       transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
 
-  /** Per-subspace fixed-point codebooks over the quantized corpus. */
-  private def pqTwinBooks(q: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
-    (0 until PqTwinM).map { sub =>
+  /** Per-subspace fixed-point codebooks over the quantized corpus —
+    * the straight-line reference form: m independent twinLloydCentroids
+    * runs over the sliced subvectors. Kept as the GOLDEN for
+    * [[pqBooksOf]] (SimilaritySpec pins equality), which fuses all m
+    * trainings into one distributed loop. */
+  private[graft] def pqBooksPerSubspace(q: DataFrame, m: Int,
+      kCent: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val sub = Dim / m
+    (0 until m).map { s =>
       twinLloydCentroids(q.select(col("vec_id"),
-        slice(col("qv"), sub * PqTwinSub + 1, PqTwinSub).as("qv")))
+        slice(col("qv"), s * sub + 1, sub).as("qv")), kCent)
     }.toIndexedSeq
+  }
+
+  /** Fused fixed-point PQ trainer: ALL m subspace codebooks in one Lloyd
+    * loop — per iteration ONE assignment pass (IntCodesExpr emits every
+    * subspace's argmin code in a single fused kernel call) and ONE
+    * bounded (m·k·sub rows) sum/count collect, instead of m independent
+    * trainings each paying init + 2×(assign job + collect). Bit-identical
+    * to [[pqBooksPerSubspace]]: same TwinTrainCap sample, same
+    * kCent-lowest-vec_ids init, same argmin/lowest-cid assignment, same
+    * floorDiv integer-mean update, same emptied-cluster carry. */
+  private[graft] def pqBooksOf(q0: DataFrame, m: Int,
+      kCent: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val sub = Dim / m
+    val q = q0.orderBy(col("vec_id")).limit(TwinTrainCap)
+    val seeds = q.orderBy(col("vec_id")).limit(kCent).collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      (0 until m).map(s =>
+        seeds.map(v => v.slice(s * sub, (s + 1) * sub))).toIndexedSeq
+    for (_ <- 0 until TwinLloydIters if seeds.nonEmpty) {
+      // per-(sub, cid, dim) integer sums: ≤ m·k·sub = Dim·k rows, bounded
+      val sums = q
+        .select(org.apache.spark.sql.graft.IntCodesExpr.column(
+            col("qv"), books).as("codes"),
+          posexplode(col("qv")).as(Seq("i", "x")))
+        .select(expr(s"i DIV $sub").cast("int").as("sub"),
+          element_at(col("codes"),
+            expr(s"i DIV $sub").cast("int") + 1).as("cid"),
+          expr(s"i % $sub").cast("int").as("j"), col("x"))
+        .groupBy(col("sub"), col("cid"), col("j"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val bySubCid = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.indices.map { s =>
+        books(s).indices.map { c =>
+          bySubCid.get((s, c)) match {
+            case Some(rows) => rows.sortBy(_.getInt(2)).map { r =>
+                // floorDiv on the shifted numerator — the
+                // twinLloydCentroids parity rule
+                Math.floorDiv(r.getLong(3) + 1000L * r.getLong(4),
+                  r.getLong(4)) - 1000L
+              }.toIndexedSeq
+            case None => books(s)(c)
+          }
+        }.toIndexedSeq
+      }.toIndexedSeq
+    }
+    books
+  }
+
+  /** Per-subspace fixed-point codebooks at the twin geometry (m=4, k=16). */
+  private def pqTwinBooks(q: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+    pqBooksOf(q, PqTwinM, TwinLloydK)
 
   /** All PqTwinM subspace codes in ONE fused codegen pass over the vector. */
   private def pqTwinCodes(q: DataFrame,
@@ -1480,22 +1654,26 @@ object Similarity {
     * engine-independent. Shared by the training twin (q184), the recall
     * twin (q186) and the persisted-index twin (q187). */
   private def pqTwinPoolOf(s: SparkSession, q: DataFrame, codes: DataFrame,
-      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame =
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], pool: Int = PqTwinPool,
+      nq: Int = 5): DataFrame =
     org.apache.spark.sql.graft.TopKPerKey.of(
-      pqTwinAdc(s, q, codes, books), Seq("qid"),
-      Seq("adc" -> true, "nn_id" -> true), PqTwinPool)
+      pqTwinAdc(s, q, codes, books, nq), Seq("qid"),
+      Seq("adc" -> true, "nn_id" -> true), pool)
 
-  /** Exact-cosine re-rank of a bounded pool to top-3 (round-4). */
-  private def pqTwinRerank(e: DataFrame, pool: DataFrame): DataFrame = {
+  /** Exact-cosine re-rank of a bounded pool to top-k (round-4), probes
+    * being vec_id < nq. Defaults are the twin geometry (5 probes, top-3);
+    * q158's legs rerank 20 probes to top-10 through the same body. */
+  private def pqTwinRerank(e: DataFrame, pool: DataFrame, nq: Int = 5,
+      k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
     pool
       .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
-      .join(broadcast(e.filter(col("vec_id") < 5)
+      .join(broadcast(e.filter(col("vec_id") < nq)
         .select(col("vec_id").as("qid"), col("v").as("qvec"))), Seq("qid"))
       .select(col("qid"), col("nn_id"),
         round4(cosine(col("nv"), col("qvec"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .orderBy(col("qid"), col("rn"))
   }
 
@@ -1505,21 +1683,33 @@ object Similarity {
 
   /** ADC scores (qid, nn_id, adc) before any pool cut — the ranked stream
     * [[pqTwinPoolOf]] truncates and the budget sweep (q191) ranks. */
-  private def pqTwinAdc(s: SparkSession, q: DataFrame, codes: DataFrame,
-      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): DataFrame = {
-    val qRows = q.filter(col("vec_id") < 5).orderBy(col("vec_id")).collect()
+  /** Driver-side integer distance LUT rows for the probe set (vec_id <
+    * nq): (qid, sub, cid, d) with d the exact BIGINT squared-L2 between
+    * the probe's subvector and the codebook centroid. Bounded: nq·m·k. */
+  private def intAdcLutRows(q: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nq: Int): Seq[(Long, Int, Int, Long)] = {
+    val m = books.length
+    val subw = if (m == 0) 0 else Dim / m
+    val qRows = q.filter(col("vec_id") < nq).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-    import s.implicits._
-    val lut = qRows.toIndexedSeq.flatMap { case (qid, qv) =>
-      (0 until PqTwinM).flatMap { sub =>
+    qRows.toIndexedSeq.flatMap { case (qid, qv) =>
+      (0 until m).flatMap { sub =>
         books(sub).zipWithIndex.map { case (cv, cid) =>
-          val d = (0 until PqTwinSub).map { i =>
-            val diff = qv(sub * PqTwinSub + i) - cv(i); diff * diff
+          val d = (0 until subw).map { i =>
+            val diff = qv(sub * subw + i) - cv(i); diff * diff
           }.sum
           (qid, sub, cid, d)
         }
       }
-    }.toDF("qid", "sub", "cid", "d")
+    }
+  }
+
+  private def pqTwinAdc(s: SparkSession, q: DataFrame, codes: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nq: Int = 5): DataFrame = {
+    import s.implicits._
+    val lut = intAdcLutRows(q, books, nq).toDF("qid", "sub", "cid", "d")
     codes.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy(col("qid"), col("nn_id")).agg(sum(col("d")).as("adc"))
       .filter(col("nn_id") =!= col("qid"))
@@ -1534,11 +1724,16 @@ object Similarity {
     pqTwinRerank(e, pqTwinPoolOf(s, q, pqTwinCodes(q, books), books))
   }
 
-  /** Shared DuckDB prefix for the PQ twins (q184/q186/q187): quantize →
-    * per-subspace fixed-point Lloyd's → encode → ADC scan → bounded pool.
-    * Ends with `pool(qid, nn_id)`; `e(vec_id, qv)` stays visible. */
-  private val pqTwinPrefixSql: String = {
-    val sub = PqTwinSub // 16 dims per subspace
+  /** DuckDB fixed-point PQ chain (assumes `e(vec_id, qv)` is in scope):
+    * per-subspace Lloyd's (kCent centroids, TwinLloydIters iterations) →
+    * encode → ADC scan over probes (vec_id < nq) → bounded pool. Every
+    * CTE is prefixed with `ns` so several chains can coexist in one
+    * statement (q158 composes this with the IVF and LSH chains). Ends
+    * with `${ns}pool(qid, nn_id)`; `${ns}codes`/`${ns}lut`/`${ns}adc`
+    * stay visible for the multiprobe-gated variant. */
+  private def pqChainSql(ns: String, m: Int, kCent: Int, pool: Int,
+      nq: Int): String = {
+    val sub = Dim / m
     // integer squared-L2 between `sub`-dim BIGINT lists
     def sqdist(v: String, c: String): String =
       s"""list_sum([($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
@@ -1566,13 +1761,13 @@ object Similarity {
          |  FROM $cPrev p LEFT JOIN ${p}u$n u USING (cid))""".stripMargin
     // full per-subspace chain: slice → init → 2 iters → encode + query LUT
     def subspace(k: Int): String = {
-      val p = s"s$k"
+      val p = s"${ns}s$k"
       val off = k * sub
       s"""e_$p AS (SELECT vec_id, qv[${off + 1}:${off + sub}] AS sv FROM e),
          |et_$p AS (SELECT vec_id, sv FROM e_$p ORDER BY vec_id LIMIT 4096),
          |${p}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
-         |  FROM et_$p ORDER BY vec_id LIMIT 16),
+         |  FROM et_$p ORDER BY vec_id LIMIT $kCent),
          |${iter(p, 1, s"${p}c0", s"${p}c1")},
          |${iter(p, 2, s"${p}c1", s"${p}c2")},
          |${p}df AS (
@@ -1584,35 +1779,39 @@ object Similarity {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
          |    FROM ${p}df) WHERE rn = 1),
          |${p}lut AS (
-         |  SELECT vec_id AS qid, cid, d FROM ${p}df WHERE vec_id < 5)"""
+         |  SELECT vec_id AS qid, cid, d FROM ${p}df WHERE vec_id < $nq)"""
         .stripMargin
     }
-    val subs = (0 until PqTwinM).map(subspace).mkString(",\n")
-    val codesU = (0 until PqTwinM)
-      .map(k => s"SELECT vec_id AS nn_id, $k AS sub, cid FROM s${k}ef")
+    val subs = (0 until m).map(subspace).mkString(",\n")
+    val codesU = (0 until m)
+      .map(k => s"SELECT vec_id AS nn_id, $k AS sub, cid FROM ${ns}s${k}ef")
       .mkString("\n  UNION ALL ")
-    val lutU = (0 until PqTwinM)
-      .map(k => s"SELECT qid, $k AS sub, cid, d FROM s${k}lut")
+    val lutU = (0 until m)
+      .map(k => s"SELECT qid, $k AS sub, cid, d FROM ${ns}s${k}lut")
       .mkString("\n  UNION ALL ")
-    s"""e AS (SELECT vec_id,
-       |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
-       |  FROM embeddings),
-       |$subs,
-       |codes AS (
+    s"""$subs,
+       |${ns}codes AS (
        |  $codesU),
-       |lut AS (
+       |${ns}lut AS (
        |  $lutU),
-       |adc AS (
+       |${ns}adc AS (
        |  SELECT l.qid, c.nn_id, sum(l.d) AS adc
-       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       |  FROM ${ns}codes c JOIN ${ns}lut l ON l.sub = c.sub AND l.cid = c.cid
        |  WHERE c.nn_id != l.qid
        |  GROUP BY l.qid, c.nn_id),
-       |pool AS (
+       |${ns}pool AS (
        |  SELECT qid, nn_id FROM (
        |    SELECT qid, nn_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS prn
-       |    FROM adc) WHERE prn <= $PqTwinPool)""".stripMargin
+       |    FROM ${ns}adc) WHERE prn <= $pool)""".stripMargin
   }
+
+  /** Shared DuckDB prefix for the PQ twins (q184/q186/q187): quantize →
+    * per-subspace fixed-point Lloyd's → encode → ADC scan → bounded pool.
+    * Ends with `pool(qid, nn_id)`; `e(vec_id, qv)` stays visible. */
+  private lazy val pqTwinPrefixSql: String =
+    s"""$quantCteSql,
+       |${pqChainSql("", PqTwinM, TwinLloydK, PqTwinPool, 5)}""".stripMargin
 
   val q184Sql: String =
     s"""WITH $pqTwinPrefixSql,
@@ -1791,27 +1990,117 @@ object Similarity {
     pqTwinRerank(e, pqTwinPoolOf(s, pqQuantized(e), codes, books))
   }
 
-  // q55: learned-list IVF ANN (rows-only: k-means centroids aren't
-  //      expressible in the oracle; nprobe=all ≡ brute force is asserted
-  //      in SimilaritySpec — and the MECHANISM train→invert→probe→rerank
-  //      is hash-proven end-to-end by the q183 fixed-point Lloyd's twin).
-  def q55(s: SparkSession, dir: String): DataFrame = {
+  // q55: learned-list IVF ANN — the PRODUCTION entry, on the fixed-point
+  //      Lloyd's path since r14 (verdict ask #1): integer-quantized
+  //      training is the standard reproducible-serving practice, and the
+  //      q183 twin had already hash-proven the mechanism — so the
+  //      registered query now trains K=8 lists with the same exact-integer
+  //      Lloyd's (init = 8 lowest vec_ids, 2 iterations, TwinTrainCap
+  //      sample), probes 2 lists, reranks by exact cosine. The float
+  //      MLlib-KMeans variant stays available as [[annIvfKmeans]] (spec-
+  //      covered); this entry is DuckDB-replayable end to end.
+  private val ProdIvfLists = 8
+
+  def q55(s: SparkSession, dir: String): DataFrame =
+    ivfLloydTopK(s, dir, ProdIvfLists)
+
+  lazy val q55Sql: String =
+    s"""WITH $quantCteSql,
+       |${ivfChainSql("", ProdIvfLists, 5, TwinLloydProbe)},
+       |${ivfTopKTailSql("cand")}""".stripMargin
+
+  // q41: IVF ANN over the label lists with an INTEGER-QUANTIZED probe
+  //      index — the production entry, hash-exact since r14 (verdict ask
+  //      #1). The coarse index is the per-label integer centroid SUM of
+  //      floor(v·1000) coordinates (cosine is scale-invariant, so the
+  //      1/n and 10⁻³ factors cancel — the q77 discipline): sums are
+  //      order-independent BIGINTs, the probe score is exact decimal
+  //      arithmetic with ONE identical double expression at the end, and
+  //      the rerank is the usual round-4 exact cosine. The float
+  //      double-mean variant stays available as [[annIvf]] (spec-covered).
+  //      Scale shape: centroid sums are ONE map-side-combinable hash
+  //      aggregate (64 sums per label, no posexplode of the corpus); the
+  //      probe math runs on the tiny queries×labels frame; candidates are
+  //      a broadcast label join + one corpus scan.
+  private def ivfLabelIntTopK(s: SparkSession, dir: String, nq: Int,
+      k: Int): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    annIvfKmeans(e, q, k = 3).orderBy(col("qid"), col("rn"))
+    val ql = e.select(col("vec_id"), col("label"),
+      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
+    val cent = ql.groupBy(col("label"))
+      .agg(array((0 until Dim).map(i => sum(col("qv").getItem(i))): _*).as("cs"))
+    val qs = ql.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("qv"))
+    // probe scores on the (queries × labels) frame only: exact decimal
+    // dot/norms (the q77 widening — centroid sums reach ~1e12 at 1e9
+    // rows/label, so products overflow int64), one double division at
+    // the end. All-zero centroid → -2.0 (below any cosine).
+    val sc = qs.crossJoin(broadcast(cent))
+      .select(col("qid"), col("label"),
+        posexplode(arrays_zip(col("qv"), col("cs"))).as(Seq("i", "z")))
+      .select(col("qid"), col("label"),
+        col("z.qv").as("x"), col("z.cs").as("y"))
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("x").cast("decimal(38,0)") * col("y")).as("dot"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("na"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("nb"))
+    val wq = Window.partitionBy(col("qid")).orderBy(desc("c_sim"), col("label"))
+    val probed = sc
+      .withColumn("c_sim", when(col("nb") === 0, lit(-2.0))
+        .otherwise(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("label"))
+    val cand = e.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"))
+    pqTwinRerank(e, cand, nq, k)
   }
 
-  // q41: IVF ANN for the first 5 query vectors (rows-only: double-mean
-  //      centroids aren't bit-reproducible in the oracle; within-list
-  //      cosines are verified against brute force in SimilaritySpec, and
-  //      the IVF mechanism is hash-proven by the q183 fixed-point twin).
-  def q41(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    annIvf(e, q, k = 3).orderBy(col("qid"), col("rn"))
-  }
+  def q41(s: SparkSession, dir: String): DataFrame =
+    ivfLabelIntTopK(s, dir, nq = 5, k = 3)
+
+  /** DuckDB chain for the integer label-IVF probe (assumes a base
+    * `le(vec_id, label, v, qv)` CTE): per-label integer sums → exact
+    * HUGEINT probe scores → top-2 labels per probe. Ends with
+    * `${ns}cand(qid, nn_id)`. */
+  private def labelIvfChainSql(ns: String, nq: Int): String =
+    s"""${ns}cd AS (
+       |  SELECT label, i, sum(qv[CAST(i AS INT)]) AS sv
+       |  FROM le, range(1, 65) t(i) GROUP BY 1, 2),
+       |${ns}qd AS (
+       |  SELECT vec_id AS qid, i, qv[CAST(i AS INT)] AS x
+       |  FROM le, range(1, 65) t(i) WHERE vec_id < $nq),
+       |${ns}sc AS (
+       |  SELECT q.qid, c.label,
+       |    sum(CAST(q.x AS HUGEINT) * c.sv) AS dot,
+       |    sum(CAST(q.x AS HUGEINT) * q.x) AS na,
+       |    sum(CAST(c.sv AS HUGEINT) * c.sv) AS nb
+       |  FROM ${ns}qd q JOIN ${ns}cd c USING (i) GROUP BY 1, 2),
+       |${ns}pr AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        CASE WHEN nb = 0 THEN -2.0
+       |             ELSE CAST(dot AS DOUBLE)
+       |                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+       |        END DESC, label) AS crn
+       |    FROM ${ns}sc) WHERE crn <= 2),
+       |${ns}cand AS (
+       |  SELECT p.qid, x.vec_id AS nn_id
+       |  FROM le x JOIN ${ns}pr p ON x.label = p.label
+       |  WHERE x.vec_id != p.qid)""".stripMargin
+
+  private val labelBaseCteSql: String =
+    """le AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    [CAST(floor(x*1000) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+      |  FROM embeddings)""".stripMargin
+
+  lazy val q41Sql: String =
+    s"""WITH $labelBaseCteSql,
+       |${labelIvfChainSql("", 5)},
+       |${ivfTopKTailSql("cand")}""".stripMargin
 
   // q38: LSH ANN for the first 5 query vectors. Oracle-green since
   //      round 9: the seeded hyperplanes are deterministic CONSTANTS, so
@@ -2024,11 +2313,49 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // q128: ANN over a PERSISTED index artifact — the production lifecycle
+  //      entry (build once → parquet → queries only SCAN), on the fixed-
+  //      point path since r14 (verdict ask #1): the artifacts are q55's
+  //      K=8 integer Lloyd's state — centroids as (cid, cv) rows, inverted
+  //      lists as (nn_id, cid), exactly what a 100 TB deployment stores —
+  //      and the query path reads them (bounded centroid collect, K×Dim
+  //      rows), probes 2 lists and reranks. No retraining, no model
+  //      object. Oracle = q55Sql VERBATIM: a green hash proves the
+  //      persistence cycle loses nothing (the q189 proof at the
+  //      production list count). The float MLlib artifact path stays
+  //      available as [[ivfIndexTable]]/[[annWithIndex]] (spec-covered).
   def q128(s: SparkSession, dir: String): DataFrame = {
-    val q = emb(s, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    annWithIndex(ivfIndexTable(s, dir), q, k = 3, nprobe = 2)
-      .orderBy(col("qid"), col("rn"))
+    import s.implicits._
+    val centsPath = graft.Fixtures.path("ivfprod_cents", dir) {
+      twinLloydCentroids(pqQuantized(emb(s, dir)), ProdIvfLists)
+        .zipWithIndex.map { case (cv, cid) => (cid, cv) }.toDF("cid", "cv")
+    }
+    // centroids from the ARTIFACT (bounded: ≤ K rows), never retrained
+    def readCents(): IndexedSeq[IndexedSeq[Long]] =
+      s.read.parquet(centsPath).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1).map(_._2).toIndexedSeq
+    val listsPath = graft.Fixtures.path("ivfprod_lists", dir) {
+      val cents = readCents()
+      if (cents.isEmpty) Seq.empty[(Long, Int)].toDF("nn_id", "cid")
+      // assign against the PERSISTED centroids, so lists ≡ artifact state
+      else pqQuantized(emb(s, dir))
+        .withColumn("cid", twinLloydAssign(cents))
+        .select(col("vec_id").as("nn_id"), col("cid"))
+    }
+    val e = emb(s, dir)
+    val cents = readCents()
+    if (cents.isEmpty) return pqTwinEmpty(e)
+    val lists = s.read.parquet(listsPath)
+    val probes = pqQuantized(e).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        explode(slice(array_sort(array(twinLloydDists(cents): _*)),
+          1, TwinLloydProbe)).as("p"))
+      .select(col("qid"), col("p").getField("c").as("cid"))
+    val cand = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"))
+    pqTwinRerank(e, cand)
   }
 
   // ── q166: ORACLE twin for the persisted-index lifecycle (q128's gap —
@@ -2331,18 +2658,32 @@ object Similarity {
   // ── q158: ANN recall AUDIT as a first-class query — the number an index
   //         owner actually watches: recall@10 of each approximate path
   //         (sign-bucket LSH single-probe and multi-probe at 9 and 64
-  //         probes, label-IVF, k-means-IVF) against the exact
-  //         brute-force top-10, per probe. The brute baseline is one
-  //         corpus scan with the 20 probes broadcast; each approximate leg
-  //         reuses the production operator unchanged, and the comparison
-  //         is a left-semi join on (qid, nn_id) — so the audit costs one
-  //         extra corpus pass however many methods it scores. Rows-only
-  //         (LSH/IVF internals are seeded/learned, not SQL-expressible);
-  //         SimilaritySpec pins recall floors per method.
+  //         probes, label-IVF, k-means-IVF, PQ rerank, probe-pruned PQ)
+  //         against the exact brute-force top-10, per probe. The brute
+  //         baseline is one corpus scan with the 20 probes broadcast;
+  //         each approximate leg reuses its production mechanism, and the
+  //         comparison is a left-semi join on (qid, nn_id) — so the audit
+  //         costs one extra corpus pass however many methods it scores.
+  //         HASH-GREEN since r14 (verdict ask #1): every audited leg is
+  //         now the hash-exact production path — the LSH legs replay the
+  //         seeded plane literals (the q38 discipline; the multi-probe
+  //         ring replays the margin ranking with the identical
+  //         left-to-right double folds), the IVF legs are the integer
+  //         label index (q41) and the K=8 fixed-point Lloyd's (q55), and
+  //         the compressed legs share ONE m=16/kCent=64 fixed-point
+  //         codebook fit (rich books: the ≥70%-recall rerank path at a 4%
+  //         full-precision budget; mp64_pq prunes the same scan to the
+  //         64-bucket probe ring and reads the probe-pool ceiling —
+  //         pinning WHY scan pruning is the lever you spend last).
+  private val AuditNq = 20
+  private val RichPqM = 16
+  private val RichPqK = 64
+  private val RichPqPool = 80
+
   def q158(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val k = 10
-    val probes = e.filter(col("vec_id") < 20)
+    val probes = e.filter(col("vec_id") < AuditNq)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
     val brute = e.crossJoin(broadcast(probes))
@@ -2363,29 +2704,132 @@ object Similarity {
     leg("lsh", annLsh(e, probes, k))
       .unionByName(leg("lsh_mp9", annLshMultiProbe(e, probes, k, 9)))
       .unionByName(leg("lsh_mp64", annLshMultiProbe(e, probes, k, 64)))
-      .unionByName(leg("ivf", annIvf(e, probes, k)))
-      .unionByName(leg("ivf_kmeans", annIvfKmeans(e, probes, k)))
-      // r9 legs: the compressed-domain pair. pq_rerank = full ADC scan
-      // over m=16/kCent=64 codebooks + exact re-rank of the top 80 — the
-      // ≥70%-recall path at a 4% full-precision budget (80/2000 exact
-      // cosines per query; measured 0.93 pool-retention offline).
-      // mp64_pq = the same codebooks with the compressed scan ALSO pruned
-      // to the 64-bucket probe ring — recall reads the probe-pool ceiling
-      // (≈46%), pinning WHY scan pruning is the lever you spend last.
+      .unionByName(leg("ivf", ivfLabelIntTopK(s, dir, AuditNq, k)))
+      .unionByName(leg("ivf_kmeans",
+        ivfLloydTopK(s, dir, ProdIvfLists, AuditNq, k)))
       .unionByName {
-        // ONE m=16/kCent=64 codebook fit shared by both compressed legs
-        // (each would otherwise pay the full driver-side Lloyd pass —
-        // the 50× rehearsal measured the duplicate fit as the query's
-        // dominant cost).
-        val books =
-          if (e.isEmpty) None else Some(pqTrain(e, m = 16, k = 64))
+        // ONE rich fixed-point codebook fit shared by both compressed
+        // legs (each would otherwise pay the full bounded Lloyd pass).
+        val q = pqQuantized(e)
+        val books = pqBooksOf(q, RichPqM, RichPqK)
         leg("pq_rerank",
-          annPq(e, probes, k, m = 16, kCent = 64, rerankPool = 80,
-            trained = books))
+          annPqIntFromBooks(e, q, books, RichPqPool, AuditNq, k))
           .unionByName(leg("mp64_pq",
-            annLshMultiProbePq(e, probes, k, 64, trained = books)))
+            annMpPqInt(e, q, books, 64, RichPqPool, AuditNq, k)))
       }
       .orderBy(col("method"), col("qid"))
+  }
+
+  /** q158's oracle: every leg replayed — the plane-literal LSH buckets
+    * and margin-ranked probe ring (double arithmetic with the identical
+    * fold order, the q38 discipline), the integer label-IVF and K=8
+    * fixed-point Lloyd's chains, and the shared m=16/k=64 fixed-point PQ
+    * chain feeding both the full-scan rerank leg and the ring-gated leg.
+    * Composed from the namespaced chain builders; ends as the 7-leg
+    * UNION ALL of per-probe hit counts against the exact brute top-10. */
+  lazy val q158Sql: String = {
+    def planeDot(p: Int, v: String): String =
+      (0 until Dim).map(i => s"$v[${i + 1}]*(${planes(p)(i)})")
+        .mkString(" + ")
+    def bucketExpr(v: String): String =
+      (0 until NumPlanes).map(p =>
+        s"(CASE WHEN ${planeDot(p, v)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n    + ")
+    val mgList = (0 until NumPlanes).map(p => planeDot(p, "v"))
+      .mkString(",\n    ")
+    // the flip-cost sum replays multiProbeSet's left-to-right reduce
+    val flipCost = (0 until NumPlanes).map(j =>
+      s"(CASE WHEN (xor(cand, qb) & ${1L << j}) != 0 " +
+        s"THEN abs(mg[${j + 1}]) ELSE 0.0 END)")
+      .mkString("\n      + ")
+    // candidate relation (qid, nn_id) → its exact-cosine top-10 set
+    def exactTop10(name: String, candRel: String): String =
+      s"""${name}_s AS (
+         |  SELECT c.qid, c.nn_id,
+         |    round(list_cosine_similarity(a.v, b.v) * 10000) / 10000.0 AS cs
+         |  FROM $candRel c
+         |  JOIN le a ON a.vec_id = c.nn_id
+         |  JOIN le b ON b.vec_id = c.qid),
+         |$name AS (
+         |  SELECT qid, nn_id FROM (
+         |    SELECT qid, nn_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nn_id) AS rn
+         |    FROM ${name}_s) WHERE rn <= 10)""".stripMargin
+    def legSelect(method: String, candRel: String): String =
+      s"""SELECT '$method' AS method, q.qid,
+         |  CAST(coalesce(h.h, 0) AS BIGINT) AS hits_at_10
+         |FROM (SELECT vec_id AS qid FROM le WHERE vec_id < $AuditNq) q
+         |LEFT JOIN (
+         |  SELECT b.qid, count(*) AS h
+         |  FROM brute b JOIN $candRel c ON c.qid = b.qid AND c.nn_id = b.nn_id
+         |  GROUP BY b.qid) h USING (qid)""".stripMargin
+    val legs = Seq(
+      "lsh" -> "lsh10", "lsh_mp9" -> "mp9t", "lsh_mp64" -> "mp64t",
+      "ivf" -> "iv10", "ivf_kmeans" -> "ik10",
+      "pq_rerank" -> "pq10", "mp64_pq" -> "mpq10")
+      .map { case (m, rel) => legSelect(m, rel) }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $labelBaseCteSql,
+       |e AS (SELECT vec_id, qv FROM le),
+       |qsb AS (SELECT vec_id AS qid, v FROM le WHERE vec_id < $AuditNq),
+       |bs AS (
+       |  SELECT q.qid, x.vec_id AS nn_id,
+       |    round(list_cosine_similarity(x.v, q.v) * 10000) / 10000.0 AS cs
+       |  FROM le x, qsb q WHERE x.vec_id != q.qid),
+       |brute AS (
+       |  SELECT qid, nn_id FROM (
+       |    SELECT qid, nn_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nn_id) AS rn
+       |    FROM bs) WHERE rn <= 10),
+       |bkt AS (SELECT vec_id, v,
+       |    ${bucketExpr("v")} AS bucket
+       |  FROM le),
+       |lshc AS (
+       |  SELECT p.vec_id AS qid, x.vec_id AS nn_id
+       |  FROM bkt x JOIN bkt p ON x.bucket = p.bucket
+       |  WHERE p.vec_id < $AuditNq AND x.vec_id != p.vec_id),
+       |${exactTop10("lsh10", "lshc")},
+       |mg AS (SELECT vec_id AS qid, bucket AS qb,
+       |    [$mgList] AS mg
+       |  FROM bkt WHERE vec_id < $AuditNq),
+       |ring AS (
+       |  SELECT qid, cand, row_number() OVER (PARTITION BY qid ORDER BY
+       |      $flipCost,
+       |      cand) AS prn
+       |  FROM mg, range(0, ${1L << NumPlanes}) t(cand)),
+       |mp9c AS (
+       |  SELECT r.qid, x.vec_id AS nn_id
+       |  FROM bkt x JOIN ring r ON x.bucket = r.cand AND r.prn <= 9
+       |  WHERE x.vec_id != r.qid),
+       |${exactTop10("mp9t", "mp9c")},
+       |mp64c AS (
+       |  SELECT r.qid, x.vec_id AS nn_id
+       |  FROM bkt x JOIN ring r ON x.bucket = r.cand AND r.prn <= 64
+       |  WHERE x.vec_id != r.qid),
+       |${exactTop10("mp64t", "mp64c")},
+       |${labelIvfChainSql("iv_", AuditNq)},
+       |${exactTop10("iv10", "iv_cand")},
+       |${ivfChainSql("ik_", ProdIvfLists, AuditNq, TwinLloydProbe)},
+       |${exactTop10("ik10", "ik_cand")},
+       |${pqChainSql("pq_", RichPqM, RichPqK, RichPqPool, AuditNq)},
+       |${exactTop10("pq10", "pq_pool")},
+       |mpadc AS (
+       |  SELECT l.qid, c.nn_id, sum(l.d) AS adc
+       |  FROM pq_codes c
+       |  JOIN pq_lut l ON l.sub = c.sub AND l.cid = c.cid
+       |  JOIN bkt b ON b.vec_id = c.nn_id
+       |  JOIN ring r ON r.qid = l.qid AND r.cand = b.bucket AND r.prn <= 64
+       |  WHERE c.nn_id != l.qid
+       |  GROUP BY l.qid, c.nn_id),
+       |mppool AS (
+       |  SELECT qid, nn_id FROM (
+       |    SELECT qid, nn_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS prn
+       |    FROM mpadc) WHERE prn <= $RichPqPool),
+       |${exactTop10("mpq10", "mppool")}
+       |SELECT method, qid, hits_at_10 FROM (
+       |$legs
+       |) ORDER BY method, qid""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2419,6 +2863,18 @@ object Similarity {
     "q98_ann_pq" -> q98)
 
   val oracle: Map[String, String] = Map(
+    // the r14 ask-#1 closes: the production ANN entries run the
+    // hash-proven fixed-point/integer paths, each with a real oracle
+    "q41_ann_ivf" -> q41Sql,
+    "q55_ann_ivf_kmeans" -> q55Sql,
+    "q98_ann_pq" -> q98Sql,
+    // artifact re-read ≡ fresh training at the production list count
+    "q128_ann_persisted" -> q55Sql,
+    "q158_ann_recall" -> q158Sql,
+    // q49 ≡ q185 at the verify corpus: srpParams(500) == (11, 9) is
+    // machine-pinned in SimilaritySpec (geometry-drift guard), so the
+    // twin's literal-plane oracle carries the adaptive production entry
+    "q49_neardup_lsh" -> q185Sql,
     "q140_hard_negatives" -> q140Sql,
     "q166_ann_index_twin" -> q166Sql,
     "q169_index_maintain" -> q169Sql,

@@ -79,19 +79,52 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
-  test("q98: PQ encoding runs as one fused pq_encode expression") {
+  test("q98: fixed-point PQ runs fused int_codes + adc_score kernels, " +
+    "pool cut by TopKPerKey — no interpreted folds, no cartesian") {
     val p = plan(graft.operators.Similarity.q98(spark, sfDir))
-    assert(p.contains("pq_encode"), p)
-    // no interpreted per-centroid HOF folds left in the encode path
+    assert(p.contains("int_codes"), p)
+    assert(p.contains("adc_score"), p)
+    assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("aggregate(zip_with"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q41: IVF centroids are one aggregate — no posexplode shuffle") {
-    val p = plan(graft.operators.Similarity.q41(spark, sfDir))
-    // the old shape exploded v to n·dim rows (Generate) and re-assembled
-    // with collect_list; both must be gone
-    assert(!p.contains("Generate"), p)
+  test("q41: integer centroid sums are one aggregate — the only explode " +
+    "is the bounded probe×label frame, nothing re-assembles with collect_list") {
+    val df = graft.operators.Similarity.q41(spark, sfDir)
+    val p = plan(df)
     assert(!p.contains("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one Generate: the probe-side posexplode over queries×labels
+    // (bounded); a corpus-side explode would mean the n·dim shuffle came back
+    val gens = df.queryExecution.sparkPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size <= 1, gens.mkString("\n"))
+  }
+
+  test("q55/q128: fixed-point IVF assignment is the fused int_codes " +
+    "kernel, probes broadcast — no cartesian, no retraining in q128") {
+    for (q <- Seq(graft.operators.Similarity.q55 _,
+        graft.operators.Similarity.q128 _)) {
+      val p = plan(q(spark, sfDir))
+      assert(p.contains("BroadcastExchange"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // the training-side assignment kernel is in q55's plan; q128's query
+    // path only scans its artifacts (the probe explode is query-side)
+    assert(plan(graft.operators.Similarity.q55(spark, sfDir))
+      .contains("int_codes"))
+  }
+
+  test("q158: every audit leg keeps its fused kernels (srp_signature, " +
+    "int_codes, adc_score) and the TopKPerKey pool cut — no cartesian") {
+    val p = plan(graft.operators.Similarity.q158(spark, sfDir))
+    assert(p.contains("srp_signature"), p)
+    assert(p.contains("int_codes"), p)
+    assert(p.contains("adc_score"), p)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q52: hash-ranked exact-n sample compiles to TakeOrderedAndProject") {

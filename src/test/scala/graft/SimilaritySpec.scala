@@ -74,6 +74,19 @@ class SimilaritySpec extends SparkTestBase {
       "probing every list must reduce IVF to exact kNN")
   }
 
+  test("pqBooksOf (fused multi-subspace trainer) == per-subspace " +
+    "twinLloydCentroids golden, at the twin and the rich audit configs") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(1000.0)).cast("long")).as("qv"))
+    for ((m, k) <- Seq((4, 16), (8, 16), (16, 64))) {
+      val fused = Similarity.pqBooksOf(q, m, k)
+      val golden = Similarity.pqBooksPerSubspace(q, m, k)
+      assert(fused == golden, s"fused trainer diverged at m=$m k=$k")
+    }
+  }
+
   test("q183 fixed-point Lloyd's twin: recall vs brute force, Lloyd's moves the centroids") {
     val rows = Similarity.q183(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -314,7 +327,9 @@ class SimilaritySpec extends SparkTestBase {
     // for the 500-vector fixture — so on this corpus the twin must equal
     // the adaptive query ROW FOR ROW. If the fixture size ever drifts out
     // of srpParams' (11, 9) regime this guard fails loudly instead of the
-    // twin silently weakening.
+    // twin silently weakening. Since r14 this equivalence CARRIES q49's
+    // oracle (q49 registers q185Sql — verdict ask #1 option b), so this
+    // test is the machine check that keeps that registration honest.
     val n = Tables.embeddings(spark, sfDir).count()
     assert(Similarity.srpParams(n) == (11, 9),
       s"verify-corpus geometry drifted: srpParams($n) != (11, 9)")

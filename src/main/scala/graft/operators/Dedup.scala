@@ -209,21 +209,47 @@ object Dedup {
   private[graft] val MaxExactRowsDefault = 50000000L
 
   /** Fail fast when an audit-only exact leg is pointed at a corpus above
-    * its cap. Counts at most cap+1 rows (limit pushes down). */
+    * its cap. Counts at most cap+1 rows of the FIRST column only — the
+    * non-terminal Limit plans a single-partition shuffle, so counting a
+    * wide relation (text payloads, member arrays) through it costs real
+    * wall time (measured ~1s on q54's groups frame); a narrow column
+    * keeps the gate at scheduling noise. PASSED gates memoize per JVM on
+    * the canonical plan: the gate is a misuse TRIPWIRE, not a
+    * per-invocation recount — bench/rehearsal loops re-invoke the same
+    * query dozens of times per session and must not pay the bounded
+    * count (2 extra jobs) every time. Data growing under an identical
+    * plan within one driver session won't re-trip; a new session (or a
+    * changed cap) re-checks. */
+  private val auditGatePassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+
   private[graft] def requireAuditScale(rel: DataFrame, what: String,
       confKey: String, default: Long, production: String): Unit = {
     val cap = rel.sparkSession.conf.getOption(confKey)
       .map(_.toLong).getOrElse(default)
-    val n = rel.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    val key = (rel.queryExecution.analyzed.semanticHash(), cap)
+    if (auditGatePassed.contains(key)) return
+    val n = rel.select(col(rel.columns.head))
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
     require(n <= cap,
       s"$what is an audit-only exact form and was given > $cap rows " +
         s"(conf $confKey). At this scale use the production path " +
         s"($production), or raise $confKey deliberately for a larger audit.")
+    auditGatePassed.add(key): Unit
   }
 
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      gram: Int = 1): DataFrame =
-    jaccardPairsFromGroups(textGroups(docs, textCol, idCol), gram)
+      gram: Int = 1): DataFrame = {
+    // gate on the RAW input id column — |docs| ≥ |unique reps|, so this
+    // is the same tripwire evaluated without paying the sha-groupBy
+    // collapse first (a clone-heavy over-cap corpus whose reps WOULD fit
+    // raises the conf deliberately); one narrow bounded scan, no shuffle
+    requireAuditScale(docs.select(col(idCol)),
+      "jaccardPairs (exact shingle Jaccard)",
+      MaxRepsConf, MaxRepsDefault,
+      "Dedup.minhashDedupIds / repJaccardEdges banded candidates")
+    jaccardPairsUngated(textGroups(docs, textCol, idCol), gram)
+  }
 
   /** jaccardPairs over an ALREADY-BUILT textGroups frame — lets ledger
     * callers pay the scan+digest collapse once and reuse it for exact-rep
@@ -232,9 +258,14 @@ object Dedup {
     * best-effort exchange reuse (see that function's comment for the
     * observed failure mode). */
   def jaccardPairsFromGroups(groups: DataFrame, gram: Int): DataFrame = {
-    requireAuditScale(groups, "jaccardPairs (exact shingle Jaccard)",
+    requireAuditScale(groups.select(col("rep")),
+      "jaccardPairs (exact shingle Jaccard)",
       MaxRepsConf, MaxRepsDefault,
       "Dedup.minhashDedupIds / repJaccardEdges banded candidates")
+    jaccardPairsUngated(groups, gram)
+  }
+
+  private def jaccardPairsUngated(groups: DataFrame, gram: Int): DataFrame = {
     val (repPairs, sizes) = repPairStats(groups, gram)
     expandGroupPairs(repPairs, groups, sizes)
   }

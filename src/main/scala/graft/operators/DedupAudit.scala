@@ -28,12 +28,15 @@ object DedupAudit {
   //        analytic prediction for this geometry (b=4, r=2) at s=τ.
   def q179(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
     // the exact all-pairs truth leg below is the documented audit-only
-    // side — fail fast above the rep cap instead of running quadratic
-    Dedup.requireAuditScale(groups, "q179's exact trigram-Jaccard truth leg",
+    // side — fail fast above the rep cap instead of running quadratic.
+    // Gated on the raw doc_id column (≥ unique reps): one narrow bounded
+    // scan before the sha-groupBy collapse runs at all.
+    Dedup.requireAuditScale(documents(s, dir).select(col("doc_id")),
+      "q179's exact trigram-Jaccard truth leg",
       Dedup.MaxRepsConf, Dedup.MaxRepsDefault,
       "the banded candidate leg / q174's analytic planner")
+    val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
     // ONE shingle relation feeds both sides (persisted: truth self-join
     // x/y + sizes + the signature aggregate all read it) — the audit's
     // candidate and truth legs must share a feature space anyway, so

@@ -996,8 +996,9 @@ object Similarity {
   // ── q183: the ORACLE-ABLE IVF twin — fixed-point Lloyd's k-means with
   //        every training step in EXACT integer arithmetic (the q61
   //        integer-SRP discipline applied to LEARNED state, closing the
-  //        "centroid means aren't bit-reproducible" gap that keeps
-  //        q41/q55 rows-only):
+  //        "centroid means aren't bit-reproducible" gap that kept
+  //        q41/q55 rows-only through r13 — and whose machinery the
+  //        production entries run on since r14):
   //        * vectors quantize as floor(v_i·1000) BIGINTs (exact in both
   //          engines — float32·1000 fits a double mantissa);
   //        * init: the quantized vectors of the 16 lowest vec_ids,
@@ -1549,7 +1550,8 @@ object Similarity {
 
   // ── q184: the ORACLE-ABLE PQ/ADC twin — q183's fixed-point Lloyd's
   //        applied PER SUBSPACE, hash-proving the product-quantization
-  //        mechanism behind the rows-only q98/q128/q158 compressed legs:
+  //        mechanism behind the q98/q128/q158 compressed legs (rows-only
+  //        through r13; running on this machinery since r14):
   //        * 4 subspaces of 16 dims; each trains its own integer codebook
   //          (k=16, 2 unrolled fixed-point Lloyd's iterations — the exact
   //          q183 update rule on the sliced subvectors);
@@ -1566,8 +1568,7 @@ object Similarity {
   //        The production path stays annPq (double Lloyd's, rich
   //        codebooks, codegen'd flat-literal LUTs); this twin replays
   //        train → encode → ADC-scan → rerank end-to-end in DuckDB.
-  private val PqTwinM = 4
-  private val PqTwinSub = Dim / PqTwinM // 16
+  private val PqTwinM = 4 // 4 subspaces of Dim/4 = 16 dims
   private val PqTwinPool = 20
 
   /** floor(v·1000) quantization — the twins' exact-integer domain. */
@@ -1832,9 +1833,9 @@ object Similarity {
   // ── q186: the REPLAYABLE RECALL twin — recall@10 of the fixed-point
   //         PQ/ADC candidate pool (q184's exact-integer machinery) against
   //         exact integer brute force, BOTH legs DuckDB-replayable. This
-  //         converts the one rows-only MEASURE left in the ANN family
-  //         (q158's recall audit rides on seeded/learned internals) into a
-  //         hash-green proof: the number an index owner watches —
+  //         converted the then-rows-only MEASURE in the ANN family (r13's
+  //         q158 rode on seeded/learned internals; since r14 q158 itself
+  //         is hash-green) into a proof: the number an index owner watches —
   //         "how much of the true top-k does the compressed scan keep" —
   //         is itself reproduced bit-for-bit by a second engine. The brute
   //         leg is integer squared-L2 over the quantized vectors (exact in

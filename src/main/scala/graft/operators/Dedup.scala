@@ -224,13 +224,24 @@ object Dedup {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
 
   private[graft] def requireAuditScale(rel: DataFrame, what: String,
-      confKey: String, default: Long, production: String): Unit = {
+      confKey: String, default: Long, production: String,
+      exactRel: Option[DataFrame] = None): Unit = {
     val cap = rel.sparkSession.conf.getOption(confKey)
       .map(_.toLong).getOrElse(default)
     val key = (rel.queryExecution.analyzed.semanticHash(), cap)
     if (auditGatePassed.contains(key)) return
-    val n = rel.select(col(rel.columns.head))
+    def bounded(df: DataFrame): Long = df.select(col(df.columns.head))
       .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    // two-stage: the cheap over-approximation (raw input rows ≥ unique
+    // reps) passes without ever building the exact relation; only a
+    // corpus ABOVE the cheap bound pays the exact count — so a
+    // clone-heavy corpus whose reps fit (the rehearsal regime) is not
+    // falsely refused, while a genuine 100 TB misuse still fails after
+    // one bounded count of each relation
+    val n = bounded(rel) match {
+      case under if under <= cap => under
+      case _ => exactRel.map(bounded).getOrElse(cap + 1)
+    }
     require(n <= cap,
       s"$what is an audit-only exact form and was given > $cap rows " +
         s"(conf $confKey). At this scale use the production path " +
@@ -240,15 +251,17 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
-    // gate on the RAW input id column — |docs| ≥ |unique reps|, so this
-    // is the same tripwire evaluated without paying the sha-groupBy
-    // collapse first (a clone-heavy over-cap corpus whose reps WOULD fit
-    // raises the conf deliberately); one narrow bounded scan, no shuffle
+    // two-stage gate: the RAW input id column (|docs| ≥ |unique reps|)
+    // passes without paying the sha-groupBy collapse; only an over-bound
+    // corpus pays the exact rep count before the verdict — so a
+    // clone-heavy >cap corpus whose reps fit still runs
+    val groups = textGroups(docs, textCol, idCol)
     requireAuditScale(docs.select(col(idCol)),
       "jaccardPairs (exact shingle Jaccard)",
       MaxRepsConf, MaxRepsDefault,
-      "Dedup.minhashDedupIds / repJaccardEdges banded candidates")
-    jaccardPairsUngated(textGroups(docs, textCol, idCol), gram)
+      "Dedup.minhashDedupIds / repJaccardEdges banded candidates",
+      exactRel = Some(groups.select(col("rep"))))
+    jaccardPairsUngated(groups, gram)
   }
 
   /** jaccardPairs over an ALREADY-BUILT textGroups frame — lets ledger

@@ -30,13 +30,14 @@ object DedupAudit {
     import s.implicits._
     // the exact all-pairs truth leg below is the documented audit-only
     // side — fail fast above the rep cap instead of running quadratic.
-    // Gated on the raw doc_id column (≥ unique reps): one narrow bounded
-    // scan before the sha-groupBy collapse runs at all.
+    // Two-stage: the raw doc_id column (≥ unique reps) passes cheaply;
+    // only an over-bound corpus pays the exact rep count.
+    val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
     Dedup.requireAuditScale(documents(s, dir).select(col("doc_id")),
       "q179's exact trigram-Jaccard truth leg",
       Dedup.MaxRepsConf, Dedup.MaxRepsDefault,
-      "the banded candidate leg / q174's analytic planner")
-    val groups = Dedup.textGroups(documents(s, dir), "text", "doc_id")
+      "the banded candidate leg / q174's analytic planner",
+      exactRel = Some(groups.select(col("rep"))))
     // ONE shingle relation feeds both sides (persisted: truth self-join
     // x/y + sizes + the signature aggregate all read it) — the audit's
     // candidate and truth legs must share a feature space anyway, so

@@ -448,6 +448,13 @@ class DedupSpec extends SparkTestBase {
       assert(ex.getMessage.contains("audit-only"), ex.getMessage)
       assert(ex.getMessage.contains("banded candidates"), ex.getMessage)
       assert(ex.getMessage.contains(Dedup.MaxRepsConf), ex.getMessage)
+      // two-stage: a clone-heavy corpus ABOVE the cheap doc-count bound
+      // whose UNIQUE REPS fit the cap must still run (the exact stage
+      // clears it) — the rehearsal regime at any replica count
+      val cloney = Seq.tabulate(6)(i => (i.toLong, s"s$i", "x y z w"))
+        .toDF("doc_id", "source", "text") // 6 docs > cap 3, 1 unique text
+      assert(Dedup.jaccardPairs(cloney, "text", "doc_id", gram = 3)
+        .count() >= 0L)
     } finally spark.conf.unset(Dedup.MaxRepsConf)
     // full-vocabulary gate: sourceOverlap's exact leg trips at the row cap
     spark.conf.set(Dedup.MaxExactRowsConf, "2")

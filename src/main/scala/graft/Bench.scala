@@ -222,13 +222,17 @@ object Bench {
         .forall(rw => wall > 1.5 * rw && wall - rw > 0.5)
     // The criterion silently degrades to the single-dimension task-CPU
     // check against a pre-r13 BENCH_REF that has no `wall` object
-    // (forall on a missing key is vacuously true). Record which regime
-    // the flags in THIS artifact were computed under, so cross-round
-    // comparisons never mix flag regimes unmarked.
+    // (forall on a MISSING key is vacuously true — and that degradation
+    // is PER NAME, not global). Record which regime the flags in THIS
+    // artifact were computed under, so cross-round comparisons never mix
+    // flag regimes unmarked: "task_and_wall" is only claimed when every
+    // task-ref name also has a wall ref; a partially wall-covered REF
+    // (hand-merged, renamed query) is stamped "mixed".
     val inflatedBasis: String =
       if (refTaskSec.isEmpty) "no_ref"
       else if (refWallSec.isEmpty) "task_only"
-      else "task_and_wall"
+      else if (refTaskSec.keySet.subsetOf(refWallSec.keySet)) "task_and_wall"
+      else "mixed"
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

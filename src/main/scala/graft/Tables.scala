@@ -113,9 +113,16 @@ object Fixtures {
     .newKeySet[String]()
   private val lifecycleArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Recursive delete that NEVER follows symlinks: java.io.tmpdir is
+    * world-writable, so a link planted inside a (possibly adversarial)
+    * stale tree must be removed as a link, not traversed — listFiles on
+    * a symlinked directory would return the TARGET's children and the
+    * delete would escape the tree. */
   private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
     f.delete(): Unit
   }
 
@@ -125,13 +132,19 @@ object Fixtures {
     if (kids == null) return
     kids.foreach { f =>
       f.getName match {
-        case stale(pid) if f.isDirectory =>
-          val alive = java.lang.ProcessHandle.of(pid.toLong)
-            .map[java.lang.Boolean](_.isAlive)
-            .orElse(java.lang.Boolean.FALSE)
-          // PID recycling can mark a dead owner's tree alive — that tree
-          // just waits for the next prune, the pre-fix steady state.
-          if (!alive) deleteRecursively(f)
+        // toLongOption: a 20+-digit suffix (stray/adversarial entry)
+        // must be skipped, not crash the first scratch() of the JVM
+        case stale(pid) if f.isDirectory &&
+            !java.nio.file.Files.isSymbolicLink(f.toPath) =>
+          pid.toLongOption.foreach { p =>
+            val alive = java.lang.ProcessHandle.of(p)
+              .map[java.lang.Boolean](_.isAlive)
+              .orElse(java.lang.Boolean.FALSE)
+            // PID recycling can mark a dead owner's tree alive — that
+            // tree just waits for the next prune, the pre-fix steady
+            // state.
+            if (!alive) deleteRecursively(f)
+          }
         case _ => ()
       }
     }
@@ -144,9 +157,12 @@ object Fixtures {
   private[graft] def scratch(name: String): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     if (lifecycleArmed.compareAndSet(false, true)) {
-      pruneStaleTrees(tmp)
+      // hook FIRST: if the best-effort prune throws, this JVM's own
+      // trees must still be cleaned at exit
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         owned.forEach(p => deleteRecursively(new java.io.File(p)))))
+      try pruneStaleTrees(tmp)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val p = new java.io.File(tmp, name).getAbsolutePath
     owned.add(p)

@@ -230,8 +230,16 @@ object Dedup {
       .map(_.toLong).getOrElse(default)
     val key = (rel.queryExecution.analyzed.semanticHash(), cap)
     if (auditGatePassed.contains(key)) return
-    def bounded(df: DataFrame): Long = df.select(col(df.columns.head))
-      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    // cap+1 beyond Int.MaxValue can't be expressed as a limit — a
+    // truncated limit would SATURATE below the cap and silently pass any
+    // corpus (disabling the gate exactly when the user raised it for a
+    // huge deliberate audit). Fall back to a full count there: at caps
+    // that size the user has already accepted a corpus-scale pass.
+    def bounded(df: DataFrame): Long = {
+      val narrow = df.select(col(df.columns.head))
+      if (cap >= Int.MaxValue.toLong - 1) narrow.count()
+      else narrow.limit((cap + 1).toInt).count()
+    }
     // two-stage: the cheap over-approximation (raw input rows ≥ unique
     // reps) passes without ever building the exact relation; only a
     // corpus ABOVE the cheap bound pays the exact count — so a

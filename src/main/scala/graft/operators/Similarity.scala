@@ -831,18 +831,30 @@ object Similarity {
     * with the annPq scan discipline. ADC scores are sums of exact-integer
     * distances ≤ 2^53, carried as doubles through the fused AdcScoreExpr
     * kernel — every value exact, every order engine-independent. */
+  /** Shared prologue of the fixed-point ADC scorers: the probe LUT
+    * flattened into AdcScoreExpr's layout (qid-major, then subspace,
+    * then cid — the base = qidx·m·k indexing both scorers depend on).
+    * None when there is nothing to train on or no probes. */
+  private def intAdcPrep(q: DataFrame,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      nq: Int): Option[(Seq[Long], Array[Double], Int, Int)] = {
+    if (books.isEmpty || books.exists(_.isEmpty)) None
+    else {
+      val lutRows = intAdcLutRows(q, books, nq)
+      if (lutRows.isEmpty) None
+      else Some((lutRows.map(_._1).distinct.sorted,
+        lutRows.sortBy(r => (r._1, r._2, r._3)).map(_._4.toDouble).toArray,
+        books.length, books.head.length))
+    }
+  }
+
   private def annPqIntFromBooks(e: DataFrame, q: DataFrame,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], pool: Int,
       nq: Int, k: Int): DataFrame = {
-    if (books.isEmpty || books.exists(_.isEmpty)) return pqTwinEmpty(e)
-    val lutRows = intAdcLutRows(q, books, nq)
-    if (lutRows.isEmpty) return pqTwinEmpty(e)
-    val qids = lutRows.map(_._1).distinct.sorted
-    // flat LUT in AdcScoreExpr layout: qid-major, then subspace, then cid
-    val flat = lutRows.sortBy(r => (r._1, r._2, r._3)).map(_._4.toDouble)
-      .toArray
-    val m = books.length
-    val kc = books.head.length
+    val (qids, flat, m, kc) = intAdcPrep(q, books, nq) match {
+      case Some(p) => p
+      case None => return pqTwinEmpty(e)
+    }
     val encoded = q.select(col("vec_id"),
       org.apache.spark.sql.graft.IntCodesExpr.column(col("qv"), books)
         .as("codes"))
@@ -867,14 +879,10 @@ object Similarity {
   private def annMpPqInt(e: DataFrame, q: DataFrame,
       books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], nProbes: Int,
       pool: Int, nq: Int, k: Int): DataFrame = {
-    if (books.isEmpty || books.exists(_.isEmpty)) return pqTwinEmpty(e)
-    val lutRows = intAdcLutRows(q, books, nq)
-    if (lutRows.isEmpty) return pqTwinEmpty(e)
-    val qids = lutRows.map(_._1).distinct.sorted
-    val flat = lutRows.sortBy(r => (r._1, r._2, r._3)).map(_._4.toDouble)
-      .toArray
-    val m = books.length
-    val kc = books.head.length
+    val (qids, flat, m, kc) = intAdcPrep(q, books, nq) match {
+      case Some(p) => p
+      case None => return pqTwinEmpty(e)
+    }
     val qidxMap = typedlit(qids.zipWithIndex.toMap)
     // narrow scan: (vec_id, codes, bucket) — both fused kernels in the
     // same corpus pass, no vector rides past this projection
@@ -2874,7 +2882,14 @@ object Similarity {
     "q158_ann_recall" -> q158Sql,
     // q49 ≡ q185 at the verify corpus: srpParams(500) == (11, 9) is
     // machine-pinned in SimilaritySpec (geometry-drift guard), so the
-    // twin's literal-plane oracle carries the adaptive production entry
+    // twin's literal-plane oracle carries the adaptive production entry.
+    // VALIDITY DOMAIN: this oracle is correct exactly where srpParams(n)
+    // == (11, 9) — n ∈ (256, 512] vectors, which the driver's sf0.01
+    // verify corpus (500) sits inside. An oracle compare at any OTHER
+    // corpus size would report a false mismatch while the engine is
+    // correct (q49 adapts, the literals cannot); the driver contract
+    // pins verify to sf0.01, and the spec guard fails loudly first if
+    // the fixture ever drifts.
     "q49_neardup_lsh" -> q185Sql,
     "q140_hard_negatives" -> q140Sql,
     "q166_ann_index_twin" -> q166Sql,

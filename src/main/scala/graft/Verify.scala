@@ -7,9 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // Dev-only: optional comma-separated query filter (args(2)); the
-    // driver always invokes with exactly (sfDir, outDir) → run all.
-    val only = args.lift(2).map(_.split(',').toSet)
+    // Dev-only: optional query filter — comma-separated and/or multiple
+    // trailing args (space-separated names used to bind only args(2) and
+    // silently filter to ONE query). The driver always invokes with
+    // exactly (sfDir, outDir) → run all.
+    val only = if (args.length > 2)
+      Some(args.drop(2).flatMap(_.split(',')).filter(_.nonEmpty).toSet)
+    else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

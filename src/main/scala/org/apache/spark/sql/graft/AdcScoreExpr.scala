@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   *
   * left = codes (array<int> from PqEncodeExpr), right = qidx (int index
   * into the query batch, 0-based).
+  *
+  * Malformed-row contract (the IntSqDistExpr convention — "must not
+  * silently score"): a codes array that is not exactly m long, a NULL
+  * code element, a code outside [0, k), or a qidx whose LUT block is
+  * outside the flat matrix all yield NULL — never a garbage LUT slot or
+  * an ArrayIndexOutOfBounds mid-stage. The production encoders emit
+  * exactly-m in-range codes, so on well-formed data this is free.
   */
 case class AdcScoreExpr(left: Expression, right: Expression,
     lutsFlat: Array[Double], m: Int, k: Int)
@@ -30,18 +37,27 @@ case class AdcScoreExpr(left: Expression, right: Expression,
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(IntegerType), IntegerType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "adc_score"
 
   override protected def nullSafeEval(codesAny: Any, qidxAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
-    val base = qidxAny.asInstanceOf[Int] * m * k
+    val qidx = qidxAny.asInstanceOf[Int]
+    // long arithmetic: a huge qidx would overflow int in qidx·m·k and
+    // could slip past the bound check with a wrapped-negative base
+    if (codes.numElements() != m || qidx < 0 ||
+      (qidx.toLong + 1L) * (m * k) > lutsFlat.length) return null
+    val base = qidx * m * k
     var s = 0.0
     var mi = 0
     while (mi < m) {
-      s += lutsFlat(base + mi * k + codes.getInt(mi))
+      if (codes.isNullAt(mi)) return null
+      val c = codes.getInt(mi)
+      if (c < 0 || c >= k) return null
+      s += lutsFlat(base + mi * k + c)
       mi += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,13 +66,22 @@ case class AdcScoreExpr(left: Expression, right: Expression,
       val base = ctx.freshName("base")
       val s = ctx.freshName("s")
       val mi = ctx.freshName("mi")
+      val c = ctx.freshName("c")
       s"""
-         |final int $base = $qidx * ${m * k};
-         |double $s = 0.0;
-         |for (int $mi = 0; $mi < $m; $mi++) {
-         |  $s += $luts[$base + $mi * $k + $codes.getInt($mi)];
+         |if ($codes.numElements() != $m || $qidx < 0 ||
+         |    ((long) $qidx + 1L) * ${m * k} > ${lutsFlat.length}L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $base = $qidx * ${m * k};
+         |  double $s = 0.0;
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    if ($codes.isNullAt($mi)) { ${ev.isNull} = true; break; }
+         |    final int $c = $codes.getInt($mi);
+         |    if ($c < 0 || $c >= $k) { ${ev.isNull} = true; break; }
+         |    $s += $luts[$base + $mi * $k + $c];
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `aggregate(zip_with(...))` — same accumulation order, bit-identical
   * output — but one fused loop inside whole-stage codegen instead of three
   * interpreted higher-order-function folds per row (~10× on the pairwise
-  * similarity scans). Null when either norm is zero.
+  * similarity scans). Null when either norm is zero — and, matching both
+  * the HOF form's null contract and the IntSqDistExpr family convention,
+  * null on length mismatch (zip_with pads the short side with NULL, which
+  * nulls the fold) and on any NULL element. Malformed rows must not
+  * silently score against a truncated prefix.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -33,9 +37,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -54,17 +60,24 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $a.getDouble($i);
-         |  final double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
+         |  }
          |}
        """.stripMargin
     })

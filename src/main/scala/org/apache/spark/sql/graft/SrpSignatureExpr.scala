@@ -14,6 +14,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Replaces `bands × rowsPerBand` separate cosine/dot column expressions —
   * one fused codegen loop over a flat plane matrix held as a reference
   * object, instead of 128 array-literal traversals per row.
+  *
+  * Malformed-row contract (the IntSqDistExpr convention — "must not
+  * silently score"): a vector that is not exactly `dim` long, or one with
+  * a NULL element, yields NULL — a truncated or padded projection would
+  * silently bucket the row into a wrong-geometry signature. The fixture
+  * embeddings are all dim-long and null-free, so well-formed data never
+  * pays this.
   */
 case class SrpSignatureExpr(child: Expression, planesFlat: Array[Double],
     dim: Int, bands: Int, rowsPerBand: Int)
@@ -21,18 +28,24 @@ case class SrpSignatureExpr(child: Expression, planesFlat: Array[Double],
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "srp_signature"
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    if (v.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
     val sigs = new Array[Long](bands)
     var p = 0
     while (p < bands * rowsPerBand) {
       val off = p * dim
       var d = 0.0
-      var i = 0
-      while (i < n) { d += v.getDouble(i) * planesFlat(off + i); i += 1 }
+      var j = 0
+      while (j < dim) { d += v.getDouble(j) * planesFlat(off + j); j += 1 }
       if (d > 0) sigs(p / rowsPerBand) |= (1L << (p % rowsPerBand))
       p += 1
     }
@@ -43,23 +56,30 @@ case class SrpSignatureExpr(child: Expression, planesFlat: Array[Double],
     nullSafeCodeGen(ctx, ev, a => {
       val planes = ctx.addReferenceObj("srpPlanes", planesFlat, "double[]")
       val sigs = ctx.freshName("sigs")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val off = ctx.freshName("off")
       s"""
-         |long[] $sigs = new long[$bands];
-         |final int $n = java.lang.Math.min($a.numElements(), $dim);
-         |for (int $p = 0; $p < ${bands * rowsPerBand}; $p++) {
-         |  final int $off = $p * $dim;
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $d += $a.getDouble($i) * $planes[$off + $i];
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  }
-         |  if ($d > 0) $sigs[$p / $rowsPerBand] |= (1L << ($p % $rowsPerBand));
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |if (!${ev.isNull}) {
+         |  long[] $sigs = new long[$bands];
+         |  for (int $p = 0; $p < ${bands * rowsPerBand}; $p++) {
+         |    final int $off = $p * $dim;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $d += $a.getDouble($i) * $planes[$off + $i];
+         |    }
+         |    if ($d > 0) $sigs[$p / $rowsPerBand] |= (1L << ($p % $rowsPerBand));
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |}
        """.stripMargin
     })
 

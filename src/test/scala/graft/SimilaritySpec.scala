@@ -21,6 +21,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(3).isNullAt(0))
   }
 
+  test("cosine: malformed rows NULL, matching the HOF fold's contract") {
+    // zip_with pads a short side with NULL and a NULL element nulls the
+    // whole fold — the fused kernel must agree, never scoring a truncated
+    // prefix (the IntSqDistExpr family convention).
+    val rows: Seq[(Seq[Option[Double]], Seq[Option[Double]])] = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0), Some(2.0), Some(3.0))), // short a
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))),                 // NULL elem
+      (Seq(Some(3.0), Some(4.0)), Seq(Some(3.0), Some(4.0))))            // control
+    val out = strictCodegen(rows.toDF("a", "b").select(
+        Similarity.cosine(col("a"), col("b")).as("fused"),
+        Similarity.cosineBuiltin(col("a"), col("b")).as("composed"))
+      .collect())
+    rows.indices.foreach { i =>
+      assert(out(i).isNullAt(0) == out(i).isNullAt(1),
+        s"fused/HOF null contract diverges at $i")
+    }
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(!out(2).isNullAt(0) && math.abs(out(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("CosineSim codegen expression is bit-identical to the built-in fold") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("v", col("embedding").cast("array<double>"))

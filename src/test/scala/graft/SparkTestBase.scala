@@ -8,6 +8,21 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Run `body` with codegen fallback disabled: a generated-Java compile
+    * error in a custom kernel then THROWS instead of silently degrading
+    * the whole stage to the interpreted path (which would pass a
+    * value-only assertion while killing the hot-path perf the kernel
+    * exists for). */
+  def strictCodegen[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   /** Collect nodes across AQE boundaries: AdaptiveSparkPlanExec and
     * QueryStageExec hide their subtrees from plain `collect`. */
   def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(

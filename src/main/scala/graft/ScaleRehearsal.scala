@@ -101,6 +101,10 @@ object ScaleRehearsal {
       "q147_doc_ledger", "q148_ledger_delta",
       "q149_gopher_rules", "q150_domain_cap", "q151_token_fertility",
       "q193_repetition_signals",
+      // r14: distilled quality filter — training reads only the 4096
+      // lowest doc_ids (constant in corpus size, one 39-row collect per
+      // GD step); inference is one linear pass with broadcast weights
+      "q194_quality_lr_train", "q195_quality_lr_filter",
       "q152_hll_users", "q153_sketch_ledger", "q154_overlap_sketch",
       "q156_image_phash", "q157_outer_reconcile", "q158_ann_recall",
       "q159_blocklist", "q160_schema_drift", "q162_erasure_audit",

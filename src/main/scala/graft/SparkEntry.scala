@@ -24,7 +24,7 @@ object SparkEntry {
       Events.queries ++ SetOps.queries ++ TextQueries.queries ++
       Redact.queries ++ TemporalJoins.queries ++ Stats.queries ++
       Merge.queries ++ Scale.queries ++ Analytics.queries ++
-      Layout.queries ++ Curation.queries ++
+      Layout.queries ++ Curation.queries ++ Distill.queries ++
       Importance.queries ++ LshPlanner.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Video.queries ++ graft.operators.Crossmodal.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
       Events.oracle ++ SetOps.oracle ++ TextQueries.oracle ++
       Redact.oracle ++ TemporalJoins.oracle ++ Stats.oracle ++
       Merge.oracle ++ Scale.oracle ++ Analytics.oracle ++
-      Layout.oracle ++ Curation.oracle ++
+      Layout.oracle ++ Curation.oracle ++ Distill.oracle ++
       Importance.oracle ++ LshPlanner.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Video.oracle ++ graft.operators.Crossmodal.oracle ++

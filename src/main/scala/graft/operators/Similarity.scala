@@ -1085,11 +1085,14 @@ object Similarity {
         byCid.get(c) match {
           case Some(rows) => rows.sortBy(_.getInt(1)).map { r =>
               val sm = r.getLong(2); val n = r.getLong(3)
-              // floorDiv, not /: DuckDB's // floors, Scala's / truncates —
-              // they agree only when the shifted numerator is non-negative
-              // (coordinates >= -1.0 quantized). floorDiv enforces the
-              // parity structurally for any corpus instead of assuming it.
-              Math.floorDiv(sm + 1000L * n, n) - 1000L
+              // Truncating `/` to match DuckDB: integer `//` TRUNCATES
+              // toward zero (verified -7//2 = -3; DuckDB floors only for
+              // DOUBLE //), exactly like Scala's `/` — so parity holds
+              // structurally for ANY corpus. The +1000·n shift keeps the
+              // numerator non-negative for coordinates >= -1.0, where
+              // truncation == floor and the mean is the intended
+              // floor((Σx + 1000·n)/n) − 1000.
+              (sm + 1000L * n) / n - 1000L
             }.toIndexedSeq
           case None => cents(c)
         }
@@ -1605,7 +1608,8 @@ object Similarity {
     * trainings each paying init + 2×(assign job + collect). Bit-identical
     * to [[pqBooksPerSubspace]]: same TwinTrainCap sample, same
     * kCent-lowest-vec_ids init, same argmin/lowest-cid assignment, same
-    * floorDiv integer-mean update, same emptied-cluster carry. */
+    * shifted truncating-`/` integer-mean update, same emptied-cluster
+    * carry. */
   private[graft] def pqBooksOf(q0: DataFrame, m: Int,
       kCent: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
     val sub = Dim / m
@@ -1633,10 +1637,11 @@ object Similarity {
         books(s).indices.map { c =>
           bySubCid.get((s, c)) match {
             case Some(rows) => rows.sortBy(_.getInt(2)).map { r =>
-                // floorDiv on the shifted numerator — the
-                // twinLloydCentroids parity rule
-                Math.floorDiv(r.getLong(3) + 1000L * r.getLong(4),
-                  r.getLong(4)) - 1000L
+                // truncating `/` on the shifted numerator — the
+                // twinLloydCentroids parity rule (DuckDB integer //
+                // truncates, like Scala /)
+                (r.getLong(3) + 1000L * r.getLong(4)) /
+                  r.getLong(4) - 1000L
               }.toIndexedSeq
             case None => books(s)(c)
           }

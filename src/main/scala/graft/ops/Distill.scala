@@ -1,0 +1,331 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.OperatorCaches.TrackedDataset
+import graft.Tables._
+
+/** Model-in-the-loop curation (round 14): distill the q149 Gopher hard-rule
+  * battery into a TRAINED linear quality classifier, entirely inside the
+  * engine, with every training step hash-exact against DuckDB — the
+  * fixed-point-Lloyd's discipline (Similarity.twinLloydCentroids) applied
+  * to gradient descent. Production pipelines run learned quality filters
+  * (fasttext-style) distilled from rules or LM judgments; the blocker for
+  * a reproducible engine is that float SGD is order-dependent. This module
+  * shows the deterministic construction:
+  *
+  *   - features: 32 hashed-token buckets (production xxhash64, replayed by
+  *     Xxh64Sql) as integer per-mille frequencies, plus 6 rule-margin
+  *     "violation" features (0 when the q149 rule passes, 500+magnitude
+  *     when it fails — the jump keeps any violation visible to integer
+  *     gradients; magnitudes just over a threshold would otherwise floor
+  *     away), plus a constant bias of 1000;
+  *   - model: integer weights (milli-units), margin num = Σ w·x, hard
+  *     sigmoid p = clamp(500 + num/4000, 0, 1000) in milli-probability —
+  *     exp() is NOT bit-portable across engines, a piecewise-linear
+  *     sigmoid in integer arithmetic is;
+  *   - training: full-batch gradient descent, Iters=4 unrolled steps,
+  *     g_j = Σ_docs (p − 1000·y)·x_j exact integer sums (order-independent
+  *     by commutativity), update w ← w − g/(n·LrDen). The two divisions
+  *     with signed numerators (sigmoid margin, weight update) use
+  *     TRUNCATING division deliberately: Spark's DIV, Scala's Long `/`
+  *     and DuckDB's integer `//` all truncate toward zero (DuckDB floors
+  *     only for DOUBLE `//` — verified on negatives; the repo's usual
+  *     shift-non-negative idiom is for sites that need true floor);
+  *   - label: y = the q149 `kept` conjunction — distillation of a rule the
+  *     engine already computes, so the oracle needs no external labels.
+  *
+  * Scale contract (the twinLloydCentroids shape): training runs on the
+  * TrainCap=4096 lowest doc_ids — bounded, so the 4 gradient passes cost
+  * O(TrainCap) regardless of corpus size — and per-iteration driver state
+  * is one 39-long integer vector (a 39-row collect). Inference (q195) is
+  * one full-corpus pass: explode → two narrow integer shuffles (doc_id,j
+  * counts ≤ 39 rows/doc of 24 bytes, then per-doc margins) → broadcast
+  * weight join → per-source rollup. No floats exist anywhere in train or
+  * inference, so both are bit-reproducible under any partitioning.
+  *
+  * Honesty note: the feature set includes the rule's own signal margins,
+  * so the distillation CAN recover the label rule (it reaches full
+  * agreement on the fixtures); the point of the queries is the
+  * deterministic trainable-mechanism, not generalization power.
+  */
+object Distill {
+
+  val HashBuckets = 32
+  /** 32 token buckets + 6 violation features + bias. */
+  val NumFeatures: Int = HashBuckets + 7
+  val TrainCap = 4096
+  val Iters = 4
+  /** Update divisor: w ← w − g/(n·LrDen); 1/LrDen of the mean
+    * micro-gradient per step. 500 converges to full fixture agreement in
+    * 4 iterations with |w| staying ~1e3 (margins ≤ ~4e7 — far inside
+    * int64 for any corpus). */
+  val LrDen = 500L
+
+  // ── per-doc metrics + label (the q149 rule, same proven expression
+  //    pairs — explicit whitespace class, cross-multiplied ratios) ──────
+  private def withMetrics(d: DataFrame): DataFrame = d.select(
+    col("doc_id"), col("source"), col("n_chars"), col("text"),
+    regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_words"),
+    regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]")).cast("long").as("n_nonspace"),
+    regexp_count(col("text"), lit("[#@%^*_~|]")).cast("long").as("n_sym"),
+    regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+    regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long").as("n_caps"),
+    regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long").as("n_stop"))
+
+  private def withLabel(m: DataFrame): DataFrame = {
+    val mwl = expr("n_nonspace * 100 DIV greatest(n_words, 1)")
+    val kept = col("n_words") >= 50L && col("n_words") <= 100000L &&
+      mwl >= 300L && mwl <= 1000L &&
+      col("n_sym") * 10L <= col("n_words") &&
+      col("n_digit") * 5L <= col("n_chars") &&
+      col("n_caps") * 10L <= col("n_words") &&
+      col("n_stop") >= 2L
+    m.withColumn("y", when(kept, 1L).otherwise(0L))
+  }
+
+  /** Violation jump: 0 when the rule passes, 500 + min(magnitude, 500)
+    * when it fails. */
+  private def viol(m: Column): Column =
+    when(m > 0L, lit(500L) + least(m, lit(500L))).otherwise(lit(0L))
+
+  /** Long-form integer features (doc_id, j, x) over a metrics+label frame:
+    * j ∈ [0,32) hashed-token per-mille counts, j ∈ [32,38) rule-violation
+    * jumps, j = 38 bias 1000. Rows with x = 0 in the token block are
+    * simply absent (join semantics supply the zero). */
+  private def featsLong(met: DataFrame): DataFrame = {
+    val fh = met
+      .select(col("doc_id"), col("n_words"),
+        explode(TextQueries.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("n_words"),
+        pmod(xxhash64(col("t")), lit(HashBuckets.toLong)).as("j"))
+      .groupBy(col("doc_id"), col("n_words"), col("j"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("j"),
+        expr("c * 1000 DIV greatest(n_words, 1)").as("x"))
+    val mwl = expr("n_nonspace * 100 DIV greatest(n_words, 1)")
+    val mags = Seq(
+      greatest(lit(50L) - col("n_words"), lit(0L)) +
+        greatest(col("n_words") - lit(100000L), lit(0L)),
+      greatest(lit(300L) - mwl, lit(0L)) + greatest(mwl - lit(1000L), lit(0L)),
+      greatest(col("n_sym") * 10L - col("n_words"), lit(0L)),
+      greatest(col("n_digit") * 5L - col("n_chars"), lit(0L)),
+      greatest(col("n_caps") * 10L - col("n_words"), lit(0L)),
+      greatest(lit(2L) - col("n_stop"), lit(0L)) * 500L)
+    val fe = met.select(col("doc_id"), explode(array(
+      mags.zipWithIndex.map { case (m, i) =>
+        struct(lit((HashBuckets + i).toLong).as("j"), viol(m).as("x"))
+      } :+ struct(lit((NumFeatures - 1).toLong).as("j"), lit(1000L).as("x")): _*))
+      .as("f"))
+      .select(col("doc_id"), col("f.j").as("j"), col("f.x").as("x"))
+    fh.union(fe)
+  }
+
+  /** Hard sigmoid over a column named `num`, in milli-probability.
+    * num DIV 4000 truncates toward zero — exactly what DuckDB's integer
+    * `//` does, so the engines agree on negative margins too. */
+  private val pCol: Column =
+    greatest(lit(0L), least(lit(1000L),
+      lit(500L) + expr("num DIV 4000")))
+
+  /** Training-set boundary: max doc_id among the TrainCap lowest (None on
+    * an empty corpus). `doc_id <= bound` rather than a LIMIT keeps the
+    * subset well-defined in both engines. */
+  private def trainBound(s: SparkSession, dir: String): Option[Long] = {
+    val r = documents(s, dir).select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(TrainCap)
+      .agg(max(col("doc_id"))).collect()
+    if (r.isEmpty || r(0).isNullAt(0)) None else Some(r(0).getLong(0))
+  }
+
+  /** Trained state memoized per corpus dir — the q128/q187 persisted-
+    * index convention (train once per JVM, every consumer scans the
+    * artifact), held in-memory because the whole artifact is 39 longs.
+    * trainWeights is a pure function of the corpus, so the cache is
+    * invisible to determinism (DeterminismSpec's cross-JVM diff still
+    * trains once per JVM) and q195 stops re-running q194's training. */
+  private val weightsCache =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Long]]
+
+  private[graft] def trainWeights(s: SparkSession, dir: String): IndexedSeq[Long] =
+    weightsCache.getOrElseUpdate(dir, trainWeightsUncached(s, dir))
+
+  /** Iters unrolled full-batch steps; one 39-row collect per step. */
+  private def trainWeightsUncached(s: SparkSession, dir: String): IndexedSeq[Long] = {
+    import s.implicits._
+    trainBound(s, dir) match {
+      case None => IndexedSeq.fill(NumFeatures)(0L)
+      case Some(bound) =>
+        val tr = withLabel(withMetrics(documents(s, dir)))
+          .filter(col("doc_id") <= bound)
+        val fl = featsLong(tr).trackedPersist()
+        val lab = tr.select(col("doc_id"), col("y")).trackedPersist()
+        val n = math.max(lab.count(), 1L)
+        var w = IndexedSeq.fill(NumFeatures)(0L)
+        for (_ <- 0 until Iters) {
+          val wdf = w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+            .toDF("j", "w")
+          val num = fl.join(broadcast(wdf), "j")
+            .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("num"))
+          val e = num.join(lab, "doc_id")
+            .select(col("doc_id"), (pCol - lit(1000L) * col("y")).as("e"))
+          val g = fl.join(broadcast(e), "doc_id")
+            .groupBy(col("j")).agg(sum(col("e") * col("x")).as("g"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // Scala Long `/` truncates toward zero = DuckDB integer `//`
+          w = w.indices.map(j => w(j) - g.getOrElse(j.toLong, 0L) / (n * LrDen))
+        }
+        w
+    }
+  }
+
+  // ── q194: the trained weight vector — 39 (feature_id, weight) rows,
+  //         hash-exact: the oracle replays tokenize → hash → featurize →
+  //         4 gradient steps in pure SQL and must land on the SAME
+  //         integers. This is the "training is reproducible" proof. ─────
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainWeights(s, dir).zipWithIndex
+      .map { case (wj, j) => (j.toLong, wj) }
+      .toDF("feature_id", "weight")
+      .orderBy(col("feature_id"))
+  }
+
+  // ── q195: apply the trained filter to the FULL corpus — per-source
+  //         confusion vs the rule label (pred = margin ≥ 0 ⇔ p ≥ 500).
+  //         One corpus pass, broadcast weights, per-source rollup: the
+  //         inference face of the operator at the 100 TB shape. ─────────
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = trainWeights(s, dir)
+    val met = withLabel(withMetrics(documents(s, dir))).trackedPersist()
+    val wdf = w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+      .toDF("j", "w")
+    val num = featsLong(met).join(broadcast(wdf), "j")
+      .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("num"))
+    met.select(col("doc_id"), col("source"), col("y"))
+      .join(num, "doc_id")
+      .select(col("source"), col("y"), (col("num") >= 0L).as("pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("pred"), 1)).as("n_pred_keep"),
+        count(when(col("y") === 1L, 1)).as("n_label_keep"),
+        count(when(col("pred") === (col("y") === 1L), 1)).as("n_agree"))
+      .orderBy(col("source"))
+  }
+
+  // ── DuckDB replay ────────────────────────────────────────────────────
+
+  /** Shared CTE chain: xxh hashes for the corpus vocabulary, metrics,
+    * label, long-form features, train boundary, and the Iters unrolled
+    * gradient steps ending in `w$Iters(j, w)`. */
+  private def trainCtesSql: String = {
+    val xxh = graft.sql.Xxh64Sql.tokenHashCtes(
+      "SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents")
+    val steps = (1 to Iters).map { k =>
+      s"""num$k AS (
+         |  SELECT f.doc_id, sum(f.x * w.w) AS num
+         |  FROM fl f JOIN w${k - 1} w USING (j)
+         |  WHERE f.doc_id <= (SELECT b FROM bnd)
+         |  GROUP BY f.doc_id),
+         |e$k AS (
+         |  SELECT n.doc_id,
+         |    greatest(0, least(1000, 500 + n.num // 4000)) - 1000 * l.y AS e
+         |  FROM num$k n JOIN lab l USING (doc_id)),
+         |g$k AS (
+         |  SELECT f.j, sum(e.e * f.x) AS g
+         |  FROM fl f JOIN e$k e USING (doc_id) GROUP BY f.j),
+         |w$k AS (
+         |  SELECT s.j,
+         |    w.w - coalesce(g.g, 0) // ((SELECT n FROM ntr) * $LrDen) AS w
+         |  FROM spine s JOIN w${k - 1} w USING (j)
+         |  LEFT JOIN g$k g USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""$xxh,
+       |met AS (
+       |  SELECT doc_id, source, n_chars,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+       |    len(regexp_extract_all(text, '\\S')) AS n_nonspace,
+       |    len(regexp_extract_all(text, '[#@%^*_~|]')) AS n_sym,
+       |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+       |    len(regexp_extract_all(text, '\\b[A-Z]{2,}\\b')) AS n_caps,
+       |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN (n_words BETWEEN 50 AND 100000)
+       |      AND (n_nonspace * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
+       |      AND (n_sym * 10 <= n_words) AND (n_digit * 5 <= n_chars)
+       |      AND (n_caps * 10 <= n_words) AND (n_stop >= 2)
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM met),
+       |toksall AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |  FROM documents),
+       |tb AS (
+       |  SELECT tk.doc_id,
+       |    CAST(((xxh.hs % $HashBuckets) + $HashBuckets) % $HashBuckets
+       |      AS BIGINT) AS j
+       |  FROM toksall tk JOIN xxh USING (t)),
+       |cnt AS (SELECT doc_id, j, count(*) AS c FROM tb GROUP BY doc_id, j),
+       |fh AS (
+       |  SELECT c.doc_id, c.j, c.c * 1000 // greatest(m.n_words, 1) AS x
+       |  FROM cnt c JOIN met m USING (doc_id)),
+       |vm AS (
+       |  SELECT doc_id,
+       |    greatest(50 - n_words, 0) + greatest(n_words - 100000, 0) AS m0,
+       |    greatest(300 - (n_nonspace * 100 // greatest(n_words, 1)), 0)
+       |      + greatest((n_nonspace * 100 // greatest(n_words, 1)) - 1000, 0) AS m1,
+       |    greatest(n_sym * 10 - n_words, 0) AS m2,
+       |    greatest(n_digit * 5 - n_chars, 0) AS m3,
+       |    greatest(n_caps * 10 - n_words, 0) AS m4,
+       |    greatest(2 - n_stop, 0) * 500 AS m5
+       |  FROM met),
+       |fe AS (
+       |${(0 until 6).map(i =>
+         s"  SELECT doc_id, CAST(${HashBuckets + i} AS BIGINT) AS j," +
+           s" CASE WHEN m$i > 0 THEN 500 + least(m$i, 500) ELSE 0 END AS x FROM vm")
+         .mkString("\n  UNION ALL\n")}
+       |  UNION ALL
+       |  SELECT doc_id, CAST(${NumFeatures - 1} AS BIGINT) AS j, 1000 AS x FROM vm),
+       |fl AS (SELECT * FROM fh UNION ALL SELECT * FROM fe),
+       |bnd AS (
+       |  SELECT max(doc_id) AS b
+       |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $TrainCap)),
+       |ntr AS (
+       |  SELECT greatest(count(*), 1) AS n FROM documents
+       |  WHERE doc_id <= (SELECT b FROM bnd)),
+       |spine AS (SELECT CAST(unnest(range($NumFeatures)) AS BIGINT) AS j),
+       |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM spine),
+       |$steps""".stripMargin
+  }
+
+  lazy val q194Sql: String =
+    s"""WITH $trainCtesSql
+       |SELECT j AS feature_id, CAST(w AS BIGINT) AS weight
+       |FROM w$Iters ORDER BY feature_id""".stripMargin
+
+  lazy val q195Sql: String =
+    s"""WITH $trainCtesSql,
+       |sc AS (
+       |  SELECT f.doc_id, sum(f.x * w.w) AS num
+       |  FROM fl f JOIN w$Iters w USING (j) GROUP BY f.doc_id),
+       |pr AS (
+       |  SELECT l.source, l.y, (s.num >= 0) AS pred
+       |  FROM lab l JOIN sc s USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE pred) AS n_pred_keep,
+       |  count(*) FILTER (WHERE y = 1) AS n_label_keep,
+       |  count(*) FILTER (WHERE pred = (y = 1)) AS n_agree
+       |FROM pr GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_quality_lr_train" -> q194,
+    "q195_quality_lr_filter" -> q195)
+
+  val oracle: Map[String, String] = Map(
+    "q194_quality_lr_train" -> q194Sql,
+    "q195_quality_lr_filter" -> q195Sql)
+}

@@ -451,4 +451,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p144.contains("md5"), p144)
     assert(p144.contains("xxhash64"), p144)
   }
+
+  test("q195 distilled-filter inference: 39-row weight frame broadcasts, " +
+    "every rollup partial-aggregates, no cartesian") {
+    val p = plan(graft.ops.Distill.q195(spark, sfDir))
+    OperatorCaches.release()
+    // weights join the exploded-token count stream as a broadcast — the
+    // corpus-sized side must never shuffle to meet a 39-row table
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // token counts and the per-source confusion both combine map-side, so
+    // shuffles carry (key, partial-count) rows, never exploded tokens
+    assert(p.contains("partial_count"), p)
+  }
 }

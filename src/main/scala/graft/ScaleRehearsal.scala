@@ -105,6 +105,8 @@ object ScaleRehearsal {
       // lowest doc_ids (constant in corpus size, one 39-row collect per
       // GD step); inference is one linear pass with broadcast weights
       "q194_quality_lr_train", "q195_quality_lr_filter",
+      "q196_lr_calibration", "q197_lr_disagreement",
+      "q198_lr_threshold_sweep",
       "q152_hll_users", "q153_sketch_ledger", "q154_overlap_sketch",
       "q156_image_phash", "q157_outer_reconcile", "q158_ann_recall",
       "q159_blocklist", "q160_schema_drift", "q162_erasure_audit",

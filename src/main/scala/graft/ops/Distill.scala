@@ -192,11 +192,10 @@ object Distill {
       .orderBy(col("feature_id"))
   }
 
-  // ── q195: apply the trained filter to the FULL corpus — per-source
-  //         confusion vs the rule label (pred = margin ≥ 0 ⇔ p ≥ 500).
-  //         One corpus pass, broadcast weights, per-source rollup: the
-  //         inference face of the operator at the 100 TB shape. ─────────
-  def q195(s: SparkSession, dir: String): DataFrame = {
+  /** Full-corpus scoring with the trained weights: (doc_id, source, y,
+    * num) — one linear pass, broadcast weights. The shared inference leg
+    * under q195/q196/q197. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = trainWeights(s, dir)
     val met = withLabel(withMetrics(documents(s, dir))).trackedPersist()
@@ -204,8 +203,15 @@ object Distill {
       .toDF("j", "w")
     val num = featsLong(met).join(broadcast(wdf), "j")
       .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("num"))
-    met.select(col("doc_id"), col("source"), col("y"))
-      .join(num, "doc_id")
+    met.select(col("doc_id"), col("source"), col("y")).join(num, "doc_id")
+  }
+
+  // ── q195: apply the trained filter to the FULL corpus — per-source
+  //         confusion vs the rule label (pred = margin ≥ 0 ⇔ p ≥ 500).
+  //         One corpus pass, broadcast weights, per-source rollup: the
+  //         inference face of the operator at the 100 TB shape. ─────────
+  def q195(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
       .select(col("source"), col("y"), (col("num") >= 0L).as("pred"))
       .groupBy(col("source"))
       .agg(
@@ -214,6 +220,55 @@ object Distill {
         count(when(col("y") === 1L, 1)).as("n_label_keep"),
         count(when(col("pred") === (col("y") === 1L), 1)).as("n_agree"))
       .orderBy(col("source"))
+
+  // ── q196: calibration table — per p-decile (hard-sigmoid milli-prob,
+  //         100-wide bins), documents / rule-keeps / summed predicted
+  //         probability. The readout a filter owner checks before
+  //         trusting a threshold: does predicted keep-probability track
+  //         the actual keep rate per bin. Same one-pass inference leg,
+  //         11-row output. ────────────────────────────────────────────
+  def q196(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
+      .withColumn("p", pCol)
+      .withColumn("bin", expr("p DIV 100"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("y") === 1L, 1)).as("n_label_keep"),
+        sum(col("p")).as("sum_p"))
+      .orderBy(col("bin"))
+
+  // ── q197: disagreement mining — the 50 highest-|margin| documents
+  //         where the classifier contradicts the rule label, ties to the
+  //         lowest doc_id: the exact docs an active-learning loop sends
+  //         for relabeling (high-confidence mistakes first). TopK shape:
+  //         TakeOrderedAndProject over the scored stream, never a global
+  //         sort. ───────────────────────────────────────────────────────
+  def q197(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
+      .filter((col("num") >= 0L) =!= (col("y") === 1L))
+      .select(col("doc_id"), col("source"), col("y"), col("num").as("margin"))
+      .orderBy(abs(col("margin")).desc, col("doc_id"))
+      .limit(50)
+
+  // ── q198: threshold tuning curve — keep rate and rule agreement at
+  //         margin thresholds τ (the q190/q191/q192 tuning-curve
+  //         discipline applied to the filter's one deployment knob).
+  //         One scored pass + a broadcast 5-row τ sweep. ───────────────
+  private val SweepTaus = Seq(-8000L, -4000L, 0L, 4000L, 8000L)
+
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val taus = SweepTaus.toDF("tau")
+    scoredDocs(s, dir)
+      .crossJoin(broadcast(taus))
+      .select(col("tau"), col("y"), (col("num") >= col("tau")).as("pred"))
+      .groupBy(col("tau"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("pred"), 1)).as("n_pred_keep"),
+        count(when(col("pred") === (col("y") === 1L), 1)).as("n_agree"))
+      .orderBy(col("tau"))
   }
 
   // ── DuckDB replay ────────────────────────────────────────────────────
@@ -302,30 +357,65 @@ object Distill {
        |$steps""".stripMargin
   }
 
+  /** Training chain + full-corpus scores: `sl(doc_id, source, y, num)`. */
+  private def scoreCtesSql: String =
+    s"""$trainCtesSql,
+       |sc AS (
+       |  SELECT f.doc_id, sum(f.x * w.w) AS num
+       |  FROM fl f JOIN w$Iters w USING (j) GROUP BY f.doc_id),
+       |sl AS (
+       |  SELECT l.doc_id, l.source, l.y, s.num
+       |  FROM lab l JOIN sc s USING (doc_id))""".stripMargin
+
   lazy val q194Sql: String =
     s"""WITH $trainCtesSql
        |SELECT j AS feature_id, CAST(w AS BIGINT) AS weight
        |FROM w$Iters ORDER BY feature_id""".stripMargin
 
   lazy val q195Sql: String =
-    s"""WITH $trainCtesSql,
-       |sc AS (
-       |  SELECT f.doc_id, sum(f.x * w.w) AS num
-       |  FROM fl f JOIN w$Iters w USING (j) GROUP BY f.doc_id),
-       |pr AS (
-       |  SELECT l.source, l.y, (s.num >= 0) AS pred
-       |  FROM lab l JOIN sc s USING (doc_id))
+    s"""WITH $scoreCtesSql
        |SELECT source, count(*) AS n_docs,
-       |  count(*) FILTER (WHERE pred) AS n_pred_keep,
+       |  count(*) FILTER (WHERE num >= 0) AS n_pred_keep,
        |  count(*) FILTER (WHERE y = 1) AS n_label_keep,
-       |  count(*) FILTER (WHERE pred = (y = 1)) AS n_agree
-       |FROM pr GROUP BY source ORDER BY source""".stripMargin
+       |  count(*) FILTER (WHERE (num >= 0) = (y = 1)) AS n_agree
+       |FROM sl GROUP BY source ORDER BY source""".stripMargin
+
+  lazy val q196Sql: String =
+    s"""WITH $scoreCtesSql,
+       |pb AS (
+       |  SELECT y, greatest(0, least(1000, 500 + num // 4000)) AS p
+       |  FROM sl)
+       |SELECT CAST(p // 100 AS BIGINT) AS bin, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE y = 1) AS n_label_keep,
+       |  CAST(sum(p) AS BIGINT) AS sum_p
+       |FROM pb GROUP BY bin ORDER BY bin""".stripMargin
+
+  lazy val q197Sql: String =
+    s"""WITH $scoreCtesSql
+       |SELECT doc_id, source, CAST(y AS BIGINT) AS y,
+       |  CAST(num AS BIGINT) AS margin
+       |FROM sl WHERE (num >= 0) != (y = 1)
+       |ORDER BY abs(num) DESC, doc_id LIMIT 50""".stripMargin
+
+  lazy val q198Sql: String =
+    s"""WITH $scoreCtesSql,
+       |taus AS (SELECT CAST(unnest([${SweepTaus.mkString(",")}]) AS BIGINT) AS tau)
+       |SELECT t.tau, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE num >= t.tau) AS n_pred_keep,
+       |  count(*) FILTER (WHERE (num >= t.tau) = (y = 1)) AS n_agree
+       |FROM sl, taus t GROUP BY t.tau ORDER BY t.tau""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_quality_lr_train" -> q194,
-    "q195_quality_lr_filter" -> q195)
+    "q195_quality_lr_filter" -> q195,
+    "q196_lr_calibration" -> q196,
+    "q197_lr_disagreement" -> q197,
+    "q198_lr_threshold_sweep" -> q198)
 
   val oracle: Map[String, String] = Map(
     "q194_quality_lr_train" -> q194Sql,
-    "q195_quality_lr_filter" -> q195Sql)
+    "q195_quality_lr_filter" -> q195Sql,
+    "q196_lr_calibration" -> q196Sql,
+    "q197_lr_disagreement" -> q197Sql,
+    "q198_lr_threshold_sweep" -> q198Sql)
 }

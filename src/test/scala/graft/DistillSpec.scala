@@ -129,7 +129,9 @@ class DistillSpec extends SparkTestBase {
     }
   }
 
-  test("trainWeights == model on seeded random corpora") {
+  test("trainWeights and q197 == model on seeded random corpora; " +
+    "the disagreement path is non-vacuous") {
+    var totalDisagreements = 0
     for (seed <- 1 to 6) {
       val docs = corpus(seed, 120)
       val dir = Files.createTempDirectory(s"distill_mc$seed").toString
@@ -137,11 +139,25 @@ class DistillSpec extends SparkTestBase {
         .select($"doc_id", $"text", org.apache.spark.sql.functions.lit("en").as("lang"),
           $"source", $"n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val model = modelWeights(modelFeatures(docs))
+      val feats = modelFeatures(docs)
+      val model = modelWeights(feats)
       val got = Distill.trainWeights(spark, dir)
-      OperatorCaches.release()
       assert(got === model, s"seed=$seed")
+      // q197 on corpora where the linear model does NOT perfectly recover
+      // the rule (the fixture corpus reaches full agreement, so its
+      // disagreement set is empty — this loop is where the path is real)
+      val expected = feats.flatMap { case (id, src, y, f) =>
+        val num = f.iterator.map { case (j, x) => model(j.toInt) * x }.sum
+        if ((num >= 0L) != (y == 1L)) Some((id, src, y, num)) else None
+      }.sortBy { case (id, _, _, num) => (-math.abs(num), id) }.take(50)
+      val gotDis = Distill.q197(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      OperatorCaches.release()
+      assert(gotDis === expected, s"seed=$seed")
+      totalDisagreements += expected.size
     }
+    assert(totalDisagreements > 0,
+      "every seed reached full agreement — the q197 check never saw a disagreement")
   }
 
   test("q195 confusion == model scoring of the full corpus") {
@@ -170,5 +186,56 @@ class DistillSpec extends SparkTestBase {
     val rows = Distill.q194(spark, sfDir).collect()
     OperatorCaches.release()
     assert(rows.map(_.getLong(0)).toSeq === (0L until NF.toLong))
+  }
+
+  test("q196 calibration == model; bins partition the corpus") {
+    val docs = loadDocs(sfDir)
+    val feats = modelFeatures(docs)
+    val w = modelWeights(feats)
+    val expected = feats.map { case (_, _, y, f) =>
+      val num = f.iterator.map { case (j, x) => w(j.toInt) * x }.sum
+      (y, math.max(0L, math.min(1000L, 500L + num / 4000L)))
+    }.groupBy(_._2 / 100L).map { case (bin, rows) =>
+      (bin, rows.size.toLong, rows.count(_._1 == 1L).toLong, rows.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Distill.q196(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    OperatorCaches.release()
+    assert(got === expected)
+    assert(got.map(_._2).sum === docs.size.toLong, "bins must partition")
+  }
+
+  test("q197 disagreements == model top-50 by |margin|") {
+    val docs = loadDocs(sfDir)
+    val feats = modelFeatures(docs)
+    val w = modelWeights(feats)
+    val expected = feats.flatMap { case (id, src, y, f) =>
+      val num = f.iterator.map { case (j, x) => w(j.toInt) * x }.sum
+      if ((num >= 0L) != (y == 1L)) Some((id, src, y, num)) else None
+    }.sortBy { case (id, _, _, num) => (-math.abs(num), id) }.take(50)
+    val got = Distill.q197(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    OperatorCaches.release()
+    assert(got === expected)
+  }
+
+  test("q198 threshold sweep == model; keep rate monotone non-increasing in tau") {
+    val docs = loadDocs(sfDir)
+    val feats = modelFeatures(docs)
+    val w = modelWeights(feats)
+    val nums = feats.map { case (_, _, y, f) =>
+      (y, f.iterator.map { case (j, x) => w(j.toInt) * x }.sum)
+    }
+    val expected = Seq(-8000L, -4000L, 0L, 4000L, 8000L).map { tau =>
+      (tau, nums.size.toLong,
+        nums.count(_._2 >= tau).toLong,
+        nums.count(p => (p._2 >= tau) == (p._1 == 1L)).toLong)
+    }
+    val got = Distill.q198(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    OperatorCaches.release()
+    assert(got === expected)
+    assert(got.map(_._3) === got.map(_._3).sorted.reverse,
+      "keep count must not increase with tau")
   }
 }

@@ -464,4 +464,16 @@ class PlanSpec extends SparkTestBase {
     // shuffles carry (key, partial-count) rows, never exploded tokens
     assert(p.contains("partial_count"), p)
   }
+
+  test("q197 disagreement mining: top-50 compiles to TakeOrderedAndProject; " +
+    "q198 sweep joins a broadcast 5-row tau table, never a cartesian") {
+    val p7 = plan(graft.ops.Distill.q197(spark, sfDir))
+    OperatorCaches.release()
+    assert(p7.contains("TakeOrderedAndProject"), p7)
+    val p8 = plan(graft.ops.Distill.q198(spark, sfDir))
+    OperatorCaches.release()
+    assert(p8.contains("BroadcastNestedLoopJoin") ||
+      p8.contains("BroadcastExchange"), p8)
+    assert(!p8.contains("CartesianProduct"), p8)
+  }
 }

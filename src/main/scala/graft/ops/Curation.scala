@@ -37,15 +37,21 @@ object Curation {
   //         One corpus pass, one 20-row-out aggregate exchange — the
   //         cheapest possible 100 TB shape (same as q145).
   def q149(s: SparkSession, dir: String): DataFrame = {
-    val m = documents(s, dir).select(
-      col("source"),
-      col("n_chars"),
-      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_words"),
-      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]")).cast("long").as("n_nonspace"),
-      regexp_count(col("text"), lit("[#@%^*_~|]")).cast("long").as("n_sym"),
-      regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
-      regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long").as("n_caps"),
-      regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long").as("n_stop"))
+    // all six counts from ONE TextStatsExpr byte scan instead of six
+    // regexp_count traversals — the 26.9s-at-100× floor of this query
+    // was the regex passes themselves (fixture-identical; \b follows the
+    // oracle's RE2 semantics, see the kernel's scaladoc)
+    val m = documents(s, dir)
+      .withColumn("_ts",
+        org.apache.spark.sql.graft.TextStatsExpr.column(col("text")))
+      .select(
+        col("source"), col("n_chars"),
+        element_at(col("_ts"), 1).as("n_words"),
+        element_at(col("_ts"), 2).as("n_nonspace"),
+        element_at(col("_ts"), 3).as("n_sym"),
+        element_at(col("_ts"), 4).as("n_digit"),
+        element_at(col("_ts"), 5).as("n_caps"),
+        element_at(col("_ts"), 6).as("n_stop"))
     val r = m.select(
       col("source"), col("n_words"),
       (col("n_words") >= 50L && col("n_words") <= 100000L).as("r_nwords"),
@@ -149,7 +155,7 @@ object Curation {
   def q151(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_words"),
+        element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1).as("n_words"),
         regexp_count(col("text"), lit(graft.ops.TextQueries.SubtokenPattern))
           .cast("long").as("n_subtok"))
       .groupBy(col("lang"), col("source"))
@@ -497,7 +503,7 @@ object Curation {
   def q163(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), col("source"),
-        greatest(regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"), lit(1L))
+        greatest(element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1), lit(1L))
           .as("w"),
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
           " AS BIGINT) + 1").as("u"))
@@ -526,7 +532,7 @@ object Curation {
   def q164(s: SparkSession, dir: String): DataFrame = {
     val scored = documents(s, dir)
       .select(col("doc_id"), col("source"),
-        greatest(regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"), lit(1L))
+        greatest(element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1), lit(1L))
           .as("w"),
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
           " AS BIGINT) + 1").as("u"))

@@ -39,11 +39,12 @@ import graft.Tables._
   * Scale contract (the twinLloydCentroids shape): training runs on the
   * TrainCap=4096 lowest doc_ids — bounded, so the 4 gradient passes cost
   * O(TrainCap) regardless of corpus size — and per-iteration driver state
-  * is one 39-long integer vector (a 39-row collect). Inference (q195) is
-  * one full-corpus pass: explode → two narrow integer shuffles (doc_id,j
-  * counts ≤ 39 rows/doc of 24 bytes, then per-doc margins) → broadcast
-  * weight join → per-source rollup. No floats exist anywhere in train or
-  * inference, so both are bit-reproducible under any partitioning.
+  * is one 39-long integer vector (a 39-row collect). Inference
+  * (q195–q198) is ONE map-side corpus pass: the BucketCountsExpr kernel
+  * computes each row's hashed-token counts in place and the margin is a
+  * literal-weight expression over them — no explode, no join, no
+  * exchange before the final rollup. No floats exist anywhere in train
+  * or inference, so both are bit-reproducible under any partitioning.
   *
   * Honesty note: the feature set includes the rule's own signal margins,
   * so the distillation CAN recover the label rule (it reaches full
@@ -63,16 +64,22 @@ object Distill {
     * int64 for any corpus). */
   val LrDen = 500L
 
-  // ── per-doc metrics + label (the q149 rule, same proven expression
-  //    pairs — explicit whitespace class, cross-multiplied ratios) ──────
-  private def withMetrics(d: DataFrame): DataFrame = d.select(
-    col("doc_id"), col("source"), col("n_chars"), col("text"),
-    regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_words"),
-    regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]")).cast("long").as("n_nonspace"),
-    regexp_count(col("text"), lit("[#@%^*_~|]")).cast("long").as("n_sym"),
-    regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
-    regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long").as("n_caps"),
-    regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long").as("n_stop"))
+  // ── per-doc metrics + label (the q149 rule) — all six counts from the
+  //    fused single-scan TextStatsExpr kernel instead of six separate
+  //    regexp_count traversals (the 100×-rehearsal floor of every
+  //    quality-rule carrier; fixture-identical, and \b follows the
+  //    ORACLE's RE2 semantics — see the kernel's scaladoc) ──────────────
+  private def withMetrics(d: DataFrame): DataFrame = d
+    .withColumn("_ts",
+      org.apache.spark.sql.graft.TextStatsExpr.column(col("text")))
+    .select(
+      col("doc_id"), col("source"), col("n_chars"), col("text"),
+      element_at(col("_ts"), 1).as("n_words"),
+      element_at(col("_ts"), 2).as("n_nonspace"),
+      element_at(col("_ts"), 3).as("n_sym"),
+      element_at(col("_ts"), 4).as("n_digit"),
+      element_at(col("_ts"), 5).as("n_caps"),
+      element_at(col("_ts"), 6).as("n_stop"))
 
   private def withLabel(m: DataFrame): DataFrame = {
     val mwl = expr("n_nonspace * 100 DIV greatest(n_words, 1)")
@@ -90,6 +97,21 @@ object Distill {
   private def viol(m: Column): Column =
     when(m > 0L, lit(500L) + least(m, lit(500L))).otherwise(lit(0L))
 
+  /** The six rule-violation magnitudes over a metrics frame, in feature
+    * order (shared by the training long form and the fused inference
+    * margin). */
+  private def violMags: Seq[Column] = {
+    val mwl = expr("n_nonspace * 100 DIV greatest(n_words, 1)")
+    Seq(
+      greatest(lit(50L) - col("n_words"), lit(0L)) +
+        greatest(col("n_words") - lit(100000L), lit(0L)),
+      greatest(lit(300L) - mwl, lit(0L)) + greatest(mwl - lit(1000L), lit(0L)),
+      greatest(col("n_sym") * 10L - col("n_words"), lit(0L)),
+      greatest(col("n_digit") * 5L - col("n_chars"), lit(0L)),
+      greatest(col("n_caps") * 10L - col("n_words"), lit(0L)),
+      greatest(lit(2L) - col("n_stop"), lit(0L)) * 500L)
+  }
+
   /** Long-form integer features (doc_id, j, x) over a metrics+label frame:
     * j ∈ [0,32) hashed-token per-mille counts, j ∈ [32,38) rule-violation
     * jumps, j = 38 bias 1000. Rows with x = 0 in the token block are
@@ -104,17 +126,8 @@ object Distill {
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), col("j"),
         expr("c * 1000 DIV greatest(n_words, 1)").as("x"))
-    val mwl = expr("n_nonspace * 100 DIV greatest(n_words, 1)")
-    val mags = Seq(
-      greatest(lit(50L) - col("n_words"), lit(0L)) +
-        greatest(col("n_words") - lit(100000L), lit(0L)),
-      greatest(lit(300L) - mwl, lit(0L)) + greatest(mwl - lit(1000L), lit(0L)),
-      greatest(col("n_sym") * 10L - col("n_words"), lit(0L)),
-      greatest(col("n_digit") * 5L - col("n_chars"), lit(0L)),
-      greatest(col("n_caps") * 10L - col("n_words"), lit(0L)),
-      greatest(lit(2L) - col("n_stop"), lit(0L)) * 500L)
     val fe = met.select(col("doc_id"), explode(array(
-      mags.zipWithIndex.map { case (m, i) =>
+      violMags.zipWithIndex.map { case (m, i) =>
         struct(lit((HashBuckets + i).toLong).as("j"), viol(m).as("x"))
       } :+ struct(lit((NumFeatures - 1).toLong).as("j"), lit(1000L).as("x")): _*))
       .as("f"))
@@ -193,23 +206,36 @@ object Distill {
   }
 
   /** Full-corpus scoring with the trained weights: (doc_id, source, y,
-    * num) — one linear pass, broadcast weights. The shared inference leg
-    * under q195/q196/q197. */
+    * num) — ONE map-side pass, no exchange at all. Bucket counts come
+    * from the fused BucketCountsExpr kernel and the margin is assembled
+    * as a literal-weight expression over them (weights are driver values
+    * after training), so nothing explodes and nothing joins — the
+    * first-cut long-form join shuffled ~tokens rows per document twice
+    * and cost 55s/query at the 100× rehearsal; this is the q193
+    * "row-local computation belongs in an Expression" lesson. Zero-weight
+    * buckets emit no term. Bit-identical to the long form: the per-bucket
+    * per-mille floor (c·1000 DIV n_words) is applied per bucket exactly
+    * as the oracle's long-form replay does. */
   private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val w = trainWeights(s, dir)
-    val met = withLabel(withMetrics(documents(s, dir))).trackedPersist()
-    val wdf = w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
-      .toDF("j", "w")
-    val num = featsLong(met).join(broadcast(wdf), "j")
-      .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("num"))
-    met.select(col("doc_id"), col("source"), col("y")).join(num, "doc_id")
+    val met = withLabel(withMetrics(documents(s, dir)))
+      .withColumn("cnts", org.apache.spark.sql.graft.BucketCountsExpr
+        .column(TextQueries.tokens(col("text")), HashBuckets))
+    val tokTerms = (0 until HashBuckets).filter(j => w(j) != 0L).map(j =>
+      s"(${w(j)}L * ((element_at(cnts, ${j + 1}) * 1000L) DIV greatest(n_words, 1L)))")
+    val tokNum =
+      if (tokTerms.isEmpty) lit(0L) else expr(tokTerms.mkString(" + "))
+    val violNum = violMags.zipWithIndex.map { case (m, i) =>
+      lit(w(HashBuckets + i)) * viol(m)
+    }.reduce(_ + _)
+    val num = tokNum + violNum + lit(w(NumFeatures - 1) * 1000L)
+    met.select(col("doc_id"), col("source"), col("y"), num.as("num"))
   }
 
   // ── q195: apply the trained filter to the FULL corpus — per-source
   //         confusion vs the rule label (pred = margin ≥ 0 ⇔ p ≥ 500).
-  //         One corpus pass, broadcast weights, per-source rollup: the
-  //         inference face of the operator at the 100 TB shape. ─────────
+  //         One map-side corpus pass (fused kernel + literal weights),
+  //         per-source rollup: the inference face at the 100 TB shape. ──
   def q195(s: SparkSession, dir: String): DataFrame =
     scoredDocs(s, dir)
       .select(col("source"), col("y"), (col("num") >= 0L).as("pred"))

@@ -181,7 +181,7 @@ object Importance {
       .select(col("source"),
         sha2(graft.operators.Dedup.normalizeText(col("text")), 256)
           .as("fp"),
-        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
+        element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1).as("n_tokens"))
       .trackedPersist()
     val m = d.groupBy(col("fp")).agg(count(lit(1)).as("m"))
     d.join(m, Seq("fp"))
@@ -351,7 +351,7 @@ object Importance {
     val docs = documents(s, dir)
     val base = docs.select(col("doc_id"), col("source"),
       sha2(graft.operators.Dedup.normalizeText(col("text")), 256).as("fp"),
-      regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
+      element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1).as("n_tokens"),
       graft.ops.TextQueries.qualityLogit(col("text")).as("logit_1e4"))
     val m = base.groupBy(col("fp")).agg(count(lit(1)).as("m"))
     val dsir = dsirScoresExact(s, dir).select(col("doc_id"), col("llr_e7"))
@@ -428,7 +428,7 @@ object Importance {
       .select(col("source"),
         sha2(graft.operators.Dedup.normalizeText(col("text")), 256)
           .as("fp"),
-        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"))
+        element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1).as("n_tokens"))
       .groupBy(col("source"), col("fp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
     val docs = documents(s, dir)

@@ -37,14 +37,19 @@ object TextQueries {
   /** The 6-term integer fixed-point quality logit (1e-4 units) — the ONE
     * definition behind q133 (whose weight-table join mirrors these
     * constants), q135, q139 and q145. Change a weight here and in the
-    * q133 table + the four SQL oracles together. */
-  def qualityLogit(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    * q133 table + the four SQL oracles together. All five counts come
+    * from ONE TextStatsExpr byte scan (was five regexp_count traversals
+    * per carrier row — fixture-identical; \b follows the oracle's RE2
+    * semantics, see the kernel's scaladoc). */
+  def qualityLogit(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ts = org.apache.spark.sql.graft.TextStatsExpr.column(text)
     lit(20000L) +
-      regexp_count(text, lit("[^\\t\\n\\f\\r ]+")) * 15L +
-      regexp_count(text, lit("\\b(the|a|of|and|to|in)\\b")) * 400L -
-      regexp_count(text, lit("[.,!?;:]")) * 250L -
-      regexp_count(text, lit("[0-9]")) * 120L -
-      regexp_count(text, lit("\\b[A-Z]{2,}\\b")) * 600L
+      element_at(ts, 1) * 15L +
+      element_at(ts, 6) * 400L -
+      element_at(ts, 7) * 250L -
+      element_at(ts, 4) * 120L -
+      element_at(ts, 5) * 600L
+  }
 
   // ── q28: per-language corpus quality stats — doc count, exact avg chars /
   //        tokens / BPE-ish subtokens, punctuation + stopword ratios from

@@ -452,17 +452,23 @@ class PlanSpec extends SparkTestBase {
     assert(p144.contains("xxhash64"), p144)
   }
 
-  test("q195 distilled-filter inference: 39-row weight frame broadcasts, " +
-    "every rollup partial-aggregates, no cartesian") {
+  test("q195 distilled-filter inference is MAP-SIDE ONLY: fused " +
+    "bucket-counts kernel + literal weights — no explode, no join, no " +
+    "exchange before the 20-row rollup") {
     val p = plan(graft.ops.Distill.q195(spark, sfDir))
-    OperatorCaches.release()
-    // weights join the exploded-token count stream as a broadcast — the
-    // corpus-sized side must never shuffle to meet a 39-row table
-    assert(p.contains("BroadcastExchange"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    // token counts and the per-source confusion both combine map-side, so
-    // shuffles carry (key, partial-count) rows, never exploded tokens
+    assert(p.contains("bucket_counts"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
     assert(p.contains("partial_count"), p)
+    // exchanges: one hash (per-source rollup) + one range (output order) —
+    // a third means the margin started shuffling per-token state again
+    // (the 55s/query first-cut form at 100×). Counted as plan NODES.
+    val exchanges = graft.ops.Distill.q195(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+    OperatorCaches.release()
+    assert(exchanges.size <= 2, exchanges.mkString("\n"))
   }
 
   test("q197 disagreement mining: top-50 compiles to TakeOrderedAndProject; " +

@@ -1,0 +1,105 @@
+package graft
+
+import java.util.regex.Pattern
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextStatsExpr
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TextStatsExpr vs the six java.util.regex counts it replaced — the
+  * exact golden forms, kept as the cross-check (the WinnowExpr
+  * discipline). Random strings are built from an adversarial alphabet:
+  * separators (incl. the \x0B vertical tab that distinguishes the
+  * explicit class from \s), word/non-word boundaries, underscore (both a
+  * symbol and a word char), digit-adjacent uppercase runs, multi-byte
+  * UTF-8, and the six stopwords embedded bare and inside longer words. */
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pats = Seq(
+    "[^\\t\\n\\f\\r ]+", "[^\\t\\n\\f\\r ]", "[#@%^*_~|]", "[0-9]",
+    "\\b[A-Z]{2,}\\b", "\\b(the|a|of|and|to|in)\\b", "[.,!?;:]")
+    .map(Pattern.compile)
+
+  private def count(p: Pattern, s: String): Long = {
+    val m = p.matcher(s); var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+
+  /** Golden: java.util.regex for the four \b-free patterns (identical
+    * semantics in Java and RE2), and java.util.regex over an
+    * ASCII-SANITIZED copy (every non-ASCII code point → , non-word
+    * in both engines) for the two \b patterns — because Java's \b is
+    * Unicode-aware ('é' is a word char) while RE2's, which the DuckDB
+    * oracle executes, is ASCII-only. The kernel implements the RE2
+    * semantics; sanitizing first makes Java agree, keeping the golden an
+    * independent regex-based model. */
+  private def golden(s: String): Seq[Long] = {
+    val ascii = s.map(c => if (c < 128) c else '')
+    pats.take(4).map(count(_, s)) ++
+      pats.slice(4, 6).map(count(_, ascii)) :+ count(pats(6), s)
+  }
+
+  private def kernel(s: String): Seq[Long] =
+    TextStatsExpr.compute(UTF8String.fromString(s)).toLongArray().toSeq
+
+  private val pieces = Vector(
+    "the", "a", "of", "and", "to", "in", "theory", "band", "TO", "IN",
+    "NASA", "AB", "A", "ABc", "aBC", "AB_", "_AB", "AB1", "1AB", "A_B",
+    "é", "héllo", "模型", "x", "_", "#", "@", "%", "^", "*", "~", "|",
+    "42", "3.14", " ", "\t", "\n", "\f", "\r", "", ".", ",", "-",
+    "a-b", "the.", "(a)", "AB,CD", "éAB", "ABé")
+
+  test("kernel == six-regex golden on adversarial random strings") {
+    for (seed <- 1 to 40) {
+      val rnd = new Random(seed)
+      val s = Seq.fill(rnd.nextInt(60))(pieces(rnd.nextInt(pieces.size)))
+        .mkString("")
+      assert(kernel(s) === golden(s), s"seed=$seed text=${s.take(120)}")
+    }
+  }
+
+  test("kernel == golden on edge strings") {
+    for (s <- Seq("", " ", "AB", "the", "éé", "", "a",
+        "THE", "The", "andand", "of of", "AB CD", "..AB..", "_the_",
+        "thecat", "ABCD")) {
+      assert(kernel(s) === golden(s), s"text=<$s>")
+    }
+  }
+
+  test("kernel == golden on every fixture document — and == UNSANITIZED " +
+    "java regex there (the fixtures contain no divergent adjacency)") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    texts.foreach { t =>
+      assert(kernel(t) === golden(t))
+      assert(kernel(t) === pats.map(count(_, t)))
+    }
+  }
+
+  test("the latent java-\\b-vs-RE2-\\b divergence is resolved TOWARD the " +
+    "oracle: non-ASCII adjacent to a word island") {
+    // DuckDB (RE2, ASCII \b): caps('ABé') = 1, stop('theé') = 1 —
+    // verified directly; java.util.regex says 0 for both ('é' is a Java
+    // word char). regexp_count-based carriers hold the java answer and
+    // only stay oracle-green because no fixture text has the adjacency;
+    // the kernel computes the oracle's answer.
+    assert(kernel("ABé")(4) === 1L)
+    assert(count(pats(4), "ABé") === 0L)
+    assert(kernel("theé")(5) === 1L)
+    assert(count(pats(5), "theé") === 0L)
+  }
+
+  test("codegen path matches interpreted through a DataFrame under strictCodegen") {
+    val data = (1 to 20).map(i => (i.toLong, pieces(i % pieces.size) * i))
+    val got = strictCodegen {
+      data.toDF("id", "t")
+        .withColumn("st", TextStatsExpr.column(col("t")))
+        .orderBy(col("id")).collect().map(_.getSeq[Long](2))
+    }
+    data.zip(got).foreach { case ((_, t), st) => assert(st === golden(t)) }
+  }
+}

@@ -963,15 +963,22 @@ object TextQueries {
       ("bias", 20000L), ("tokens", 15L), ("stop", 400L),
       ("punct", -250L), ("digit", -120L), ("upper", -600L))
       .toDF("feature", "w")
+    // counts from the same TextStatsExpr scan as qualityLogit — the "ONE
+    // definition" contract this query's weight table mirrors (an r14
+    // review caught q133 left on java-regex counts after the kernel
+    // migration: its \b answers would diverge from both its own RE2
+    // oracle and its q135/q139/q145 siblings on non-ASCII-adjacent text)
     val feats = fanout(documents(s, dir), "doc_id")
+      .withColumn("_ts",
+        org.apache.spark.sql.graft.TextStatsExpr.column(col("text")))
       .select(col("doc_id"), col("source"),
         explode(map(
           lit("bias"), lit(1L),
-          lit("tokens"), regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long"),
-          lit("stop"), regexp_count(col("text"), lit("\\b(the|a|of|and|to|in)\\b")).cast("long"),
-          lit("punct"), regexp_count(col("text"), lit("[.,!?;:]")).cast("long"),
-          lit("digit"), regexp_count(col("text"), lit("[0-9]")).cast("long"),
-          lit("upper"), regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long"))))
+          lit("tokens"), element_at(col("_ts"), 1),
+          lit("stop"), element_at(col("_ts"), 6),
+          lit("punct"), element_at(col("_ts"), 7),
+          lit("digit"), element_at(col("_ts"), 4),
+          lit("upper"), element_at(col("_ts"), 5))))
       .toDF("doc_id", "source", "feature", "value")
     val scored = feats
       .join(broadcast(weights), Seq("feature"))

@@ -24,10 +24,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * scan → kernel → rollup, no exchange before the final aggregate.
   *
   * Empty tokens (split artifacts) are skipped, matching
-  * `TextQueries.tokens`' filter; a NULL element is skipped the same way
-  * ([[RepCovsExpr]]'s convention — the explode path it replaces drops
-  * NULL tokens too, so skipping IS the equivalence, unlike the scoring
-  * kernels where a NULL element must poison the result).
+  * `TextQueries.tokens`' filter; a NULL element is skipped too
+  * ([[RepCovsExpr]]'s convention). NOTE this is NOT what the exploded
+  * form does with a NULL token — explode emits the row and
+  * `pmod(xxhash64(NULL), b)` buckets the SEED's hash — so the
+  * bit-equivalence contract holds only for null-free arrays. Every
+  * production caller feeds `TextQueries.tokens` output, whose filter
+  * admits no nulls; BucketCountsSpec pins the skip behavior.
   */
 case class BucketCountsExpr(child: Expression, buckets: Int)
     extends UnaryExpression with ExpectsInputTypes {

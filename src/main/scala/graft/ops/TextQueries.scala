@@ -51,17 +51,51 @@ object TextQueries {
       element_at(ts, 5) * 600L
   }
 
+  /** The q28/q45 4-word stop set and the q29/q138 language-marker sets —
+    * counted by the StopCountsExpr island kernel (RE2-ASCII \b, the
+    * oracle's semantics) instead of java regexp_count. */
+  private val QualityStopSet = Seq("the", "a", "of", "and")
+  private val LangMarkerSets = Seq(
+    Seq("the", "a", "is", "of"), Seq("der", "die", "und", "ist"),
+    Seq("el", "los", "es", "y"), Seq("le", "les", "est", "et"))
+
+  /** q29/q138's marker-argmax language prediction over a text column —
+    * the four \b marker-set scores come from ONE StopCountsExpr byte scan
+    * (was four java-regex traversals per row, each with the latent
+    * Unicode-\b divergence); the zh literal count has no \b (Java and RE2
+    * agree) and stays regexp_count. Column duplication across the when
+    * chain is collapsed by codegen subexpression elimination. */
+  private def langPredicted(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sc = org.apache.spark.sql.graft.StopCountsExpr.column(text, LangMarkerSets)
+    val en = element_at(sc, 1)
+    val de = element_at(sc, 2)
+    val es = element_at(sc, 3)
+    val fr = element_at(sc, 4)
+    val zh = regexp_count(text, lit("的|是")).cast("long")
+    when(en > 0 && en >= greatest(de, es, fr, zh), "en")
+      .when(de > 0 && de >= greatest(es, fr, zh), "de")
+      .when(es > 0 && es >= greatest(fr, zh), "es")
+      .when(fr > 0 && fr >= zh, "fr")
+      .when(zh > 0, "zh")
+      .otherwise("und")
+  }
+
   // ── q28: per-language corpus quality stats — doc count, exact avg chars /
   //        tokens / BPE-ish subtokens, punctuation + stopword ratios from
   //        integer count sums.
   def q28(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
+      .withColumn("_ts", org.apache.spark.sql.graft.TextStatsExpr.column(col("text")))
       .select(
         col("lang"), col("n_chars"),
-        regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
+        element_at(col("_ts"), 1).as("n_tokens"),
         regexp_count(col("text"), lit(SubtokenPattern)).cast("long").as("n_subtokens"),
-        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("n_punct"),
-        regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long").as("n_stop"))
+        element_at(col("_ts"), 7).as("n_punct"),
+        // island kernel, NOT java regexp_count: \b follows the oracle's
+        // RE2 ASCII semantics (the last latent divergence class — VERDICT
+        // r14 #1); one byte scan replaces three regex traversals here
+        org.apache.spark.sql.graft.StopCountsExpr
+          .single(col("text"), QualityStopSet).as("n_stop"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -91,24 +125,12 @@ object TextQueries {
   // ── q29: n-gram/stopword-marker language ID — deterministic argmax over
   //        per-language marker-hit counts with a fixed priority order;
   //        confusion-matrix output (actual lang × predicted).
-  def q29(s: SparkSession, dir: String): DataFrame = {
-    val en = regexp_count(col("text"), lit("\\b(the|a|is|of)\\b"))
-    val de = regexp_count(col("text"), lit("\\b(der|die|und|ist)\\b"))
-    val es = regexp_count(col("text"), lit("\\b(el|los|es|y)\\b"))
-    val fr = regexp_count(col("text"), lit("\\b(le|les|est|et)\\b"))
-    val zh = regexp_count(col("text"), lit("的|是"))
+  def q29(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .withColumn("predicted",
-        when(en > 0 && en >= greatest(de, es, fr, zh), "en")
-          .when(de > 0 && de >= greatest(es, fr, zh), "de")
-          .when(es > 0 && es >= greatest(fr, zh), "es")
-          .when(fr > 0 && fr >= zh, "fr")
-          .when(zh > 0, "zh")
-          .otherwise("und"))
+      .withColumn("predicted", langPredicted(col("text")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
-  }
 
   val q29Sql: String =
     """WITH scored AS (
@@ -172,8 +194,10 @@ object TextQueries {
     * length, token count, and stopword signals; round4'd so both engines
     * agree bit-for-bit. Shared by q45 and the q57 training-prep pipeline. */
   def qualityScore: org.apache.spark.sql.Column = {
-    val nTokens = regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long")
-    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and)\\b")).cast("long")
+    val nTokens = element_at(
+      org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1)
+    val nStop = org.apache.spark.sql.graft.StopCountsExpr
+      .single(col("text"), QualityStopSet)
     val score =
       least(col("n_chars") / 500.0, lit(1.0)) * 0.5 +
         least(nTokens / 80.0, lit(1.0)) * 0.3 +
@@ -182,7 +206,8 @@ object TextQueries {
   }
 
   def q45(s: SparkSession, dir: String): DataFrame = {
-    val nTokens = regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long")
+    val nTokens = element_at(
+      org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1)
     documents(s, dir)
       .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
         qualityScore.as("quality_score"))
@@ -1101,18 +1126,7 @@ object TextQueries {
         concat_ws(" ",
           slice(col("toks"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
           .as("ctext"))
-    val en = regexp_count(col("ctext"), lit("\\b(the|a|is|of)\\b"))
-    val de = regexp_count(col("ctext"), lit("\\b(der|die|und|ist)\\b"))
-    val es = regexp_count(col("ctext"), lit("\\b(el|los|es|y)\\b"))
-    val fr = regexp_count(col("ctext"), lit("\\b(le|les|est|et)\\b"))
-    val zh = regexp_count(col("ctext"), lit("的|是"))
-    val scored = chunks.withColumn("predicted",
-      when(en > 0 && en >= greatest(de, es, fr, zh), "en")
-        .when(de > 0 && de >= greatest(es, fr, zh), "de")
-        .when(es > 0 && es >= greatest(fr, zh), "es")
-        .when(fr > 0 && fr >= zh, "fr")
-        .when(zh > 0, "zh")
-        .otherwise("und"))
+    val scored = chunks.withColumn("predicted", langPredicted(col("ctext")))
     val perPred = scored.groupBy(col("doc_id"), col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_chunks"))
     val w = Window.partitionBy(col("doc_id"))

@@ -80,8 +80,9 @@ object TextStatsExpr {
   @inline private def isUpper(b: Byte): Boolean = b >= 'A' && b <= 'Z'
 
   def compute(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes // materialized once; texts are row-local
-    val n = bytes.length
+    // iterate via getByte — UTF8String is often a slice of a larger page,
+    // so getBytes would copy the whole text per row (ADVICE r14)
+    val n = s.numBytes()
     var words = 0L; var nonspace = 0L; var sym = 0L; var digit = 0L
     var caps = 0L; var stop = 0L; var punct = 0L
     var inRun = false // inside a non-separator run (n_words)
@@ -89,7 +90,7 @@ object TextStatsExpr {
     var islandUpper = true // island so far all [A-Z]
     var i = 0
     while (i <= n) {
-      val b: Byte = if (i < n) bytes(i) else ' ' // virtual trailing separator
+      val b: Byte = if (i < n) s.getByte(i) else ' ' // virtual trailing separator
       val cont = (b & 0xC0) == 0x80 // UTF-8 continuation byte
       if (i < n && !isSep(b)) {
         if (!inRun) { words += 1L; inRun = true }
@@ -119,7 +120,7 @@ object TextStatsExpr {
             val w = Stopwords(k)
             if (w.length == len) {
               var j = 0
-              while (j < len && bytes(island + j) == w(j)) j += 1
+              while (j < len && s.getByte(island + j) == w(j)) j += 1
               found = j == len
             }
             k += 1

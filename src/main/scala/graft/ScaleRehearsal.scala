@@ -107,6 +107,12 @@ object ScaleRehearsal {
       "q194_quality_lr_train", "q195_quality_lr_filter",
       "q196_lr_calibration", "q197_lr_disagreement",
       "q198_lr_threshold_sweep",
+      // r15: persisted/maintained/streamed classifier — q199 scans a
+      // 39-row artifact (constant); q200's featurization is TrainCap-
+      // bounded like q194; q201 is the q195 pass as an AvailableNow
+      // stream
+      "q199_lr_weights_persisted", "q200_lr_model_maintain",
+      "q201_stream_quality_gate",
       "q152_hll_users", "q153_sketch_ledger", "q154_overlap_sketch",
       "q156_image_phash", "q157_outer_reconcile", "q158_ann_recall",
       "q159_blocklist", "q160_schema_drift", "q162_erasure_audit",

@@ -432,11 +432,22 @@ object Pack {
       |  SELECT split, count(*) AS n_seqs FROM (
       |    SELECT DISTINCT split, source, seq_no FROM packed)
       |  GROUP BY split),
-      |ndocs AS (SELECT split, count(*) AS n_docs FROM kept GROUP BY split)
-      |SELECT d.split, d.n_docs, s.n_seqs,
-      |  d.n_docs AS docs_in_shards, s.n_seqs AS seqs_in_shards
-      |FROM ndocs d JOIN nseqs s USING (split)
-      |ORDER BY d.split""".stripMargin
+      |ndocs AS (SELECT split, count(*) AS n_docs FROM kept GROUP BY split),
+      |-- split SPINE: trainingBuild reports all three splits even when
+      |-- the leak screen empties one (0-doc rows), so an inner join on
+      |-- observed splits would drop rows the engine emits. Found by the
+      |-- r15 non-ASCII corpus sweep, which emptied `val` at threshold
+      |-- 0.9 — representational, not semantic: all counts agreed.
+      |spine AS (SELECT unnest(['test', 'train', 'val']) AS split)
+      |SELECT p.split,
+      |  CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(s.n_seqs, 0) AS BIGINT) AS n_seqs,
+      |  CAST(coalesce(d.n_docs, 0) AS BIGINT) AS docs_in_shards,
+      |  CAST(coalesce(s.n_seqs, 0) AS BIGINT) AS seqs_in_shards
+      |FROM spine p
+      |LEFT JOIN ndocs d USING (split)
+      |LEFT JOIN nseqs s USING (split)
+      |ORDER BY p.split""".stripMargin
   }
 
   // ── q125: contiguous fixed-window packing accounting — the GPT-style

@@ -2694,11 +2694,24 @@ object Similarity {
   private val RichPqK = 64
   private val RichPqPool = 80
 
+  /** Probe cap for the 7-leg recall audit — the q158 brute baseline is
+    * corpus × broadcast(probes), so its cost is linear in BOTH; a future
+    * caller pointing the audit at a large probe set on a 100 TB corpus
+    * must fail fast, not run quietly expensive (the Dedup audit-gate
+    * discipline — r14 verdict ask #5). */
+  private[graft] val MaxProbesConf = "spark.graft.audit.maxProbes"
+  private[graft] val MaxProbesDefault = 1000L
+
   def q158(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val k = 10
     val probes = e.filter(col("vec_id") < AuditNq)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
+    graft.operators.Dedup.requireAuditScale(probes,
+      "the 7-leg recall audit's brute-force baseline (corpus x probes)",
+      MaxProbesConf, MaxProbesDefault,
+      "the production ANN paths (q41/q55/q98/q128) and audit a sampled " +
+        "probe subset")
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("nn_id"))
     val brute = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))

@@ -238,4 +238,55 @@ class DistillSpec extends SparkTestBase {
     assert(got.map(_._3) === got.map(_._3).sorted.reverse,
       "keep count must not increase with tau")
   }
+
+  test("q199 persisted-artifact scan == q194 trained vector (write → " +
+    "scan loses nothing)") {
+    val a = Distill.q194(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Distill.q199(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    OperatorCaches.release()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q200 incremental-featurization maintenance == full retrain") {
+    val full = Distill.q194(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inc = Distill.q200(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    OperatorCaches.release()
+    assert(inc.toSeq === full.toSeq)
+  }
+
+  test("stream gate: checkpointed restart scores each doc exactly once " +
+    "and matches the batch scoring") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-gate-eo")
+    val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    val w = Distill.trainWeights(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+
+    def runOnce(): Unit = {
+      val q = Distill.scoredFrom(
+          spark.readStream
+            .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+            .parquet(in), w)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(in)
+    runOnce()
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(in)
+    runOnce() // restart from the checkpoint: committed files must not rescore
+
+    val got = spark.read.parquet(out)
+      .select("doc_id", "y", "num").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val batch = Distill.scoredFrom(docs, w)
+      .select("doc_id", "y", "num").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    OperatorCaches.release()
+    assert(got.map(_._1).distinct.length === got.length, "a doc scored twice")
+    assert(got.toSeq === batch.toSeq)
+  }
 }

@@ -140,6 +140,33 @@ class PackSpec extends SparkTestBase {
     assert(out.values.map(_._1).sum > 0, "all splits empty")
   }
 
+  test("trainingBuild: an emptied split is still reported with 0 docs/seqs " +
+    "(the q108 oracle's split spine — r15 non-ASCII sweep finding)") {
+    val dir = java.nio.file.Files.createTempDirectory("tbuild-empty").toString
+    // every doc whose deterministic split is 'val' gets quality-failing
+    // junk text, so trainingPrep removes it BEFORE the split and the val
+    // shard is empty; the build must still report all three splits
+    val ids = (0L until 120L)
+    val splits = ids.toDF("doc_id")
+      .withColumn("split", graft.ops.Scale.splitOf(col("doc_id").cast("string")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits.values.exists(_ == "val"), "fixture ids never hit val")
+    val docs = ids.map { id =>
+      val text =
+        if (splits(id) == "val") "x"
+        else "the a of and " + (0 until 80).map(k => s"tok${id}w$k").mkString(" ")
+      (id, text, "en", s"src${id % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Pack.trainingBuild(docs, s"$dir/build",
+      capacity = 256, targetFileBytes = 8L * 1024 * 1024)
+    assert(out.keySet == Set("train", "val", "test"))
+    // n_files may be 1: writeSized emits a schema-ful empty parquet, which
+    // is exactly what lets q108's read-back of an empty split succeed
+    assert((out("val")._1, out("val")._2) == ((0L, 0L)), "empty split row")
+    assert(out("train")._1 > 0L, "train survived")
+    OperatorCaches.release()
+  }
+
   test("mixSchedule: every prefix holds sources at their weight ratios") {
     val sched = Pack.q99(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))

@@ -650,4 +650,21 @@ class SimilaritySpec extends SparkTestBase {
     val at11 = out.filter(_._1 == 11L).map(t => (t._2, t._3, t._4, t._5)).toSeq
     assert(at11 == expected, s"bands=11 slice != model: $at11 vs $expected")
   }
+
+  test("q158 probe set is gated: above spark.graft.audit.maxProbes the " +
+    "audit fails fast with a pointer to the production paths") {
+    spark.conf.set(Similarity.MaxProbesConf, "5") // fixture has 20 probes
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.q158(spark, sfDir)
+      }
+      assert(ex.getMessage.contains("audit-only"), ex.getMessage)
+      assert(ex.getMessage.contains(Similarity.MaxProbesConf), ex.getMessage)
+      assert(ex.getMessage.contains("q41/q55/q98/q128"), ex.getMessage)
+    } finally spark.conf.unset(Similarity.MaxProbesConf)
+    // under the cap (the default) the audit plans and runs — q158's own
+    // correctness test above covers the values; just re-touch the gate
+    assert(Similarity.q158(spark, sfDir).limit(1).count() == 1L)
+    OperatorCaches.release()
+  }
 }

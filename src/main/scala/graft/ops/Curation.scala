@@ -154,10 +154,11 @@ object Curation {
   //         divisions; one aggregate exchange, 100 rows out.
   def q151(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
+      .withColumn("_ts",
+        org.apache.spark.sql.graft.TextStatsExpr.column(col("text")))
       .select(col("lang"), col("source"), col("n_chars"),
-        element_at(org.apache.spark.sql.graft.TextStatsExpr.column(col("text")), 1).as("n_words"),
-        regexp_count(col("text"), lit(graft.ops.TextQueries.SubtokenPattern))
-          .cast("long").as("n_subtok"))
+        element_at(col("_ts"), 1).as("n_words"),
+        element_at(col("_ts"), 8).as("n_subtok"))
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

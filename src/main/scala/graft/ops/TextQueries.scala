@@ -89,7 +89,7 @@ object TextQueries {
       .select(
         col("lang"), col("n_chars"),
         element_at(col("_ts"), 1).as("n_tokens"),
-        regexp_count(col("text"), lit(SubtokenPattern)).cast("long").as("n_subtokens"),
+        element_at(col("_ts"), 8).as("n_subtokens"),
         element_at(col("_ts"), 7).as("n_punct"),
         // island kernel, NOT java regexp_count: \b follows the oracle's
         // RE2 ASCII semantics (the last latent divergence class — VERDICT

@@ -30,6 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *                    word-char islands equal to one of the six
   *                    stopwords (case-sensitive)
   *   [6] n_punct    — chars in {. , ! ? ; :} (the qualityLogit class)
+  *   [7] n_subtok   — `[A-Za-z0-9]{1,4}|[^A-Za-z0-9\t\n\f\r ]` matches
+  *                    (TextQueries.SubtokenPattern, the BPE-ish piece
+  *                    count). The greedy left-to-right scan makes this
+  *                    ceil(L/4) per maximal [A-Za-z0-9] island (NO
+  *                    underscore — unlike the \b islands) plus one per
+  *                    non-alnum non-separator CODE POINT (Java's negated
+  *                    class and RE2's both consume one code point, so
+  *                    counting lead bytes matches both engines)
   *
   * Byte-level correctness: all classified chars are ASCII, and UTF-8
   * multi-byte sequences have the high bit set on every byte — so a byte
@@ -84,14 +92,25 @@ object TextStatsExpr {
     // so getBytes would copy the whole text per row (ADVICE r14)
     val n = s.numBytes()
     var words = 0L; var nonspace = 0L; var sym = 0L; var digit = 0L
-    var caps = 0L; var stop = 0L; var punct = 0L
+    var caps = 0L; var stop = 0L; var punct = 0L; var subtok = 0L
     var inRun = false // inside a non-separator run (n_words)
     var island = -1 // start of the current word-char island, -1 outside
     var islandUpper = true // island so far all [A-Z]
+    var alnumLen = 0 // current [A-Za-z0-9] island length (n_subtok)
     var i = 0
     while (i <= n) {
       val b: Byte = if (i < n) s.getByte(i) else ' ' // virtual trailing separator
       val cont = (b & 0xC0) == 0x80 // UTF-8 continuation byte
+      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9')
+      // n_subtok: ceil(len/4) per alnum island; any other non-separator
+      // code point is one piece (lead bytes only — continuations follow
+      // a lead that already closed the island and counted)
+      if (alnum) alnumLen += 1
+      else {
+        if (alnumLen > 0) { subtok += (alnumLen + 3L) / 4L; alnumLen = 0 }
+        if (i < n && !isSep(b) && !cont) subtok += 1L
+      }
       if (i < n && !isSep(b)) {
         if (!inRun) { words += 1L; inRun = true }
         if (!cont) nonspace += 1L
@@ -131,7 +150,8 @@ object TextStatsExpr {
       }
       i += 1
     }
-    new GenericArrayData(Array(words, nonspace, sym, digit, caps, stop, punct))
+    new GenericArrayData(
+      Array(words, nonspace, sym, digit, caps, stop, punct, subtok))
   }
 
   /** `text_stats(textCol)` as a Column. */

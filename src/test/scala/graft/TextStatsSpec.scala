@@ -20,7 +20,8 @@ class TextStatsSpec extends SparkTestBase {
 
   private val pats = Seq(
     "[^\\t\\n\\f\\r ]+", "[^\\t\\n\\f\\r ]", "[#@%^*_~|]", "[0-9]",
-    "\\b[A-Z]{2,}\\b", "\\b(the|a|of|and|to|in)\\b", "[.,!?;:]")
+    "\\b[A-Z]{2,}\\b", "\\b(the|a|of|and|to|in)\\b", "[.,!?;:]",
+    graft.ops.TextQueries.SubtokenPattern)
     .map(Pattern.compile)
 
   private def count(p: Pattern, s: String): Long = {
@@ -39,8 +40,11 @@ class TextStatsSpec extends SparkTestBase {
     * independent regex-based model. */
   private def golden(s: String): Seq[Long] = {
     val ascii = s.map(c => if (c < 128) c else '')
+    // pats(7) (subtokens) runs UNSANITIZED: its negated class consumes
+    // one code point in Java and RE2 alike (no \\b), so the engines agree
     pats.take(4).map(count(_, s)) ++
-      pats.slice(4, 6).map(count(_, ascii)) :+ count(pats(6), s)
+      pats.slice(4, 6).map(count(_, ascii)) ++
+      Seq(count(pats(6), s), count(pats(7), s))
   }
 
   private def kernel(s: String): Seq[Long] =
@@ -51,7 +55,7 @@ class TextStatsSpec extends SparkTestBase {
     "NASA", "AB", "A", "ABc", "aBC", "AB_", "_AB", "AB1", "1AB", "A_B",
     "é", "héllo", "模型", "x", "_", "#", "@", "%", "^", "*", "~", "|",
     "42", "3.14", " ", "\t", "\n", "\f", "\r", "", ".", ",", "-",
-    "a-b", "the.", "(a)", "AB,CD", "éAB", "ABé")
+    "a-b", "the.", "(a)", "AB,CD", "éAB", "ABé", "\uD83D\uDE80", "abcde", "x9y8z7")
 
   test("kernel == six-regex golden on adversarial random strings") {
     for (seed <- 1 to 40) {

@@ -101,6 +101,9 @@ object ScaleRehearsal {
       "q147_doc_ledger", "q148_ledger_delta",
       "q149_gopher_rules", "q150_domain_cap", "q151_token_fertility",
       "q193_repetition_signals",
+      // r15: both now ride the TextStats/StopCounts byte-scan kernels
+      // (q28's subtoken regex and q29's four marker regexes folded in)
+      "q28_text_stats", "q29_lang_id",
       // r14: distilled quality filter — training reads only the 4096
       // lowest doc_ids (constant in corpus size, one 39-row collect per
       // GD step); inference is one linear pass with broadcast weights

@@ -482,4 +482,26 @@ class PlanSpec extends SparkTestBase {
       p8.contains("BroadcastExchange"), p8)
     assert(!p8.contains("CartesianProduct"), p8)
   }
+
+  test("q29/q138: language markers run as ONE stop_counts kernel scan — " +
+    "no regexp marker traversals survive in the plan (r15 port)") {
+    for (q <- Seq(graft.ops.TextQueries.q29(spark, sfDir),
+        graft.ops.TextQueries.q138(spark, sfDir))) {
+      val p = plan(q)
+      assert(p.contains("stop_counts"), p.take(2000))
+      // the zh literal count legitimately stays a regexp; the four \b
+      // marker alternations must not
+      assert(!p.contains("der|die|und|ist"), "marker regex survived")
+    }
+  }
+
+  test("q28/q151: token/subtoken/punct/stop counts are kernel scans — " +
+    "no regexp_count traversal survives (r15 subtoken fold)") {
+    for (q <- Seq(graft.ops.TextQueries.q28(spark, sfDir),
+        graft.ops.Curation.q151(spark, sfDir))) {
+      val p = plan(q)
+      assert(p.contains("text_stats"), p.take(2000))
+      assert(!p.toLowerCase.contains("regexp_count"), "a regex count survived")
+    }
+  }
 }

@@ -81,6 +81,10 @@ object ScaleRehearsal {
       "q22_window_running", "q23_sessionize", "q24_events_hourly",
       "q49_neardup_lsh", "q37_ann_bruteforce", "q54_trigram_jaccard",
       "q60_winnowing_pairs", "q57_training_prep", "q58_stratified_sample",
+      // r15: the production (banded) form of the q57 composition — no
+      // all-pairs stage anywhere, so this is the row that must stay
+      // sublinear however clone-heavy the corpus
+      "q202_training_prep_prod",
       "q67_neardup_clusters", "q69_chunk_dedup", "q70_bloom_decontam",
       "q68_pii_redaction", "q72_source_overlap",
       "q73_asof_join", "q74_range_join", "q75_exact_quantiles",

@@ -1862,6 +1862,69 @@ object Dedup {
       |FROM prepped
       |ORDER BY doc_id""".stripMargin
 
+  // ── q202: the PRODUCTION form of the q57 composition — quality filter →
+  //         exact dedup → **banded MinHash-LSH near-dup drop** → sample.
+  //         q57's near-dup stage is the exact trigram-Jaccard all-pairs
+  //         form, deliberately audit-gated at scale (requireAuditScale
+  //         refuses it above the rep cap); this twin swaps that one stage
+  //         for minhashDedupIds (the q34/q106 banded mechanism: signature
+  //         → band-bucket equi-join → est-threshold drop of the higher
+  //         id; default 0.9 = near-verbatim — the q108 leakThreshold
+  //         rationale: the synthetic corpus is deliberately clone-heavy
+  //         on unigram vocabulary, so 0.5 empties it outright),
+  //         so EVERY stage is the 100 TB path — no all-pairs anywhere,
+  //         shuffles carry digests/signatures. Oracle: the shared
+  //         quality/exact CTEs + the generated Xxh64Sql minhash replay
+  //         over `exact`, bit-for-bit (the q34 discipline), so the
+  //         whole production composition is hash-verified end-to-end. ──
+  def trainingPrepProd(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val quality = docs.filter(graft.ops.TextQueries.qualityScore >= 0.5)
+    val exact = quality
+      .groupBy(sha2(col("text"), 256).as("_fp"))
+      .agg(min_by(struct(quality.columns.map(col).toIndexedSeq: _*),
+        col("doc_id")).as("_r"))
+      .select(col("_r.*"))
+    val keepIds = minhashDedupIds(exact, "text", "doc_id", threshold)
+    exact.join(keepIds, Seq("doc_id"), "left_semi")
+      .filter(substring(sha2(col("doc_id").cast("string"), 256), 1, 1) < "4")
+  }
+
+  def q202(s: SparkSession, dir: String): DataFrame =
+    trainingPrepProd(documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        element_at(org.apache.spark.sql.graft.TextStatsExpr
+          .column(col("text")), 1).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  lazy val q202Sql: String =
+    s"""WITH quality AS (
+      |  SELECT * FROM documents
+      |  WHERE round((least(n_chars / 500.0, 1.0) * 0.5
+      |       + least(len(regexp_extract_all(text, '\\S+')) / 80.0, 1.0) * 0.3
+      |       + least(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) / 5.0, 1.0) * 0.2)
+      |      * 10000) / 10000.0 >= 0.5),
+      |keep_exact AS (
+      |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY sha256(text)),
+      |exact AS (
+      |  SELECT q.* FROM quality q WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)),
+      |${graft.sql.Xxh64Sql.minhashSigsCtes(
+          "SELECT doc_id, text FROM exact", coeffs, P)},
+      |xpairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    ${graft.sql.Xxh64Sql.estExpr("x", "y", NumHashes)} AS est_jaccard
+      |  FROM xsigs x JOIN xsigs y
+      |    ON x.doc_id < y.doc_id
+      |   AND ${graft.sql.Xxh64Sql.bandMatch("x", "y", NumHashes, BandRows)}),
+      |mdrops AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM xpairs WHERE est_jaccard >= 0.9),
+      |prod AS (
+      |  SELECT * FROM exact
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM mdrops)
+      |    AND substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+      |SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '\\S+')) AS n_tokens
+      |FROM prod ORDER BY doc_id""".stripMargin
+
   // ── q58: stratified per-key sampling — exactly n docs PER LANGUAGE,
   //        membership ranked by content hash (deterministic, partition-
   //        independent — the q52 sampler stratified by group). Runs on the
@@ -2322,6 +2385,7 @@ object Dedup {
     "q54_trigram_jaccard" -> q54,
     "q56_simhash_sha" -> q56,
     "q57_training_prep" -> q57,
+    "q202_training_prep_prod" -> q202,
     "q58_stratified_sample" -> q58,
     "q59_norm_dedup" -> q59,
     "q60_winnowing_pairs" -> q60,
@@ -2339,6 +2403,7 @@ object Dedup {
     "q124_segment_dedup" -> q124Sql,
     "q114_dup_spans" -> q114Sql,
     "q57_training_prep" -> q57Sql,
+    "q202_training_prep_prod" -> q202Sql,
     "q58_stratified_sample" -> q58Sql,
     "q59_norm_dedup" -> q59Sql,
     "q60_winnowing_pairs" -> q60Sql,

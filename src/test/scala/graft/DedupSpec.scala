@@ -469,4 +469,28 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.jaccardPairs(docs, "text", "doc_id", gram = 3).count() == 0L)
     assert(Dedup.sourceOverlap(docs, "text", "source").count() == 1L)
   }
+
+  test("q202 production prep: keep set == stagewise recompute (quality -> " +
+    "exact dedup -> banded minhash drop at 0.9 -> sha sample)") {
+    import org.apache.spark.sql.functions.{min, sha2, substring}
+    val docs = Tables.documents(spark, sfDir)
+    val got = Dedup.q202(spark, sfDir).collect().map(_.getLong(0)).toSet
+    OperatorCaches.release()
+    // stagewise recompute from the library primitives, composed
+    // independently of trainingPrepProd's wiring
+    val quality = docs.filter(graft.ops.TextQueries.qualityScore >= 0.5)
+    val exactIds = quality.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactDocs = quality.filter(col("doc_id").isin(exactIds.toSeq: _*))
+    val drops = Dedup.minhashCandidates(exactDocs, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.9)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    OperatorCaches.release()
+    val sampled = docs.filter(col("doc_id").isin((exactIds -- drops).toSeq: _*))
+      .filter(substring(sha2(col("doc_id").cast("string"), 256), 1, 1) < "4")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === sampled)
+    assert(got.nonEmpty, "threshold 0.9 must keep rows on the fixture")
+  }
 }

@@ -479,21 +479,37 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
+    val (groups, repPairs) =
+      minhashRepPairs(docs, textCol, idCol, gram, BandRows)
+    expandInter(repPairs, groups, Seq("est_jaccard"))
+      .unionByName(intraPairs(groups)
+        .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard")))
+  }
+
+  /** Signature GROUPS plus REPRESENTATIVE-level candidate pairs
+    * (id_a < id_b, est_jaccard) for one banding geometry — the shared
+    * pre-expansion core of [[minhashCandidates]] (which re-expands to
+    * member pairs, its output semantics) and [[minhashDedupIds]] (which
+    * never needs member pairs at all — r15 VERDICT).
+    *
+    * The group KEY is the signature, so reps need no join back to sigs:
+    * component i is sig[i]. `groups` is persisted: every downstream
+    * relation (repSigs → buckets x/y + sa + sb, expansion, intra) is a
+    * cheap projection of it, so one materialization runs the 64-min-agg
+    * signature pass exactly once (see winnowingShaPairs for rationale). */
+  private[graft] def minhashRepPairs(docs: DataFrame, textCol: String,
+      idCol: String, gram: Int, bandRows: Int): (DataFrame, DataFrame) = {
     val sigs = minhashSignatures(docs, textCol, idCol, gram)
-    // the group KEY is the signature, so reps need no join back to sigs:
-    // component i is sig[i]. Persisted: every downstream relation
-    // (repSigs → buckets x/y + sa + sb, expansion, intra) is a cheap
-    // projection of groups, so one materialization runs the 64-min-agg
-    // signature pass exactly once (see winnowingShaPairs for rationale).
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .trackedPersist()
     val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
       .select(col("doc_id") +: col("sig") +:
         (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
-    val bandCols = (0 until NumBands).map { bi =>
+    val numBands = NumHashes / bandRows
+    val bandCols = (0 until numBands).map { bi =>
       struct(lit(bi).as("band"),
-        xxhash64(((0 until BandRows).map(j => col(s"m${bi * BandRows + j}")) :+ lit(bi)): _*)
+        xxhash64(((0 until bandRows).map(j => col(s"m${bi * bandRows + j}")) :+ lit(bi)): _*)
           .as("bh"))
     }
     val buckets = repSigs
@@ -514,18 +530,57 @@ object Dedup {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    expandInter(repPairs, groups, Seq("est_jaccard"))
-      .unionByName(intraPairs(groups)
-        .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard")))
+    (groups, repPairs)
   }
 
-  /** MinHash-LSH dedup: drop every doc that is the higher-id member of a
-    * candidate pair above `threshold` (keep-lowest-id within clusters). */
+  /** Banding rows matched to a dedup threshold τ: the largest r (over the
+    * fixed 64-hash signature) whose S-curve midpoint (1/b)^(1/r) stays
+    * at-or-below τ. Recall at the midpoint itself is 1-(1-1/b)^b ≈ 63%
+    * and climbs steeply above it — at τ=0.9 this picks r=8/b=8
+    * (midpoint 0.771, recall 1-(1-0.9^8)^8 = 98.9% at exactly 0.9),
+    * cutting the candidate graph by orders of magnitude vs the legacy
+    * 16×4 geometry whose τ≈0.5 midpoint makes the graph near-complete on
+    * a clone-heavy corpus (r15 VERDICT). τ ≤ 0.771 falls back to 16×4 —
+    * the published q34/q106 oracle geometry. A side benefit at τ > 1-b/n
+    * (0.875 for 8×8): any pair with est ≥ τ has < b mismatched
+    * components, so some band matches EXACTLY — the xxhash64 bucket join
+    * provably loses nothing to hash collisions at the drop threshold. */
+  private[graft] def bandRowsFor(threshold: Double): Int =
+    Seq(32, 16, 8).find { r =>
+      math.pow(1.0 * r / NumHashes, 1.0 / r) <= threshold
+    }.getOrElse(BandRows)
+
+  /** MinHash-LSH dedup KEEP-set: drop every doc that is the higher-id
+    * member of a candidate pair at-or-above `threshold` (keep-lowest-id
+    * within clusters); returns the surviving ids as `idCol`.
+    *
+    * Computed entirely at the REPRESENTATIVE level — this never routes
+    * through [[minhashCandidates]]' member-pair expansion, because on a
+    * clone-heavy corpus Σk² intra-group pairs is exactly the blow-up the
+    * signature-group collapse exists to avoid, and drop-ids need none of
+    * it (r15 VERDICT):
+    *   - a non-rep member always pairs at est 1.0 with its own smaller-id
+    *     rep, so it drops whenever threshold ≤ 1.0;
+    *   - a rep drops iff some ≥threshold band-paired partner GROUP has a
+    *     smaller rep — a partner's members are all ≥ that partner's rep,
+    *     so a larger-rep group can never supply the smaller side of a
+    *     pair against this rep.
+    * DedupSpec pins equality with the filter-the-candidates formulation.
+    * Banding is τ-matched via [[bandRowsFor]]; the DuckDB oracle replays
+    * the same geometry (q202Sql), so candidate gates AND estimates stay
+    * bit-for-bit. */
   def minhashDedupIds(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, gram: Int = 1): DataFrame = {
-    val dropIds = minhashCandidates(docs, textCol, idCol, gram)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_b").as("drop_id")).distinct()
+    val (groups, repPairs) =
+      minhashRepPairs(docs, textCol, idCol, gram, bandRowsFor(threshold))
+    val dropReps = repPairs.filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as("drop_id"))
+    val nonReps = // linear in members — one row per doc, never pairs
+      if (threshold <= 1.0)
+        groups.select(col("rep"), explode(col("members")).as("drop_id"))
+          .filter(col("drop_id") =!= col("rep")).select(col("drop_id"))
+      else groups.select(col("rep").as("drop_id")).limit(0)
+    val dropIds = dropReps.unionByName(nonReps).distinct()
     docs.join(dropIds, col(idCol) === col("drop_id"), "left_anti")
       .select(col(idCol))
   }
@@ -1867,23 +1922,36 @@ object Dedup {
   //         q57's near-dup stage is the exact trigram-Jaccard all-pairs
   //         form, deliberately audit-gated at scale (requireAuditScale
   //         refuses it above the rep cap); this twin swaps that one stage
-  //         for minhashDedupIds (the q34/q106 banded mechanism: signature
-  //         → band-bucket equi-join → est-threshold drop of the higher
-  //         id; default 0.9 = near-verbatim — the q108 leakThreshold
-  //         rationale: the synthetic corpus is deliberately clone-heavy
-  //         on unigram vocabulary, so 0.5 empties it outright),
+  //         for minhashDedupIds (signature → τ-matched band-bucket
+  //         equi-join at r=8/b=8 → REP-LEVEL est-threshold drop, never a
+  //         member-pair expansion; default ProdNearDupThreshold 0.9 =
+  //         near-verbatim — the q108 leakThreshold rationale: the
+  //         synthetic corpus is deliberately clone-heavy on unigram
+  //         vocabulary, so 0.5 empties it outright),
   //         so EVERY stage is the 100 TB path — no all-pairs anywhere,
   //         shuffles carry digests/signatures. Oracle: the shared
   //         quality/exact CTEs + the generated Xxh64Sql minhash replay
   //         over `exact`, bit-for-bit (the q34 discipline), so the
   //         whole production composition is hash-verified end-to-end. ──
-  def trainingPrepProd(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+  /** The production near-dup drop threshold — ONE constant shared by
+    * [[trainingPrepProd]]'s default, the banding geometry choice, and the
+    * literal interpolated into [[q202Sql]], so engine and oracle cannot
+    * silently diverge if it is ever retuned (r15 ADVICE). */
+  val ProdNearDupThreshold: Double = 0.9
+
+  def trainingPrepProd(docs: DataFrame,
+      threshold: Double = ProdNearDupThreshold): DataFrame = {
     val quality = docs.filter(graft.ops.TextQueries.qualityScore >= 0.5)
+    // persisted: `exact` feeds the signature pass inside minhashDedupIds,
+    // the drop anti-join, AND the closing semi-join — one materialization
+    // instead of ≥3 recomputes of the quality + sha2-min_by shuffle
+    // subtree (r15 VERDICT)
     val exact = quality
       .groupBy(sha2(col("text"), 256).as("_fp"))
       .agg(min_by(struct(quality.columns.map(col).toIndexedSeq: _*),
         col("doc_id")).as("_r"))
       .select(col("_r.*"))
+      .trackedPersist()
     val keepIds = minhashDedupIds(exact, "text", "doc_id", threshold)
     exact.join(keepIds, Seq("doc_id"), "left_semi")
       .filter(substring(sha2(col("doc_id").cast("string"), 256), 1, 1) < "4")
@@ -1914,9 +1982,11 @@ object Dedup {
       |    ${graft.sql.Xxh64Sql.estExpr("x", "y", NumHashes)} AS est_jaccard
       |  FROM xsigs x JOIN xsigs y
       |    ON x.doc_id < y.doc_id
-      |   AND ${graft.sql.Xxh64Sql.bandMatch("x", "y", NumHashes, BandRows)}),
+      |   AND ${graft.sql.Xxh64Sql.bandMatch("x", "y", NumHashes,
+                bandRowsFor(ProdNearDupThreshold))}),
       |mdrops AS (
-      |  SELECT DISTINCT id_b AS doc_id FROM xpairs WHERE est_jaccard >= 0.9),
+      |  SELECT DISTINCT id_b AS doc_id FROM xpairs
+      |  WHERE est_jaccard >= $ProdNearDupThreshold),
       |prod AS (
       |  SELECT * FROM exact
       |  WHERE doc_id NOT IN (SELECT doc_id FROM mdrops)

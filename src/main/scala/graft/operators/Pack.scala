@@ -437,8 +437,11 @@ object Pack {
       |-- the leak screen empties one (0-doc rows), so an inner join on
       |-- observed splits would drop rows the engine emits. Found by the
       |-- r15 non-ASCII corpus sweep, which emptied `val` at threshold
-      |-- 0.9 — representational, not semantic: all counts agreed.
-      |spine AS (SELECT unnest(['test', 'train', 'val']) AS split)
+      |-- 0.9 — representational, not semantic: all counts agreed. The
+      |-- literal is interpolated from Scale.Splits (splitOf's codomain),
+      |-- so a split-set change cannot silently stale this spine.
+      |spine AS (SELECT unnest([${graft.ops.Scale.Splits.sorted
+                  .map(sp => s"'$sp'").mkString(", ")}]) AS split)
       |SELECT p.split,
       |  CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs,
       |  CAST(coalesce(s.n_seqs, 0) AS BIGINT) AS n_seqs,

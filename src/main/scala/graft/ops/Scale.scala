@@ -141,11 +141,17 @@ object Scale {
   //        q48 move, three-way): < 0xcc → train (204/256 ≈ 79.7%),
   //        < 0xe6 → val (26/256 ≈ 10.2%), else test. Narrow scan + one
   //        small groupBy; no rand(), no layout dependence.
+  /** The split codomain of [[splitOf]] — every oracle spine that has to
+    * enumerate splits (Pack.q108Sql's LEFT-JOIN spine) interpolates THIS
+    * sequence, so renaming or adding a split breaks one constant instead
+    * of silently skewing an oracle (r15 ADVICE). */
+  val Splits: Seq[String] = Seq("train", "val", "test")
+
   /** Split assignment column over a string key column (salted). */
   def splitOf(key: org.apache.spark.sql.Column,
       salt: String = "split:"): org.apache.spark.sql.Column = {
     val h = substring(sha2(concat(lit(salt), key), 256), 1, 2)
-    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    when(h < "cc", Splits(0)).when(h < "e6", Splits(1)).otherwise(Splits(2))
   }
 
   def q97(s: SparkSession, dir: String): DataFrame = {

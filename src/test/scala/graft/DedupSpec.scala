@@ -493,4 +493,45 @@ class DedupSpec extends SparkTestBase {
     assert(got === sampled)
     assert(got.nonEmpty, "threshold 0.9 must keep rows on the fixture")
   }
+
+  test("tau-matched banding: rep-level candidate graph shrinks >=10x at " +
+    "tau 0.9 with an identical keep-set (r15 VERDICT)") {
+    // 40 docs at pairwise J=0.5 (30 shared + 15 unique tokens each): a
+    // near-complete candidate graph under the legacy 16x4 geometry
+    // (S-curve midpoint 0.5), nearly empty under the tau-matched 8x8 one;
+    // two clone groups supply the only true >=0.9 drops.
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val sim = (0L until 40L).map { i =>
+      (i, base + " " + (0 until 15).map(j => s"u${i}_$j").mkString(" "))
+    }
+    val clones = Seq(
+      (100L, "clone alpha text one"), (101L, "clone alpha text one"),
+      (102L, "clone alpha text one"),
+      (103L, "clone beta text two"), (104L, "clone beta text two"))
+    val docs = (sim ++ clones).toDF("doc_id", "text")
+    assert(Dedup.bandRowsFor(0.9) == 8, "tau 0.9 must pick r=8/b=8")
+    assert(Dedup.bandRowsFor(0.5) == 4, "tau 0.5 keeps the legacy 16x4")
+    assert(Dedup.bandRowsFor(0.95) == 16, "tau 0.95 must pick r=16/b=4")
+    val n4 = Dedup.minhashRepPairs(docs, "text", "doc_id", 1, 4)._2.count()
+    OperatorCaches.release()
+    val n8 = Dedup.minhashRepPairs(docs, "text", "doc_id", 1, 8)._2.count()
+    OperatorCaches.release()
+    assert(n8 * 10 <= n4, s"expected >=10x candidate shrink: r4=$n4 r8=$n8")
+    // keep-set equality: the tau-matched REP-LEVEL drop == the member-
+    // level filter over the legacy-geometry candidates. Any pair with
+    // est >= 0.9 has <= 6 mismatched signature components, so a fully-
+    // matching band exists under BOTH 16x4 and 8x8 — the geometries can
+    // only disagree on sub-threshold candidates, which the filter kills.
+    val kept = Dedup.minhashDedupIds(docs, "text", "doc_id", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    OperatorCaches.release()
+    val drops = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.9)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    OperatorCaches.release()
+    val all = (sim ++ clones).map(_._1).toSet
+    assert(kept === (all -- drops))
+    assert(kept === (all -- Set(101L, 102L, 104L)),
+      "only non-min clone members may drop on this fixture")
+  }
 }

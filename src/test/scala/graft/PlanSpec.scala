@@ -504,4 +504,26 @@ class PlanSpec extends SparkTestBase {
       assert(!p.toLowerCase.contains("regexp_count"), "a regex count survived")
     }
   }
+
+  test("q202: near-dup drop-ids derive REP-LEVEL — no member-pair " +
+    "expansion in the plan; the exact-dedup subtree is cached, not " +
+    "recomputed 3x (r16 rewrite)") {
+    // no clearCache here: the assertion is ABOUT the persist marks q202's
+    // construction just registered (exact + signature groups)
+    val df = graft.operators.Dedup.q202(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val optStr = opt.toString
+    // expandInter/intraPairs mark their member explodes with _ms_ columns;
+    // none may survive on the dedup path (drop-ids are rep-level)
+    assert(!optStr.contains("_ms_"), "member-pair expansion survived in q202")
+    val caches = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    OperatorCaches.release()
+    // exact scans 3x (signatures, drop anti-join, closing semi-join) and
+    // groups 2x — all must hit InMemoryRelation instead of recomputing
+    // the quality + sha2-min_by shuffle subtree
+    assert(caches.size >= 4,
+      s"expected >=4 cached scans in q202's plan, got ${caches.size}")
+  }
 }

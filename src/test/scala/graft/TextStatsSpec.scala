@@ -97,6 +97,24 @@ class TextStatsSpec extends SparkTestBase {
     assert(count(pats(5), "theé") === 0L)
   }
 
+  test("\\x0B vertical tab: kernel follows RE2 — NOT whitespace (duckdb " +
+    "1.0.0: regexp_matches(chr(11), '\\s') is false) — pinned against " +
+    "Java \\s which WOULD split there (r15 ADVICE adjudicated)") {
+    // RE2/kernel: \x0B glues runs — 3 tokens; Java \S+ sees 6 on the
+    // same text. Aligning isSep to Java (adding \x0B) would therefore
+    // BREAK oracle parity, not protect it; the non-ASCII corpus tool now
+    // injects \x0B so the full battery proves this end-to-end.
+    val s = "lest thea 9_"
+    assert(kernel(s)(0) === 3L, "kernel must treat \\x0B as non-separator")
+    assert(count(Pattern.compile("\\S+"), s) === 6L,
+      "java \\s should diverge here — if this starts failing, the JDK " +
+        "changed \\s and the pinned divergence needs re-adjudication")
+    // \x0B is itself a one-piece subtoken under both engines' negated
+    // classes (RE2 [^A-Za-z0-9\s]; Java SubtokenPattern)
+    assert(kernel("xy")(7) === 3L)
+    assert(count(pats(7), "xy") === 3L)
+  }
+
   test("codegen path matches interpreted through a DataFrame under strictCodegen") {
     val data = (1 to 20).map(i => (i.toLong, pieces(i % pieces.size) * i))
     val got = strictCodegen {

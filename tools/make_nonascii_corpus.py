@@ -31,12 +31,20 @@ import duckdb
 SRC, DST = sys.argv[1], sys.argv[2]
 
 # rotating injection snippets: island-adjacent non-ASCII first (the
-# divergence class), then CJK joins, emoji, decomposed accents
+# divergence class), then CJK joins, emoji, decomposed accents, and
+# VERTICAL-TAB pieces (r15 ADVICE): DuckDB's RE2 \\s is [\\t\\n\\f\\r ] --
+# it does NOT match \\x0B (empirically: regexp_matches(chr(11), '\\s')
+# is false on the container's duckdb 1.0.0), so \\x0B must behave as a
+# NON-separator in n_tokens (\\S+ glues across it) and as a one-piece
+# subtoken ([^A-Za-z0-9\\s] matches it) -- exactly what the TextStats
+# kernel does by excluding \\x0B from isSep. Java \\s WOULD match it;
+# TextStatsSpec pins that divergence. This injection makes the whole
+# oracle battery prove the RE2 alignment end-to-end.
 SNIPPETS = [
     "theé étude ABé naïve",          # stop/caps islands flanked by é
     "模型the 是y café ABéCD",    # CJK adjacent to markers
     "\U0001f680rocket the\U0001f680 á étude",  # emoji + NFD
-    "deré éund ist中 losé yé leést",
+    "deré éund ist中 losé yé leést le\x0bst the\x0ba é\x0b9",  # \v pieces
 ]
 
 os.makedirs(DST, exist_ok=True)

@@ -85,6 +85,9 @@ object ScaleRehearsal {
       // all-pairs stage anywhere, so this is the row that must stay
       // sublinear however clone-heavy the corpus
       "q202_training_prep_prod",
+      // r16: the τ tuning curve over the same banded machinery — one
+      // signature pass + one rep-level band join per distinct geometry
+      "q203_neardup_threshold_sweep",
       "q67_neardup_clusters", "q69_chunk_dedup", "q70_bloom_decontam",
       "q68_pii_redaction", "q72_source_overlap",
       "q73_asof_join", "q74_range_join", "q75_exact_quantiles",

@@ -499,10 +499,16 @@ object Dedup {
     * signature pass exactly once (see winnowingShaPairs for rationale). */
   private[graft] def minhashRepPairs(docs: DataFrame, textCol: String,
       idCol: String, gram: Int, bandRows: Int): (DataFrame, DataFrame) = {
-    val sigs = minhashSignatures(docs, textCol, idCol, gram)
-    val groups = sigs.groupBy(col("sig"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .trackedPersist()
+    val groups = minhashGroups(docs, textCol, idCol, gram).trackedPersist()
+    (groups, repPairsFromGroups(groups, bandRows))
+  }
+
+  /** The band-join half of [[minhashRepPairs]] over PRE-BUILT signature
+    * groups — factored out so a multi-geometry consumer (the q203
+    * threshold sweep) pays the 64-min-agg signature pass once and only
+    * re-runs the cheap rep-level band join per geometry. */
+  private[graft] def repPairsFromGroups(groups: DataFrame,
+      bandRows: Int): DataFrame = {
     val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
       .select(col("doc_id") +: col("sig") +:
         (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
@@ -521,16 +527,22 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sa = repSigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val sb = repSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val repPairs = cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
+    // est as a flat 64-term comparison sum over the joined signature
+    // components — the oracle's estExpr shape. The earlier zip_with +
+    // aggregate HOF form computed the same value but evaluated
+    // INTERPRETED (higher-order functions don't codegen) and allocated a
+    // 64-element array per pair; on q203's r=4 leg (~10^5 rep pairs per
+    // 5k docs) the interpreted eval was the dominant cost.
+    val sa = repSigs.select(col("doc_id").as("id_a") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"xa$i")): _*)
+    val sb = repSigs.select(col("doc_id").as("id_b") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"xb$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"xa$i") === col(s"xb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", matches / lit(NumHashes.toDouble))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    (groups, repPairs)
   }
 
   /** Banding rows matched to a dedup threshold τ: the largest r (over the
@@ -1995,6 +2007,97 @@ object Dedup {
       |  len(regexp_extract_all(text, '\\S+')) AS n_tokens
       |FROM prod ORDER BY doc_id""".stripMargin
 
+  // ── q203: near-dup threshold TUNING CURVE — dedup keep/drop counts and
+  //         candidate-graph size at each candidate τ, each τ run at ITS
+  //         τ-matched banding geometry (bandRowsFor). The q190/q191/q198
+  //         sweep discipline applied to dedup's one deployment knob: ONE
+  //         signature pass, one rep-level band join per DISTINCT geometry
+  //         (3 for the default grid), per-τ aggregates via a broadcast τ
+  //         frame — never |τ| corpus passes. n_keep at each τ is exactly
+  //         what minhashDedupIds(τ) keeps (DedupSpec pins it);
+  //         n_band_pairs is the geometry's rep-level candidate-graph
+  //         size — the selectivity the τ-matched banding buys, the
+  //         number an operator owner reads before picking a production
+  //         threshold. Oracle: xsigs → rep collapse (GROUP BY all 64
+  //         components) → per-geometry pair CTEs with the exact band
+  //         predicates, bit-for-bit (the q34/q202 discipline). ─────────
+  val SweepTausNearDup: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+
+  def neardupThresholdSweep(docs: DataFrame, textCol: String, idCol: String,
+      taus: Seq[Double] = SweepTausNearDup): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0.0 && t <= 1.0),
+      s"thresholds must be in (0,1]: $taus")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val groups = minhashGroups(docs, textCol, idCol).trackedPersist()
+    // one broadcast totals row; n_total counts ALL docs (a tokenless doc
+    // has no signature but is always kept), n_nonrep the sure clone drops
+    val totals = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(groups.agg(coalesce(
+        sum(size(col("members"))) - count(lit(1)), lit(0L)).as("n_nonrep")))
+    val perGeom = taus.distinct.groupBy(bandRowsFor).toSeq.map { case (r, ts) =>
+      val tausDf = ts.map(t => (t, r)).toDF("tau", "band_rows")
+      repPairsFromGroups(groups, r)
+        .crossJoin(broadcast(tausDf))
+        .groupBy(col("tau"), col("band_rows"))
+        .agg(count(lit(1)).as("n_band_pairs"),
+          count_distinct(when(col("est_jaccard") >= col("tau"),
+            col("id_b"))).as("n_drop_reps"))
+    }
+    // spine: a geometry whose band join found nothing must still report
+    // its τs (0 pairs, clone-only drops), so the per-geometry aggregates
+    // LEFT-join onto the full τ grid
+    val spine = taus.distinct.map(t => (t, bandRowsFor(t)))
+      .toDF("tau", "band_rows")
+    spine.join(perGeom.reduce(_ unionByName _), Seq("tau", "band_rows"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("tau"), col("band_rows"),
+        coalesce(col("n_band_pairs"), lit(0L)).as("n_band_pairs"),
+        (coalesce(col("n_drop_reps"), lit(0L)) + col("n_nonrep")).as("n_drop"),
+        (col("n_total") - coalesce(col("n_drop_reps"), lit(0L)) -
+          col("n_nonrep")).as("n_keep"))
+      .orderBy(col("tau"))
+  }
+
+  def q203(s: SparkSession, dir: String): DataFrame =
+    neardupThresholdSweep(documents(s, dir), "text", "doc_id")
+
+  lazy val q203Sql: String = {
+    val geoms = SweepTausNearDup.map(bandRowsFor).distinct.sorted
+    val repCols = (0 until NumHashes).map(i => s"m$i").mkString(", ")
+    val pairCtes = geoms.map { r =>
+      s"""p$r AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    ${graft.sql.Xxh64Sql.estExpr("x", "y", NumHashes)} AS est
+         |  FROM xreps x JOIN xreps y
+         |    ON x.doc_id < y.doc_id
+         |   AND ${graft.sql.Xxh64Sql.bandMatch("x", "y", NumHashes, r)})""".stripMargin
+    }.mkString(",\n")
+    val legs = SweepTausNearDup.map { t =>
+      val r = bandRowsFor(t)
+      s"""  SELECT CAST($t AS DOUBLE) AS tau, CAST($r AS INT) AS band_rows,
+         |    (SELECT count(*) FROM p$r) AS n_band_pairs,
+         |    (SELECT count(DISTINCT id_b) FROM p$r WHERE est >= $t)
+         |      AS n_drop_reps""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${graft.sql.Xxh64Sql.minhashSigsCtes(
+          "SELECT doc_id, text FROM documents", coeffs, P)},
+       |xreps AS (
+       |  SELECT min(doc_id) AS doc_id, $repCols
+       |  FROM xsigs GROUP BY $repCols),
+       |$pairCtes,
+       |tot AS (SELECT count(*) AS n FROM documents),
+       |nonrep AS (
+       |  SELECT (SELECT count(*) FROM xsigs) - (SELECT count(*) FROM xreps)
+       |    AS n),
+       |legs AS (
+       |$legs)
+       |SELECT tau, band_rows, n_band_pairs,
+       |  n_drop_reps + (SELECT n FROM nonrep) AS n_drop,
+       |  (SELECT n FROM tot) - n_drop_reps - (SELECT n FROM nonrep) AS n_keep
+       |FROM legs ORDER BY tau""".stripMargin
+  }
+
   // ── q58: stratified per-key sampling — exactly n docs PER LANGUAGE,
   //        membership ranked by content hash (deterministic, partition-
   //        independent — the q52 sampler stratified by group). Runs on the
@@ -2456,6 +2559,7 @@ object Dedup {
     "q56_simhash_sha" -> q56,
     "q57_training_prep" -> q57,
     "q202_training_prep_prod" -> q202,
+    "q203_neardup_threshold_sweep" -> q203,
     "q58_stratified_sample" -> q58,
     "q59_norm_dedup" -> q59,
     "q60_winnowing_pairs" -> q60,
@@ -2474,6 +2578,7 @@ object Dedup {
     "q114_dup_spans" -> q114Sql,
     "q57_training_prep" -> q57Sql,
     "q202_training_prep_prod" -> q202Sql,
+    "q203_neardup_threshold_sweep" -> q203Sql,
     "q58_stratified_sample" -> q58Sql,
     "q59_norm_dedup" -> q59Sql,
     "q60_winnowing_pairs" -> q60Sql,

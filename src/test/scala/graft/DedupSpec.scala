@@ -534,4 +534,34 @@ class DedupSpec extends SparkTestBase {
     assert(kept === (all -- Set(101L, 102L, 104L)),
       "only non-min clone members may drop on this fixture")
   }
+
+  test("q203 threshold sweep: n_keep at each tau == minhashDedupIds(tau); " +
+    "the tau-matched geometries' candidate graphs shrink in the curve") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 40L).map { i =>
+      (i, base + " " + (0 until 15).map(j => s"u${i}_$j").mkString(" "))
+    } ++ Seq(
+      (100L, "clone alpha text one"), (101L, "clone alpha text one"),
+      (102L, "clone alpha text one"),
+      (103L, "clone beta text two"), (104L, "clone beta text two")))
+      .toDF("doc_id", "text")
+    val sweep = Dedup.neardupThresholdSweep(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    OperatorCaches.release()
+    assert(sweep.map(_._1).toSeq == Dedup.SweepTausNearDup.sorted)
+    for ((tau, br, _, nDrop, nKeep) <- sweep) {
+      assert(br == Dedup.bandRowsFor(tau), s"tau=$tau geometry mismatch")
+      assert(nDrop + nKeep == 45L, s"tau=$tau drop+keep must cover the corpus")
+      val keep = Dedup.minhashDedupIds(docs, "text", "doc_id", tau).count()
+      OperatorCaches.release()
+      assert(nKeep == keep, s"tau=$tau: sweep says $nKeep, dedup keeps $keep")
+    }
+    // the selectivity the curve exists to show: the 8-row geometry's
+    // rep-level candidate graph is >=10x smaller than the 4-row one here
+    val byR = sweep.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(byR(8) * 10 <= byR(4),
+      s"geometry selectivity not visible: ${byR.toSeq.sorted}")
+  }
 }

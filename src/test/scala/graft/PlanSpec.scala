@@ -526,4 +526,19 @@ class PlanSpec extends SparkTestBase {
     assert(caches.size >= 4,
       s"expected >=4 cached scans in q202's plan, got ${caches.size}")
   }
+
+  test("q203: the tau sweep reuses ONE cached signature-group pass across " +
+    "its band-join geometries; no member-pair expansion") {
+    val df = graft.operators.Dedup.q203(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.contains("_ms_"), "member expansion in the sweep")
+    val caches = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    OperatorCaches.release()
+    // every geometry's band join + the totals row must scan the cached
+    // groups, not re-run the 64-min-agg signature pass
+    assert(caches.size >= 3,
+      s"expected the groups cache shared across geometries, got ${caches.size}")
+  }
 }

@@ -169,6 +169,24 @@ object Fixtures {
     p
   }
 
+  /** [[scratch]] with a guaranteed-clean FIRST touch per JVM: deletes any
+    * pre-existing tree at the path before handing it out. Closes the PID-
+    * reuse hole (r16 ADVICE): a tree left by a dead JVM whose PID the
+    * current JVM now holds looks alive to [[pruneStaleTrees]], and a
+    * checkpointed sink built on top of it would append onto the dead
+    * JVM's committed rows (double-counting) instead of starting fresh.
+    * The name scheme stays `_p<pid>`-suffixed so the pruner still
+    * attributes the tree. Memoized per (JVM, path): later touches in the
+    * same JVM keep their checkpoint state — reruns stay incremental
+    * no-ops, which is the property q201's sink relies on. */
+  private val freshened = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+  private[graft] def freshScratch(name: String): String = {
+    val p = scratch(name)
+    if (freshened.add(p)) deleteRecursively(new java.io.File(p))
+    p
+  }
+
   /** Path to the written fixture; `build` evaluated at most once per JVM
     * per (name, dir). */
   def path(name: String, dir: String)(build: => DataFrame): String = {

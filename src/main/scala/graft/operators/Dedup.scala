@@ -580,18 +580,39 @@ object Dedup {
     * DedupSpec pins equality with the filter-the-candidates formulation.
     * Banding is τ-matched via [[bandRowsFor]]; the DuckDB oracle replays
     * the same geometry (q202Sql), so candidate gates AND estimates stay
-    * bit-for-bit. */
+    * bit-for-bit.
+    *
+    * RECALL SEMANTICS (the band join is an LSH prefilter, so recall at τ
+    * is a property of the geometry, not of this function): a pair with
+    * est ≥ τ is caught DETERMINISTICALLY only when τ > 1 - b/n — then it
+    * has < b mismatched components, so pigeonhole forces one exactly-
+    * matching band (0.875 for r=8/b=8, 0.75 for the legacy 4×16). For τ
+    * between the geometry's S-curve midpoint and that bound the drop is
+    * PROBABILISTIC: e.g. τ=0.8 under r=8/b=8 — a pair at est ∈ [0.8,
+    * 0.875) can have up to 12 mismatches and, worst-placed, corrupt all 8
+    * bands; expected recall is 1-(1-est^r)^b ≈ 77% at est exactly 0.8,
+    * climbing to ~97% by 0.875 (the legacy 4-row bands caught every
+    * est > 0.75 pair deterministically — at the price of a near-complete
+    * candidate graph on a clone-heavy corpus). That trade is standard
+    * MinHash-LSH practice and deliberate here; a caller needing
+    * deterministic recall picks τ above the geometry's 1 - b/n bound, as
+    * the production default 0.9 > 0.875 does. The q203 sweep's 0.8 leg
+    * sits in the lossy band BY DESIGN — it reports each τ at the
+    * geometry production would use, oracle replaying the same bands. */
   def minhashDedupIds(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, gram: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
     val (groups, repPairs) =
       minhashRepPairs(docs, textCol, idCol, gram, bandRowsFor(threshold))
     val dropReps = repPairs.filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as("drop_id"))
-    val nonReps = // linear in members — one row per doc, never pairs
-      if (threshold <= 1.0)
-        groups.select(col("rep"), explode(col("members")).as("drop_id"))
-          .filter(col("drop_id") =!= col("rep")).select(col("drop_id"))
-      else groups.select(col("rep").as("drop_id")).limit(0)
+    // linear in members — one row per doc, never pairs; every non-rep
+    // pairs at est 1.0 ≥ threshold with its own smaller-id rep (the
+    // require above pins threshold ≤ 1.0, so this drop is unconditional)
+    val nonReps =
+      groups.select(col("rep"), explode(col("members")).as("drop_id"))
+        .filter(col("drop_id") =!= col("rep")).select(col("drop_id"))
     val dropIds = dropReps.unionByName(nonReps).distinct()
     docs.join(dropIds, col(idCol) === col("drop_id"), "left_anti")
       .select(col(idCol))
@@ -2020,7 +2041,18 @@ object Dedup {
   //         number an operator owner reads before picking a production
   //         threshold. Oracle: xsigs → rep collapse (GROUP BY all 64
   //         components) → per-geometry pair CTEs with the exact band
-  //         predicates, bit-for-bit (the q34/q202 discipline). ─────────
+  //         predicates, bit-for-bit (the q34/q202 discipline).
+  //         Collision caveat (the one column without an exact-parity
+  //         argument): the engine counts n_band_pairs from an xxhash64
+  //         band-BUCKET join while the oracle band-matches on tuple
+  //         equality, so a 64-bit band-hash collision between two reps
+  //         would inflate the engine count by 1. The est filter protects
+  //         n_drop/n_keep (a colliding pair fails est ≥ τ unless it
+  //         band-matches for real — the Xxh64Sql.bandMatch note), but
+  //         n_band_pairs itself is exact only up to P(collision) ≈
+  //         n_reps²·b/2^65 — ~10⁻¹³ at the sf0.1 rep count, and still
+  //         <10⁻⁴ at a 10⁹-rep corpus. Accepted: making the column
+  //         tuple-exact would widen the join key from 8 bytes to r×8. ──
   val SweepTausNearDup: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
   def neardupThresholdSweep(docs: DataFrame, textCol: String, idCol: String,

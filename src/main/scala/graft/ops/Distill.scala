@@ -390,8 +390,12 @@ object Distill {
       StructField("n_chars", LongType)))
     // per-PID scratch root (Fixtures lifecycle prunes it at exit); the
     // checkpoint makes reruns in one JVM incremental no-ops — the input
-    // fixture is written once, so the committed sink is already complete
-    val sinkRoot = graft.Fixtures.scratch(
+    // fixture is written once, so the committed sink is already complete.
+    // freshScratch (not scratch): the first touch per JVM deletes any
+    // tree a dead same-PID JVM left behind — a stale checkpoint+sink
+    // would otherwise append this JVM's batch onto the dead JVM's
+    // committed rows and double-count every source (r16 ADVICE)
+    val sinkRoot = graft.Fixtures.freshScratch(
       s"graft_gatesink_${graft.Fixtures.dirKey(dir)}" +
         s"_p${java.lang.ProcessHandle.current.pid}")
     val scored = scoredFrom(

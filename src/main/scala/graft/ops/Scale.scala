@@ -144,14 +144,23 @@ object Scale {
   /** The split codomain of [[splitOf]] — every oracle spine that has to
     * enumerate splits (Pack.q108Sql's LEFT-JOIN spine) interpolates THIS
     * sequence, so renaming or adding a split breaks one constant instead
-    * of silently skewing an oracle (r15 ADVICE). */
+    * of silently skewing an oracle (r15 ADVICE).
+    *
+    * POSITION IS LOAD-BEARING (r16 ADVICE): [[splitOf]] maps the sha256
+    * hash bands to `Splits(0)/(1)/(2)` positionally — index 0 = the
+    * < 0xcc train band, 1 = the < 0xe6 val band, 2 = the test remainder.
+    * Reordering this Seq (e.g. alphabetizing) would silently remap every
+    * doc's split while all oracles keep agreeing; hence the named bands
+    * below, bound by position exactly once. */
   val Splits: Seq[String] = Seq("train", "val", "test")
+  private val (trainSplit, valSplit, testSplit) =
+    (Splits(0), Splits(1), Splits(2))
 
   /** Split assignment column over a string key column (salted). */
   def splitOf(key: org.apache.spark.sql.Column,
       salt: String = "split:"): org.apache.spark.sql.Column = {
     val h = substring(sha2(concat(lit(salt), key), 256), 1, 2)
-    when(h < "cc", Splits(0)).when(h < "e6", Splits(1)).otherwise(Splits(2))
+    when(h < "cc", trainSplit).when(h < "e6", valSplit).otherwise(testSplit)
   }
 
   def q97(s: SparkSession, dir: String): DataFrame = {

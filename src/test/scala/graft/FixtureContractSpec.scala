@@ -80,4 +80,28 @@ class FixtureContractSpec extends SparkTestBase {
     assert(Tables.events(spark, sfDir).schema("value").dataType
       == DoubleType)
   }
+
+  test("freshScratch deletes a dead-JVM leftover on first touch but " +
+    "keeps state across later touches in the same JVM (PID-reuse " +
+    "double-count guard, r16 ADVICE)") {
+    val name = s"graft_freshtest_p${ProcessHandle.current.pid}"
+    // simulate the PID-reuse hazard: a tree at OUR pid's scratch path,
+    // left by a "dead" JVM — pruneStaleTrees sees a live PID and keeps it
+    val stale = new java.io.File(
+      System.getProperty("java.io.tmpdir"), name)
+    stale.mkdirs()
+    val junk = new java.io.File(stale, "committed-by-dead-jvm.parquet")
+    java.nio.file.Files.write(junk.toPath, "stale".getBytes("UTF-8"))
+    val p1 = Fixtures.freshScratch(name)
+    assert(!junk.exists(),
+      "first freshScratch touch must delete the leftover tree")
+    // same JVM, second touch: checkpoint-style state must SURVIVE —
+    // q201's rerun-as-incremental-no-op contract
+    new java.io.File(p1).mkdirs()
+    val ck = new java.io.File(p1, "checkpoint-of-this-jvm")
+    java.nio.file.Files.write(ck.toPath, "ours".getBytes("UTF-8"))
+    val p2 = Fixtures.freshScratch(name)
+    assert(p2 == p1 && ck.exists(),
+      "later touches in the same JVM must keep the tree intact")
+  }
 }

@@ -2052,7 +2052,20 @@ object Dedup {
   //         n_band_pairs itself is exact only up to P(collision) ≈
   //         n_reps²·b/2^65 — ~10⁻¹³ at the sf0.1 rep count, and still
   //         <10⁻⁴ at a 10⁹-rep corpus. Accepted: making the column
-  //         tuple-exact would widen the join key from 8 bytes to r×8. ──
+  //         tuple-exact would widen the join key from 8 bytes to r×8.
+  //         Scale bound (the r=4 low-τ legs, characterized at 100×):
+  //         join work is O(Σ bucket²) over rep band-buckets — the counts
+  //         STREAM out of the band join (partial-agg immediately after,
+  //         nothing materializes), so the only quadratic exposure is
+  //         shuffle/probe volume, never memory. Recorded 100× wall:
+  //         36.3s on the 500k-doc all-clones corpus (7.3× the sf0.1
+  //         wall — reps stay constant there, the linear signature pass
+  //         dominates). On a DIVERSE corpus reps grow with the data and
+  //         the r=4 legs inherit the legacy geometry's near-complete
+  //         graph by design — that selectivity IS the reported statistic.
+  //         The sweep is a run-once tuning diagnostic (pick τ, then
+  //         deploy minhashDedupIds at the chosen τ's geometry), not a
+  //         per-batch production operator. ──────────────────────────────
   val SweepTausNearDup: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
   def neardupThresholdSweep(docs: DataFrame, textCol: String, idCol: String,

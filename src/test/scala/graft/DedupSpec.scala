@@ -512,6 +512,11 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.bandRowsFor(0.9) == 8, "tau 0.9 must pick r=8/b=8")
     assert(Dedup.bandRowsFor(0.5) == 4, "tau 0.5 keeps the legacy 16x4")
     assert(Dedup.bandRowsFor(0.95) == 16, "tau 0.95 must pick r=16/b=4")
+    // the documented lossy band (r16 ADVICE): 0.8 sits BETWEEN r=8/b=8's
+    // S-curve midpoint (0.771) and its deterministic-recall bound
+    // 1-b/n = 0.875, so its recall there is probabilistic by design —
+    // this pin keeps the scaladoc's worked example tied to the geometry
+    assert(Dedup.bandRowsFor(0.8) == 8, "tau 0.8 must pick r=8/b=8")
     val n4 = Dedup.minhashRepPairs(docs, "text", "doc_id", 1, 4)._2.count()
     OperatorCaches.release()
     val n8 = Dedup.minhashRepPairs(docs, "text", "doc_id", 1, 8)._2.count()

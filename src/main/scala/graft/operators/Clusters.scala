@@ -85,14 +85,23 @@ object Clusters {
           least(col("a"), col("b")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
         .repartition(p, col("hi")).localCheckpoint(true)
-      var converged = e.isEmpty
+      // Per-round action budget (r17, guide §1/§2: a few-hundred-edge
+      // graph is pure job-scheduling overhead): the checkpoint is LAZY —
+      // the fixpoint count materializes it in the same job — and the
+      // previous round's count is remembered instead of recounted, so a
+      // round runs 2 jobs (count, except) instead of 4 (eager checkpoint,
+      // 2 counts, except).
+      var eCount = e.count()
+      var converged = eCount == 0L
       var i = 0
       while (!converged && i < maxIter) {
-        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        val next = smallStar(largeStar(e)).localCheckpoint(false)
+        val nextCount = next.count()
         // fixpoint test: same edge multiset (counts equal + one-sided
         // except empty). Post-contraction edge sets are O(nodes) rows.
-        converged = next.count() == e.count() && next.except(e).isEmpty
+        converged = nextCount == eCount && next.except(e).isEmpty
         e = next
+        eCount = nextCount
         i += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -505,9 +505,20 @@ object Dedup {
 
   /** The band-join half of [[minhashRepPairs]] over PRE-BUILT signature
     * groups — factored out so a multi-geometry consumer (the q203
-    * threshold sweep) pays the 64-min-agg signature pass once and only
-    * re-runs the cheap rep-level band join per geometry. */
+    * threshold sweep) pays the 64-min-agg signature pass once. */
   private[graft] def repPairsFromGroups(groups: DataFrame,
+      bandRows: Int): DataFrame =
+    repPairsWithSigs(groups, bandRows)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+
+  /** [[repPairsFromGroups]] keeping BOTH reps' signature components
+    * (xa0..xa63 / xb0..xb63) alongside est_jaccard. A consumer that needs
+    * membership at a FINER band geometry (larger r, a multiple of this
+    * join's bandRows) derives it from these columns by tuple equality —
+    * band geometries nest (rows 0..15 equal ⇒ rows 0..7 and 8..15 equal),
+    * so the finer pair set is a subset of this one and needs no second
+    * band join (the q203 sweep rides on exactly that). */
+  private[graft] def repPairsWithSigs(groups: DataFrame,
       bandRows: Int): DataFrame = {
     val repSigs = groups.select(col("rep").as("doc_id"), col("sig"))
       .select(col("doc_id") +: col("sig") +:
@@ -542,7 +553,6 @@ object Dedup {
       .reduce(_ + _)
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard", matches / lit(NumHashes.toDouble))
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Banding rows matched to a dedup threshold τ: the largest r (over the
@@ -913,14 +923,19 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
       .distinct()
-    val sa = repSigs(bg).select(col("doc_id").as("new_id"), col("sig").as("sig_a"))
-    val sb = repSigs(hg).select(col("doc_id").as("hist_id"), col("sig").as("sig_b"))
+    // est as a flat 64-term comparison sum over the joined signature
+    // components — same value as the earlier aggregate(zip_with(...))
+    // HOF form, but whole-stage-codegen-able (HOFs evaluate interpreted
+    // and allocate a 64-element array per pair; see repPairsFromGroups).
+    val sa = repSigs(bg).select(col("doc_id").as("new_id") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"xa$i")): _*)
+    val sb = repSigs(hg).select(col("doc_id").as("hist_id") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"xb$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"xa$i") === col(s"xb$i"), 1).otherwise(0))
+      .reduce(_ + _)
     cand.join(sa, "new_id").join(sb, "hist_id")
-      .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) / lit(NumHashes.toDouble))
+      .withColumn("est_jaccard", matches / lit(NumHashes.toDouble))
       .select(col("new_id"), col("hist_id"), col("est_jaccard"))
   }
 
@@ -2042,17 +2057,14 @@ object Dedup {
   //         threshold. Oracle: xsigs → rep collapse (GROUP BY all 64
   //         components) → per-geometry pair CTEs with the exact band
   //         predicates, bit-for-bit (the q34/q202 discipline).
-  //         Collision caveat (the one column without an exact-parity
-  //         argument): the engine counts n_band_pairs from an xxhash64
-  //         band-BUCKET join while the oracle band-matches on tuple
-  //         equality, so a 64-bit band-hash collision between two reps
-  //         would inflate the engine count by 1. The est filter protects
-  //         n_drop/n_keep (a colliding pair fails est ≥ τ unless it
-  //         band-matches for real — the Xxh64Sql.bandMatch note), but
-  //         n_band_pairs itself is exact only up to P(collision) ≈
-  //         n_reps²·b/2^65 — ~10⁻¹³ at the sf0.1 rep count, and still
-  //         <10⁻⁴ at a 10⁹-rep corpus. Accepted: making the column
-  //         tuple-exact would widen the join key from 8 bytes to r×8.
+  //         Since r17 the sweep band-joins ONCE at the coarsest geometry
+  //         and derives each finer geometry by TUPLE equality over the
+  //         joined signature components (geometries nest: r | r' ⇒
+  //         pairs(r') ⊆ pairs(r)), so every n_band_pairs/n_drop column is
+  //         exactly the oracle's tuple-matched count — the r16 xxhash64
+  //         bucket-collision caveat is gone (the only hash-bucket join
+  //         left is the coarse candidate PREFILTER, whose false positives
+  //         are removed by the tuple-match columns).
   //         Scale bound (the r=4 low-τ legs, characterized at 100×):
   //         join work is O(Σ bucket²) over rep band-buckets — the counts
   //         STREAM out of the band join (partial-agg immediately after,
@@ -2080,15 +2092,39 @@ object Dedup {
     val totals = docs.agg(count(lit(1)).as("n_total"))
       .crossJoin(groups.agg(coalesce(
         sum(size(col("members"))) - count(lit(1)), lit(0L)).as("n_nonrep")))
-    val perGeom = taus.distinct.groupBy(bandRowsFor).toSeq.map { case (r, ts) =>
-      val tausDf = ts.map(t => (t, r)).toDF("tau", "band_rows")
-      repPairsFromGroups(groups, r)
-        .crossJoin(broadcast(tausDf))
-        .groupBy(col("tau"), col("band_rows"))
-        .agg(count(lit(1)).as("n_band_pairs"),
-          count_distinct(when(col("est_jaccard") >= col("tau"),
-            col("id_b"))).as("n_drop_reps"))
+    // ONE band join at the COARSEST requested geometry (smallest r):
+    // geometries nest (r' a multiple of r ⇒ an r'-row band is consecutive
+    // aligned r-row bands, so a pair matching at r' also bucket-matches at
+    // r), so every finer geometry's membership is a tuple-equality
+    // expression over the already-joined signature components — no second
+    // band join, distinct, or signature re-join per geometry (guide §2.4:
+    // the r16 shape paid 3 band joins + 6 signature joins for the default
+    // grid). Tuple equality also makes n_band_pairs EXACTLY the oracle's
+    // tuple-matched count at every geometry, collision caveat closed.
+    val geoms = taus.distinct.map(bandRowsFor).distinct
+    val rmin = geoms.min
+    require(geoms.forall(_ % rmin == 0),
+      s"sweep geometries must nest (all multiples of $rmin): $geoms")
+    def tupleMatch(r: Int): Column =
+      (0 until NumHashes / r).map { bi =>
+        (0 until r).map(j => col(s"xa${bi * r + j}") === col(s"xb${bi * r + j}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+    val pairs = geoms.foldLeft(repPairsWithSigs(groups, rmin)) {
+      (df, r) => df.withColumn(s"_bm_$r", tupleMatch(r))
+    }.select(col("id_b") +: col("est_jaccard") +:
+      geoms.map(r => col(s"_bm_$r")): _*)
+    val tausDf = taus.distinct.map(t => (t, bandRowsFor(t)))
+      .toDF("tau", "band_rows")
+    val matched = geoms.foldRight(lit(false): Column) { (r, acc) =>
+      when(col("band_rows") === r, col(s"_bm_$r")).otherwise(acc)
     }
+    val perGeom = Seq(
+      pairs.crossJoin(broadcast(tausDf))
+        .groupBy(col("tau"), col("band_rows"))
+        .agg(sum(when(matched, 1L).otherwise(0L)).as("n_band_pairs"),
+          count_distinct(when(matched && col("est_jaccard") >= col("tau"),
+            col("id_b"))).as("n_drop_reps")))
     // spine: a geometry whose band join found nothing must still report
     // its τs (0 pairs, clone-only drops), so the per-geometry aggregates
     // LEFT-join onto the full τ grid

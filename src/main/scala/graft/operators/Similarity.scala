@@ -2720,6 +2720,13 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nn_id"))
+    // NOT persisted (r17 measured): all 7 legs consume this subtree, but
+    // runtime exchange reuse already shares the corpus × probes window
+    // pass — a trackedPersist() was tried and measured 3.7 → 17.8
+    // executor task-sec (the cache build materializes the full-width
+    // frame and defeats the per-leg pruning), wall 5.5 → 6.6s. q158's
+    // remaining wall-vs-task gap is driver-side planning of the 7-leg
+    // union plan, not executor compute.
     def leg(name: String, approx: DataFrame): DataFrame = {
       val hits = brute.join(approx.select(col("qid"), col("nn_id")),
           Seq("qid", "nn_id"), "left_semi")

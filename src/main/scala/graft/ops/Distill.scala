@@ -179,24 +179,38 @@ object Distill {
     * were produced (which is exactly what q200's hash proves). */
   private def gdSteps(s: SparkSession, flIn: DataFrame,
       labIn: DataFrame): IndexedSeq[Long] = {
-    import s.implicits._
     import graft.OperatorCaches.TrackedDataset
-    val fl = flIn.trackedPersist()
-    val lab = labIn.trackedPersist()
-    val n = math.max(lab.count(), 1L)
+    // Pivot the long form to ONE dense row per doc (x0..x38) joined with
+    // its label, cached once; each GD step is then a single join-free
+    // aggregation pass — literal-weight margin → error → 39 partial-agg
+    // gradient sums — instead of two joins over the long form, a per-doc
+    // shuffle, and an error-frame broadcast per step (guide §2.3/§2.4:
+    // 4 steps × 2 shuffles collapsed to zero mid-step exchanges). The
+    // gradients sum the same integer multiset (absent long-form rows
+    // contribute the dense zeros), so every weight stays bit-identical
+    // to the long-form join formulation the oracle replays.
+    val xCols = (0 until NumFeatures).map(j =>
+      sum(when(col("j") === j.toLong, col("x")).otherwise(0L)).as(s"x$j"))
+    val dense = flIn.groupBy(col("doc_id")).agg(xCols.head, xCols.tail: _*)
+      .join(labIn, "doc_id")
+      .trackedPersist()
+    // featsLong emits a bias row for every doc, and features/labels come
+    // from the same frame, so the inner join keeps exactly the labeled
+    // docs: |dense| = |lab|.
+    val n = math.max(dense.count(), 1L)
     var w = IndexedSeq.fill(NumFeatures)(0L)
     for (_ <- 0 until Iters) {
-      val wdf = w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
-        .toDF("j", "w")
-      val num = fl.join(broadcast(wdf), "j")
-        .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("num"))
-      val e = num.join(lab, "doc_id")
-        .select(col("doc_id"), (pCol - lit(1000L) * col("y")).as("e"))
-      val g = fl.join(broadcast(e), "doc_id")
-        .groupBy(col("j")).agg(sum(col("e") * col("x")).as("g"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val num = (0 until NumFeatures)
+        .map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      val g = dense
+        .withColumn("num", num)
+        .withColumn("e", pCol - lit(1000L) * col("y"))
+        .agg(coalesce(sum(col("e") * col("x0")), lit(0L)),
+          (1 until NumFeatures).map(j =>
+            coalesce(sum(col("e") * col(s"x$j")), lit(0L))): _*)
+        .collect()(0)
       // Scala Long `/` truncates toward zero = DuckDB integer `//`
-      w = w.indices.map(j => w(j) - g.getOrElse(j.toLong, 0L) / (n * LrDen))
+      w = w.indices.map(j => w(j) - g.getLong(j) / (n * LrDen))
     }
     w
   }

@@ -111,10 +111,12 @@ object Dedup {
   /** Distinct (id, shingle) pairs; token array staged before windowing. */
   private[graft] def distinctTokens(docs: DataFrame, textCol: String,
       idCol: String, gram: Int = 1): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
-      .select(col("doc_id"),
-        explode(shinglesFromTokens(col("_toks"), gram)).as("t"))
-      .distinct()
+    // per-row-distinct generator (r17): same (doc_id, shingle) rows as
+    // the former explode + relational distinct — the dedup happens in
+    // the kernel, so the distinct's full string-keyed exchange is gone
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.WordNGrams.distinctColumn(col(textCol), gram)
+        .as("t"))
 
   /** DIGEST-EARLY shingle windows: xxhash64 each window of an
     * ALREADY-STAGED token-HASH array (array<long>, one xxhash64 per
@@ -142,14 +144,17 @@ object Dedup {
     * of distinctTokens for consumers that only ever JOIN/COUNT shingles
     * (the Jaccard-pair core). Consumers that hash the shingle STRING
     * downstream (MinHash signatures, sha-digest decontamination) must
-    * stay on distinctTokens: their outputs depend on the string bytes. */
+    * stay on distinctTokens: their outputs depend on the string bytes.
+    *
+    * r17: one fused generator pass (HashedNGrams) — bit-exact with the
+    * former transform/slice HOF staging (see the kernel's scaladoc), and
+    * per-doc-distinct by construction, so the relational `.distinct()`
+    * exchange this used to need is GONE (guide §2.4). */
   private[graft] def distinctHashedShingles(docs: DataFrame, textCol: String,
       idCol: String, gram: Int = 1): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        transform(tokens(col(textCol)), t => xxhash64(t)).as("_th"))
-      .select(col("doc_id"),
-        explode(hashedShinglesFromTokens(col("_th"), gram)).as("t"))
-      .distinct()
+      org.apache.spark.sql.graft.HashedNGrams.column(col(textCol), gram)
+        .as("t"))
 
   /** Exact shingle-set Jaccard over all pairs sharing ≥1 shingle. With
     * gram=1 (token sets) this is O(pairs) on a saturating vocabulary —
@@ -334,11 +339,13 @@ object Dedup {
     * (id_a, id_b) of rep pairs with jaccard ≥ threshold. */
   def crossJaccardEdges(groups: DataFrame, gram: Int,
       threshold: Double): DataFrame = {
-    val staged = groups.select(col("rep").as("doc_id"), col("has_flag"),
-      transform(tokens(col("_text")), t => xxhash64(t)).as("_th"))
-    val toksAll = staged.select(col("doc_id"), col("has_flag"),
-        explode(hashedShinglesFromTokens(col("_th"), gram)).as("t"))
-      .distinct().trackedPersist()
+    // fused HashedNGrams staging (bit-exact, per-doc-distinct by
+    // construction — has_flag is a per-doc constant, so the relational
+    // distinct this replaced was equivalent to the generator's dedup)
+    val toksAll = groups.select(col("rep").as("doc_id"), col("has_flag"),
+        org.apache.spark.sql.graft.HashedNGrams.column(col("_text"), gram)
+          .as("t"))
+      .trackedPersist()
     val sizes = toksAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     toksAll.filter(col("has_flag")).as("x")
       .join(toksAll.as("y"),
@@ -457,8 +464,25 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       gram: Int = 1): DataFrame = {
-    val toks = distinctTokens(docs, textCol, idCol, gram)
-      .withColumn("h0", pmod(xxhash64(col("t")), lit(P)))
+    // NO relational distinct before the 64-min-agg (r17, guide §2.3/§2.4):
+    // at gram=1 (every production caller) h0 depends only on
+    // xxhash64(token), which is exactly what the fused HashedNGrams
+    // generator emits PER-DOC-DISTINCT — so the former distinct's full
+    // string-keyed shuffle disappears while the 64-min agg still sees one
+    // row per distinct (doc, token), and the exchange carries 64 longs
+    // per doc instead of every distinct token string. Signatures are
+    // bit-identical (HashedNGramsSpec pins the digest parity). gram > 1
+    // keeps the string staging: its h0 hashes the shingle STRING, which
+    // the window-fold digests deliberately do not reproduce.
+    val toks =
+      if (gram <= 1)
+        docs.select(col(idCol).as("doc_id"),
+            org.apache.spark.sql.graft.HashedNGrams.column(col(textCol), 1)
+              .as("t"))
+          .withColumn("h0", pmod(col("t"), lit(P)))
+      else
+        distinctTokens(docs, textCol, idCol, gram)
+          .withColumn("h0", pmod(xxhash64(col("t")), lit(P)))
     val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
     }
@@ -748,7 +772,14 @@ object Dedup {
 
   def minhashShaSignatures(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val toks = distinctTokens(docs, textCol, idCol)
+    // no relational distinct before the 8 substring-mins (r17, guide
+    // §2.3/§2.4): the per-row-distinct WordNGrams generator dedups tokens
+    // in the kernel — sha2 still runs once per distinct (doc, token), but
+    // the former distinct's full string-keyed shuffle is gone and only 8
+    // hex slices per doc cross the exchange.
+    val toks = docs.select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.WordNGrams.distinctColumn(col(textCol), 1)
+          .as("t"))
       .withColumn("_d", sha2(col("t"), 256))
     val aggs = (0 until ShaHashes).map(i =>
       min(substring(col("_d"), 1 + 8 * i, 8)).as(s"m$i"))
@@ -2582,13 +2613,15 @@ object Dedup {
     // a second _th reference beside the generator re-tokenizes per
     // shingle row (measured 65s vs 22s at 50×) — one extra flat regexp
     // pass per doc is the cheap side of that trade.
+    // fused HashedNGrams staging: per-doc-distinct digests by
+    // construction (n_tokens is a per-doc constant), so the relational
+    // distinct AND the _th CollapseProject re-tokenization hazard the
+    // note above described are both gone — the generator takes text
+    // directly.
     val g = fanout(documents(s, dir), "doc_id")
       .select(col("doc_id"),
         regexp_count(col("text"), lit("[^\\t\\n\\f\\r ]+")).cast("long").as("n_tokens"),
-        transform(tokens(col("text")), t => xxhash64(t)).as("_th"))
-      .select(col("doc_id"), col("n_tokens"),
-        explode(hashedShinglesFromTokens(col("_th"), 8)).as("g"))
-      .distinct()
+        org.apache.spark.sql.graft.HashedNGrams.column(col("text"), 8).as("g"))
     val gd = g.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
     g.join(gd, Seq("g"))
       .groupBy(col("doc_id"), col("n_tokens"))

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * extra here; the win over transform(sequence…, slice, concat_ws) is
   * skipping two interpreted HOF array builds per document.
   */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback
     with ExpectsInputTypes {
 
@@ -35,18 +35,25 @@ case class WordNGrams(child: Expression, n: Int)
     if (v == null) return Iterator.empty
     val toks = v.asInstanceOf[UTF8String].toString
       .split("[\\t\\n\\f\\r ]+").filter(_.nonEmpty)
-    if (n <= 1) {
-      toks.iterator.map(t => InternalRow(UTF8String.fromString(t)))
-    } else if (toks.length < n) {
-      Iterator.single(InternalRow(UTF8String.fromString(toks.mkString(" "))))
-    } else {
-      (0 to toks.length - n).iterator.map { i =>
+    val base: Iterator[String] =
+      if (n <= 1) toks.iterator
+      else if (toks.length < n) Iterator.single(toks.mkString(" "))
+      else (0 to toks.length - n).iterator.map { i =>
         val sb = new java.lang.StringBuilder(toks(i))
         var j = i + 1
         while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
-        InternalRow(UTF8String.fromString(sb.toString))
+        sb.toString
       }
-    }
+    // distinct = per-ROW dedup in the kernel: with a per-doc id alongside,
+    // this makes a downstream relational `.distinct()` over (id, t)
+    // redundant — consumers drop that whole exchange (guide §2.4)
+    val out =
+      if (!distinct) base
+      else {
+        val seen = new java.util.HashSet[String]()
+        base.filter(seen.add)
+      }
+    out.map(t => InternalRow(UTF8String.fromString(t)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -57,4 +64,9 @@ object WordNGrams {
   /** Generator column — use inside a select like explode. */
   def column(text: Column, n: Int): Column =
     ExpressionUtils.column(WordNGrams(ExpressionUtils.expression(text), n))
+
+  /** Per-row-distinct variant: emits each shingle once per input row. */
+  def distinctColumn(text: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordNGrams(ExpressionUtils.expression(text), n, distinct = true))
 }

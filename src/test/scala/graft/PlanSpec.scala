@@ -443,13 +443,16 @@ class PlanSpec extends SparkTestBase {
     // the r13 GC fix's structural pin: reintroducing string shingles (or
     // q144's md5-hex digests) into the pair core re-creates the 26-39s
     // task-GC the r12 driver record carried
+    // r17: the digest staging is the fused hashed_ngrams generator (the
+    // xxhash64 calls live inside the kernel), so the pin is the kernel's
+    // presence plus the continued absence of string-shingle machinery
     val p54 = plan(graft.operators.Dedup.q54(spark, sfDir))
     assert(!p54.contains("concat_ws"), p54)
-    assert(p54.contains("xxhash64"), p54)
+    assert(p54.contains("hashed_ngrams"), p54)
     val p144 = plan(graft.operators.Dedup.q144(spark, sfDir))
     assert(!p144.contains("concat_ws"), p144)
     assert(!p144.contains("md5"), p144)
-    assert(p144.contains("xxhash64"), p144)
+    assert(p144.contains("hashed_ngrams"), p144)
   }
 
   test("q195 distilled-filter inference is MAP-SIDE ONLY: fused " +
